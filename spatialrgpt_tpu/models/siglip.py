@@ -1,0 +1,165 @@
+"""SigLIP vision tower, TPU-native.
+
+Re-implements the behavior of the reference's SigLIP tower
+(llava/model/multimodal_encoder/siglip_encoder.py + vision_encoder.py:14-159,
+which wraps HF ``SiglipVisionModel``) as a pure JAX function over an explicit
+parameter pytree.  Weight layout is chosen so the HF checkpoint converts by a
+simple transpose (see utils/checkpoint.py).
+
+Contract (vision_encoder.py:26-34): run the ViT collecting hidden states,
+take ``hidden_states[select_layer]`` (HF convention: index 0 is the embedding
+output, index k is the output of layer k), and for ``select_feature='patch'``
+drop token 0 ('cls_patch' keeps all).  For the default SpatialRGPT config
+(select_layer=-2, cls_patch) this means: embeddings + 26 of 27 encoder
+layers, no post-layernorm, all 729 tokens.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatialrgpt_tpu.config import SiglipVisionConfig
+from spatialrgpt_tpu.ops.layers import gelu_tanh, layer_norm, linear
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: SiglipVisionConfig, dtype=jnp.float32) -> Params:
+    """Randomly initialize a SigLIP tower parameter pytree.
+
+    Layout:
+      patch_embed: {kernel (P,P,3,C), bias (C,)}
+      pos_embed:   (num_patches, C)
+      layers: list of per-layer dicts with ln1/ln2 {scale,bias},
+              attn {wq,wk,wv,wo each {kernel (Cin,Cout), bias}},
+              mlp {fc1,fc2 each {kernel,bias}}
+      post_ln: {scale, bias}
+    """
+    k = jax.random.split(rng, 4 + cfg.num_hidden_layers)
+    C = cfg.hidden_size
+    P = cfg.patch_size
+    I = cfg.intermediate_size
+
+    def dense(key, fan_in, fan_out):
+        w = jax.random.normal(key, (fan_in, fan_out), dtype) * (fan_in**-0.5)
+        return {"kernel": w, "bias": jnp.zeros((fan_out,), dtype)}
+
+    layers = []
+    for li in range(cfg.num_hidden_layers):
+        kk = jax.random.split(k[4 + li], 6)
+        layers.append(
+            {
+                "ln1": {"scale": jnp.ones((C,), dtype), "bias": jnp.zeros((C,), dtype)},
+                "ln2": {"scale": jnp.ones((C,), dtype), "bias": jnp.zeros((C,), dtype)},
+                "attn": {
+                    "wq": dense(kk[0], C, C),
+                    "wk": dense(kk[1], C, C),
+                    "wv": dense(kk[2], C, C),
+                    "wo": dense(kk[3], C, C),
+                },
+                "mlp": {
+                    "fc1": dense(kk[4], C, I),
+                    "fc2": dense(kk[5], I, C),
+                },
+            }
+        )
+
+    return {
+        "patch_embed": {
+            "kernel": jax.random.normal(k[0], (P, P, 3, C), dtype) * 0.02,
+            "bias": jnp.zeros((C,), dtype),
+        },
+        "pos_embed": jax.random.normal(k[1], (cfg.num_patches, C), dtype) * 0.02,
+        "layers": layers,
+        "post_ln": {"scale": jnp.ones((C,), dtype), "bias": jnp.zeros((C,), dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
+    """Bidirectional multi-head attention over (B, S, C), fp32 softmax."""
+    B, S, C = x.shape
+    D = C // num_heads
+    q = linear(x, p["wq"]).reshape(B, S, num_heads, D)
+    k = linear(x, p["wk"]).reshape(B, S, num_heads, D)
+    v = linear(x, p["wv"]).reshape(B, S, num_heads, D)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (D**-0.5)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return linear(out.reshape(B, S, C), p["wo"])
+
+
+def _encoder_layer(x: jax.Array, p: Params, cfg: SiglipVisionConfig) -> jax.Array:
+    h = layer_norm(x, p["ln1"], eps=cfg.layer_norm_eps)
+    x = x + _attention(h, p["attn"], cfg.num_attention_heads)
+    h = layer_norm(x, p["ln2"], eps=cfg.layer_norm_eps)
+    h = linear(h, p["mlp"]["fc1"])
+    h = gelu_tanh(h)
+    h = linear(h, p["mlp"]["fc2"])
+    return x + h
+
+
+def embed(params: Params, pixel_values: jax.Array, cfg: SiglipVisionConfig) -> jax.Array:
+    """Patchify + positional embedding.  pixel_values: (B, H, W, 3) NHWC."""
+    k = params["patch_embed"]["kernel"]
+    x = jax.lax.conv_general_dilated(
+        pixel_values.astype(k.dtype),
+        k,
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = x + params["patch_embed"]["bias"]
+    B = x.shape[0]
+    x = x.reshape(B, -1, cfg.hidden_size)
+    return x + params["pos_embed"][None, :, :].astype(x.dtype)
+
+
+def forward_features(
+    params: Params, pixel_values: jax.Array, cfg: SiglipVisionConfig
+) -> jax.Array:
+    """Tower features with the reference's feature_select applied.
+
+    pixel_values: (B, H, W, 3), already normalized.
+    Returns (B, num_patches, hidden_size).
+    """
+    x = embed(params, pixel_values, cfg)
+    # HF hidden_states has 1 + num_layers entries; select_layer=-2 means we
+    # need the output of layer (num_layers - 1), i.e. run all but the last.
+    sel = cfg.select_layer
+    if sel < 0:
+        sel = cfg.num_hidden_layers + 1 + sel
+    n_run = sel  # number of encoder layers whose output we need
+    for li in range(n_run):
+        x = _encoder_layer(x, params["layers"][li], cfg)
+    if cfg.select_feature == "patch":
+        x = x[:, 1:]
+    elif cfg.select_feature != "cls_patch":
+        raise ValueError(f"Unexpected select feature: {cfg.select_feature}")
+    return x
+
+
+def forward_full(
+    params: Params, pixel_values: jax.Array, cfg: SiglipVisionConfig
+) -> jax.Array:
+    """Full tower (all layers + post layernorm), for checkpoint validation."""
+    x = embed(params, pixel_values, cfg)
+    for li in range(cfg.num_hidden_layers):
+        x = _encoder_layer(x, params["layers"][li], cfg)
+    return layer_norm(x, params["post_ln"], eps=cfg.layer_norm_eps)

@@ -1,0 +1,61 @@
+"""Shared primitive layers (pure functions over param dicts).
+
+Numerics deliberately match the PyTorch reference modules they stand in for:
+LayerNorm/RMSNorm statistics are computed in fp32 regardless of the parameter
+dtype, and GELU uses the tanh approximation where the reference does
+(``gelu_pytorch_tanh`` in SigLIP; exact erf GELU in torch.nn.GELU used by the
+projector/region extractor, reference base_projector.py:76-80).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(x: jax.Array, p) -> jax.Array:
+    """y = x @ kernel + bias, with fp32 MXU accumulation."""
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, p, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm over the last axis with fp32 statistics."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm_2d(x: jax.Array, p, eps: float = 1e-6) -> jax.Array:
+    """Channel-wise LayerNorm over NHWC's channel axis, matching the
+    reference's LayerNorm2d (base_extractor.py:12-25) which normalizes over
+    the channel dimension of an NCHW tensor."""
+    return layer_norm(x, p, eps=eps)
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Llama RMSNorm: fp32 variance, scale applied in input dtype
+    (matches HF LlamaRMSNorm numerics)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y.astype(x.dtype) * scale.astype(x.dtype))
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """gelu_pytorch_tanh (SigLIP MLP activation)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_erf(x: jax.Array) -> jax.Array:
+    """Exact GELU (torch.nn.GELU default), used by projector/region modules."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)

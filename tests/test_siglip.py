@@ -1,0 +1,91 @@
+"""SigLIP tower parity vs HF torch SiglipVisionModel (random weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatialrgpt_tpu.config import SiglipVisionConfig
+from spatialrgpt_tpu.models import siglip
+from spatialrgpt_tpu.utils.checkpoint import convert_siglip
+
+SMALL = SiglipVisionConfig(
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=4,
+    num_attention_heads=4,
+    image_size=56,
+    patch_size=14,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_tower():
+    import torch
+    from transformers import SiglipVisionConfig as HFCfg
+    from transformers import SiglipVisionModel
+
+    torch.manual_seed(0)
+    hf_cfg = HFCfg(
+        hidden_size=SMALL.hidden_size,
+        intermediate_size=SMALL.intermediate_size,
+        num_hidden_layers=SMALL.num_hidden_layers,
+        num_attention_heads=SMALL.num_attention_heads,
+        image_size=SMALL.image_size,
+        patch_size=SMALL.patch_size,
+        attn_implementation="eager",
+    )
+    model = SiglipVisionModel(hf_cfg).eval()
+    return model
+
+
+def test_forward_features_matches_hf(torch_tower):
+    import torch
+
+    params = convert_siglip(torch_tower.state_dict(), SMALL.num_hidden_layers)
+    rng = np.random.default_rng(0)
+    pix = rng.standard_normal((2, SMALL.image_size, SMALL.image_size, 3)).astype(
+        np.float32
+    )
+
+    with torch.no_grad():
+        hf_out = torch_tower(
+            torch.from_numpy(pix.transpose(0, 3, 1, 2)), output_hidden_states=True
+        )
+    # reference contract: hidden_states[-2], cls_patch keeps all tokens
+    expected = hf_out.hidden_states[-2].numpy()
+
+    got = np.asarray(siglip.forward_features(params, jnp.asarray(pix), SMALL))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+
+
+def test_forward_full_matches_hf(torch_tower):
+    import torch
+
+    params = convert_siglip(torch_tower.state_dict(), SMALL.num_hidden_layers)
+    rng = np.random.default_rng(1)
+    pix = rng.standard_normal((1, SMALL.image_size, SMALL.image_size, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        hf_out = torch_tower(torch.from_numpy(pix.transpose(0, 3, 1, 2)))
+    expected = hf_out.last_hidden_state.numpy()
+    got = np.asarray(siglip.forward_full(params, jnp.asarray(pix), SMALL))
+    np.testing.assert_allclose(got, expected, atol=5e-4, rtol=2e-3)
+
+
+def test_patch_select_drops_first_token():
+    cfg = SiglipVisionConfig(
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        image_size=28,
+        patch_size=14,
+        select_feature="patch",
+    )
+    params = siglip.init_params(jax.random.PRNGKey(0), cfg)
+    pix = jnp.zeros((1, 28, 28, 3))
+    out = siglip.forward_features(params, pix, cfg)
+    assert out.shape == (1, cfg.num_patches - 1, 32)
