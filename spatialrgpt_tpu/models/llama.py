@@ -1,0 +1,255 @@
+"""Llama-family decoder, TPU-native.
+
+Replaces the reference's patched HF decoders
+(llava/train/transformers_replace/models/llama/modeling_llama.py and the
+Mistral/Gemma variants): a pure-function transformer with
+
+- GQA (num_key_value_heads <= num_attention_heads),
+- RoPE with optional linear scaling (reference
+  language_model/builder.py:31-38 context extension),
+- native packed-segment attention: tokens attend causally *within* their
+  segment only, which is the TPU-static equivalent of the reference's
+  varlen flash-attention `seqlens_in_batch` path (modeling_llama.py:509-568),
+- a static-shape KV cache for autoregressive decode.
+
+Attention is routed through spatialrgpt_tpu.ops.attention so the XLA
+reference path and the Pallas flash kernel are interchangeable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spatialrgpt_tpu.config import LlamaConfig
+from spatialrgpt_tpu.ops import attention as attn_ops
+from spatialrgpt_tpu.ops.layers import linear, rms_norm, silu
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    rng: jax.Array,
+    cfg: LlamaConfig,
+    dtype=jnp.float32,
+    extra_vocab: int = 0,
+) -> Params:
+    ks = jax.random.split(rng, 2 + cfg.num_hidden_layers)
+    H = cfg.hidden_size
+    KV = cfg.num_key_value_heads * cfg.head_dim
+    I = cfg.intermediate_size
+    V = cfg.vocab_size + extra_vocab
+
+    def dense(key, fi, fo):
+        return {"kernel": jax.random.normal(key, (fi, fo), dtype) * (fi**-0.5)}
+
+    layers = []
+    for li in range(cfg.num_hidden_layers):
+        kk = jax.random.split(ks[2 + li], 7)
+        layers.append(
+            {
+                "input_ln": jnp.ones((H,), dtype),
+                "post_ln": jnp.ones((H,), dtype),
+                "attn": {
+                    "wq": dense(kk[0], H, H),
+                    "wk": dense(kk[1], H, KV),
+                    "wv": dense(kk[2], H, KV),
+                    "wo": dense(kk[3], H, H),
+                },
+                "mlp": {
+                    "gate": dense(kk[4], H, I),
+                    "up": dense(kk[5], H, I),
+                    "down": dense(kk[6], I, H),
+                },
+            }
+        )
+    params = {
+        "embed_tokens": jax.random.normal(ks[0], (V, H), dtype) * 0.02,
+        "layers": layers,
+        "final_ln": jnp.ones((H,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(ks[1], H, V)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+
+def rope_frequencies(cfg: LlamaConfig) -> jax.Array:
+    d = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )
+    return inv_freq
+
+
+def apply_rope(
+    q: jax.Array,  # (B, S, Hq, D)
+    k: jax.Array,  # (B, S, Hk, D)
+    position_ids: jax.Array,  # (B, S) int32
+    cfg: LlamaConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """HF-layout rotary embedding (rotate_half convention)."""
+    inv_freq = rope_frequencies(cfg)
+    pos = position_ids.astype(jnp.float32)
+    if cfg.rope_scaling_factor:
+        pos = pos / cfg.rope_scaling_factor
+    freqs = jnp.einsum("bs,d->bsd", pos, inv_freq)  # (B, S, D/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (B, S, D)
+    cos = jnp.cos(emb)[:, :, None, :]
+    sin = jnp.sin(emb)[:, :, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        d2 = x.shape[-1] // 2
+        rotated = jnp.concatenate([-xf[..., d2:], xf[..., :d2]], axis=-1)
+        return (xf * cos + rotated * sin).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer KV cache: lists of (B, C, Hk, D) arrays plus
+    the current fill length (scalar int32)."""
+
+    k: Tuple[jax.Array, ...]
+    v: Tuple[jax.Array, ...]
+    length: jax.Array  # () int32
+
+    @staticmethod
+    def init(cfg: LlamaConfig, batch: int, capacity: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (batch, capacity, cfg.num_key_value_heads, cfg.head_dim)
+        zeros = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers))
+        return KVCache(zeros, tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)), jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _attention_block(
+    x: jax.Array,
+    p: Params,
+    cfg: LlamaConfig,
+    position_ids: jax.Array,
+    segment_ids: Optional[jax.Array],
+    layer_idx: int,
+    cache: Optional[KVCache],
+    impl: str,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    B, S, H = x.shape
+    Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = linear(x, p["wq"]).reshape(B, S, Hq, D)
+    k = linear(x, p["wk"]).reshape(B, S, Hk, D)
+    v = linear(x, p["wv"]).reshape(B, S, Hk, D)
+    q, k = apply_rope(q, k, position_ids, cfg)
+
+    if cache is not None:
+        # decode / incremental prefill: append into the static cache
+        ck = jax.lax.dynamic_update_slice_in_dim(cache.k[layer_idx], k, cache.length, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cache.v[layer_idx], v, cache.length, axis=1)
+        kv_len = cache.length + S
+        out = attn_ops.decode_attention(q, ck, cv, kv_len)
+        new_kv = (ck, cv)
+    else:
+        out = attn_ops.causal_attention(q, k, v, segment_ids=segment_ids, impl=impl)
+        new_kv = None
+
+    out = out.reshape(B, S, Hq * D)
+    return linear(out, p["wo"]), new_kv
+
+
+def _mlp_block(x: jax.Array, p: Params) -> jax.Array:
+    return linear(silu(linear(x, p["gate"])) * linear(x, p["up"]), p["down"])
+
+
+def _decoder_layer(x, p, cfg, position_ids, segment_ids, layer_idx, cache, impl):
+    h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps)
+    attn_out, new_kv = _attention_block(
+        h, p["attn"], cfg, position_ids, segment_ids, layer_idx, cache, impl
+    )
+    x = x + attn_out
+    h = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
+    x = x + _mlp_block(h, p["mlp"])
+    return x, new_kv
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    *,
+    inputs_embeds: jax.Array,  # (B, S, H)
+    position_ids: jax.Array,  # (B, S)
+    segment_ids: Optional[jax.Array] = None,  # (B, S); 0 = padding
+    cache: Optional[KVCache] = None,
+    attn_impl: str = "xla",
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the decoder stack. Returns (hidden_states, updated cache).
+
+    With ``segment_ids``, attention is causal within equal-id runs and
+    blocked across them (packed-batch semantics); id 0 marks padding.
+    """
+    x = inputs_embeds
+    new_ks, new_vs = [], []
+    for li, lp in enumerate(params["layers"]):
+        x, new_kv = _decoder_layer(
+            x, lp, cfg, position_ids, segment_ids, li, cache, attn_impl
+        )
+        if new_kv is not None:
+            new_ks.append(new_kv[0])
+            new_vs.append(new_kv[1])
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    new_cache = None
+    if cache is not None:
+        new_cache = KVCache(tuple(new_ks), tuple(new_vs), cache.length + inputs_embeds.shape[1])
+    return x, new_cache
+
+
+def logits(params: Params, hidden: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"].astype(hidden.dtype)
+        return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
+    return jnp.dot(
+        hidden,
+        params["lm_head"]["kernel"].astype(hidden.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def forward_logits(params, cfg, *, input_ids, position_ids, segment_ids=None, attn_impl="xla"):
+    """Convenience: ids -> logits (no cache)."""
+    x = embed_tokens(params, input_ids)
+    h, _ = forward(
+        params,
+        cfg,
+        inputs_embeds=x,
+        position_ids=position_ids,
+        segment_ids=segment_ids,
+        attn_impl=attn_impl,
+    )
+    return logits(params, h, cfg)

@@ -1,0 +1,110 @@
+"""Attention ops with interchangeable implementations.
+
+``causal_attention`` is the training/prefill path: causal within packed
+segments (the TPU-static replacement for the reference's
+flash_attn_varlen_func + cu_seqlens path, transformers_replace
+modeling_llama.py:509-568).  ``decode_attention`` is the single/multi-token
+decode path against a static KV cache.
+
+impl="xla" is the reference XLA implementation (fused by the compiler);
+impl="pallas" routes to the Pallas flash kernel (ops/flash_attention.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _repeat_kv(k: jax.Array, n_rep: int) -> jax.Array:
+    """(B, S, Hk, D) -> (B, S, Hk*n_rep, D) by head-group repetition."""
+    if n_rep == 1:
+        return k
+    b, s, hk, d = k.shape
+    k = jnp.broadcast_to(k[:, :, :, None, :], (b, s, hk, n_rep, d))
+    return k.reshape(b, s, hk * n_rep, d)
+
+
+def make_attention_mask(
+    q_segment_ids: jax.Array,  # (B, S)
+    kv_segment_ids: jax.Array,  # (B, T)
+    causal: bool = True,
+) -> jax.Array:
+    """(B, 1, S, T) boolean mask: same nonzero segment, causal in-position.
+
+    Positions with segment id 0 are padding and attend nowhere / are
+    attended by nothing.
+    """
+    same = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]) & (
+        q_segment_ids[:, :, None] != 0
+    )
+    if causal:
+        s, t = q_segment_ids.shape[1], kv_segment_ids.shape[1]
+        qi = jnp.arange(s)[:, None]
+        ki = jnp.arange(t)[None, :]
+        same = same & (qi >= ki)[None, :, :]
+    return same[:, None, :, :]
+
+
+def causal_attention(
+    q: jax.Array,  # (B, S, Hq, D)
+    k: jax.Array,  # (B, S, Hk, D)
+    v: jax.Array,  # (B, S, Hk, D)
+    segment_ids: Optional[jax.Array] = None,  # (B, S), 0 = padding
+    impl: str = "xla",
+) -> jax.Array:
+    if impl == "pallas":
+        from spatialrgpt_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, segment_ids=segment_ids, causal=True)
+    if impl != "xla":
+        raise ValueError(f"unknown attention impl: {impl}")
+
+    b, s, hq, d = q.shape
+    n_rep = hq // k.shape[2]
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (d**-0.5)
+    if segment_ids is None:
+        mask = jnp.tril(jnp.ones((s, s), jnp.bool_))[None, None]
+    else:
+        mask = make_attention_mask(segment_ids, segment_ids, causal=True)
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    # rows that attend to nothing (padding) produce uniform probs; zero them
+    if segment_ids is not None:
+        probs = probs * (segment_ids != 0)[:, None, :, None].astype(probs.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def decode_attention(
+    q: jax.Array,  # (B, S, Hq, D)  S = new tokens (usually 1)
+    k_cache: jax.Array,  # (B, C, Hk, D) cache already updated with new kv
+    v_cache: jax.Array,  # (B, C, Hk, D)
+    kv_length: jax.Array,  # () int32 valid cache length (incl. new tokens)
+) -> jax.Array:
+    """Attention of new tokens against the whole (valid prefix of the) cache.
+
+    New token i (global position kv_length - S + i) attends to cache
+    positions <= its own global position.
+    """
+    b, s, hq, d = q.shape
+    c = k_cache.shape[1]
+    n_rep = hq // k_cache.shape[2]
+    k = _repeat_kv(k_cache, n_rep)
+    v = _repeat_kv(v_cache, n_rep)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (d**-0.5)
+    q_pos = kv_length - s + jnp.arange(s)  # (S,)
+    k_pos = jnp.arange(c)  # (C,)
+    mask = (k_pos[None, :] <= q_pos[:, None])[None, None]  # (1,1,S,C)
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
