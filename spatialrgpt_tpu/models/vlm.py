@@ -1,0 +1,188 @@
+"""SpatialRGPT composite VLM: vision tower + region extractor + projector +
+Llama decoder, with static-shape multimodal splicing.
+
+Replaces the reference's ``LlavaMetaModel`` / ``LlavaMetaForCausalLM``
+(llava/model/llava_arch.py) and ``LlavaLlamaModel``
+(llava/model/language_model/llava_llama.py).  The reference's per-sample
+python splice loop becomes one device gather driven by host-precomputed
+indices (data/splice.py).
+
+Vision encode contract (llava_arch.py:387-411):
+  - the SAME tower encodes RGB images and the colorized depth maps,
+  - RGB region pooling uses the deconv-refined high-res grid; depth region
+    pooling uses the RAW depth tower features (llava_arch.py:404-405),
+  - LLM image tokens come from mm_projector(low-res global branch).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spatialrgpt_tpu.config import SpatialRGPTConfig
+from spatialrgpt_tpu.constants import IGNORE_INDEX
+from spatialrgpt_tpu.models import llama, projector, region_extractor, siglip
+
+Params = Dict
+
+
+class VLMInputs(NamedTuple):
+    """Device-side batch (see data/splice.py for construction)."""
+
+    input_ids: jax.Array  # (B, S) int32, image slots 0
+    is_image: jax.Array  # (B, S) bool
+    image_gather_idx: jax.Array  # (B, S) int32 -> flat (N*196)
+    position_ids: jax.Array  # (B, S) int32
+    segment_ids: jax.Array  # (B, S) int32, 0 = pad
+    labels: Optional[jax.Array]  # (B, S) int32
+    mask_slot: jax.Array  # (B, S) int32 -> flat (N*R)
+    is_mask: jax.Array  # (B, S) bool
+    depth_slot: jax.Array  # (B, S) int32
+    is_depth: jax.Array  # (B, S) bool
+    images: jax.Array  # (N, H, W, 3)
+    depths: Optional[jax.Array]  # (N, H, W, 3)
+    masks: Optional[jax.Array]  # (N, R, Hm, Wm) float
+    mask_valid: Optional[jax.Array]  # (N, R) bool
+
+
+def init_params(rng: jax.Array, cfg: SpatialRGPTConfig, dtype=jnp.float32) -> Params:
+    k = jax.random.split(rng, 4)
+    p = {
+        "vision": siglip.init_params(k[0], cfg.vision, dtype),
+        "projector": projector.init_params(k[1], cfg.projector, dtype),
+        "llm": llama.init_params(k[2], cfg.llm, dtype, extra_vocab=cfg.num_extra_tokens),
+    }
+    if cfg.enable_region:
+        p["region"] = region_extractor.init_params(k[3], cfg.region, dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Vision encode
+# ---------------------------------------------------------------------------
+
+
+def encode_images(
+    params: Params,
+    cfg: SpatialRGPTConfig,
+    images: jax.Array,  # (N, H, W, 3)
+    depths: Optional[jax.Array],  # (N, H, W, 3)
+    masks: Optional[jax.Array],  # (N, R, Hm, Wm)
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    """Returns (image_features (N, T, H), mask_embeds (N, R, H) | None,
+    depth_embeds (N, R, H) | None)."""
+    tower = siglip.forward_features(params["vision"], images, cfg.vision)
+
+    mask_embeds = depth_embeds = None
+    if cfg.enable_region:
+        hres, lres = region_extractor.feature_refinement(
+            params["region"], tower, cfg.region
+        )
+        depth_feats = None
+        if cfg.enable_depth and depths is not None:
+            depth_feats = siglip.forward_features(params["vision"], depths, cfg.vision)
+        if masks is not None:
+            mask_embeds, depth_embeds = region_extractor.extract_regions(
+                params["region"], hres, depth_feats, masks, cfg.region
+            )
+    else:
+        lres = tower
+
+    image_features = projector.forward(params["projector"], lres, cfg.projector)
+    return image_features, mask_embeds, depth_embeds
+
+
+# ---------------------------------------------------------------------------
+# Splice (device side)
+# ---------------------------------------------------------------------------
+
+
+def splice_embeds(
+    params: Params,
+    cfg: SpatialRGPTConfig,
+    inputs: VLMInputs,
+    image_features: jax.Array,  # (N, T, H)
+    mask_embeds: Optional[jax.Array],  # (N, R, H)
+    depth_embeds: Optional[jax.Array],  # (N, R, H)
+) -> jax.Array:
+    """Build (B, S, H) input embeddings:
+    text -> embedding table; <mask>/<depth> positions -> region embeds
+    (in-place overwrite, llava_arch.py:470-501); image slots -> projected
+    image tokens (llava_arch.py:519-539)."""
+    embeds = llama.embed_tokens(params["llm"], inputs.input_ids)
+    H = embeds.shape[-1]
+
+    if mask_embeds is not None:
+        flat = mask_embeds.reshape(-1, H)
+        gathered = jnp.take(flat, inputs.mask_slot.reshape(-1), axis=0).reshape(
+            embeds.shape
+        )
+        embeds = jnp.where(inputs.is_mask[..., None], gathered.astype(embeds.dtype), embeds)
+    if depth_embeds is not None:
+        flat = depth_embeds.reshape(-1, H)
+        gathered = jnp.take(flat, inputs.depth_slot.reshape(-1), axis=0).reshape(
+            embeds.shape
+        )
+        embeds = jnp.where(inputs.is_depth[..., None], gathered.astype(embeds.dtype), embeds)
+
+    img_flat = image_features.reshape(-1, H)
+    img_gathered = jnp.take(img_flat, inputs.image_gather_idx.reshape(-1), axis=0).reshape(
+        embeds.shape
+    )
+    embeds = jnp.where(inputs.is_image[..., None], img_gathered.astype(embeds.dtype), embeds)
+    return embeds
+
+
+def prepare_embeds(params: Params, cfg: SpatialRGPTConfig, inputs: VLMInputs) -> jax.Array:
+    image_features, mask_embeds, depth_embeds = encode_images(
+        params, cfg, inputs.images, inputs.depths, inputs.masks
+    )
+    return splice_embeds(params, cfg, inputs, image_features, mask_embeds, depth_embeds)
+
+
+# ---------------------------------------------------------------------------
+# Forward / loss
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    cfg: SpatialRGPTConfig,
+    inputs: VLMInputs,
+    attn_impl: str = "xla",
+) -> jax.Array:
+    """Full multimodal forward -> logits (B, S, V)."""
+    embeds = prepare_embeds(params, cfg, inputs)
+    h, _ = llama.forward(
+        params["llm"],
+        cfg.llm,
+        inputs_embeds=embeds,
+        position_ids=inputs.position_ids,
+        segment_ids=inputs.segment_ids,
+        attn_impl=attn_impl,
+    )
+    return llama.logits(params["llm"], h, cfg.llm)
+
+
+def loss_fn(
+    params: Params,
+    cfg: SpatialRGPTConfig,
+    inputs: VLMInputs,
+    attn_impl: str = "xla",
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Next-token cross entropy with IGNORE_INDEX masking, mean over valid
+    target tokens (HF CausalLM shift-loss semantics)."""
+    logits = forward(params, cfg, inputs, attn_impl=attn_impl)
+    # shift: predict token t+1 from position t; never across segment ends
+    tgt = inputs.labels[:, 1:]
+    seg_ok = inputs.segment_ids[:, 1:] == inputs.segment_ids[:, :-1]
+    valid = (tgt != IGNORE_INDEX) & (inputs.segment_ids[:, 1:] != 0) & seg_ok
+    lg = logits[:, :-1].astype(jnp.float32)
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    tgt_safe = jnp.where(valid, tgt, 0)
+    tok_logp = jnp.take_along_axis(logp, tgt_safe[..., None], axis=-1)[..., 0]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    loss = -(tok_logp * valid).sum() / n_valid
+    return loss, {"loss": loss, "num_tokens": n_valid}
