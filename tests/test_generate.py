@@ -1,0 +1,114 @@
+"""Generate loop: compiled prefill+decode must match naive full-recompute
+greedy decoding, including right-padded batches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatialrgpt_tpu.config import (
+    LlamaConfig,
+    ProjectorConfig,
+    RegionExtractorConfig,
+    SiglipVisionConfig,
+    SpatialRGPTConfig,
+)
+from spatialrgpt_tpu.constants import IMAGE_TOKEN_INDEX
+from spatialrgpt_tpu.data.splice import expand_rows
+from spatialrgpt_tpu.models import llama, vlm
+from spatialrgpt_tpu.serving.generate import generate
+
+TINY = SpatialRGPTConfig(
+    llm=LlamaConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        eos_token_id=63,
+    ),
+    vision=SiglipVisionConfig(
+        hidden_size=16,
+        intermediate_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        image_size=56,
+        patch_size=14,
+    ),
+    projector=ProjectorConfig(mm_hidden_size=16, hidden_size=32),
+    region=RegionExtractorConfig(mm_hidden_size=16, hidden_size=32, ada_pool_size=4),
+    mask_token_id=60,
+    depth_token_id=61,
+)
+
+
+def _inputs_for(prompts, n_images, pad_to=None):
+    sb = expand_rows(
+        prompts,
+        None,
+        max_len=64,
+        tokens_per_image=4,
+        mask_token_id=60,
+        depth_token_id=61,
+        regions_per_image=2,
+        pad_to=pad_to,
+    )
+    rng = np.random.default_rng(0)
+    size = TINY.vision.image_size
+    return sb, vlm.VLMInputs(
+        input_ids=jnp.asarray(sb.input_ids),
+        is_image=jnp.asarray(sb.is_image),
+        image_gather_idx=jnp.asarray(sb.image_gather_idx),
+        position_ids=jnp.asarray(sb.position_ids),
+        segment_ids=jnp.asarray(sb.segment_ids),
+        labels=None,
+        mask_slot=jnp.asarray(sb.mask_slot),
+        is_mask=jnp.asarray(sb.is_mask),
+        depth_slot=jnp.asarray(sb.depth_slot),
+        is_depth=jnp.asarray(sb.is_depth),
+        images=jnp.asarray(rng.standard_normal((n_images, size, size, 3)), jnp.float32),
+        depths=jnp.asarray(rng.standard_normal((n_images, size, size, 3)), jnp.float32),
+        masks=jnp.asarray((rng.random((n_images, 2, size, size)) > 0.5), jnp.float32),
+        mask_valid=jnp.ones((n_images, 2), bool),
+    )
+
+
+def _naive_greedy(params, inputs, row, prompt_len, max_new):
+    """Full-recompute greedy decode for one row (oracle)."""
+    embeds = vlm.prepare_embeds(params, TINY, inputs)
+    emb = embeds[row : row + 1, :prompt_len]
+    toks = []
+    for _ in range(max_new):
+        S = emb.shape[1]
+        pos = jnp.arange(S, dtype=jnp.int32)[None]
+        h, _ = llama.forward(params["llm"], TINY.llm, inputs_embeds=emb, position_ids=pos)
+        lg = llama.logits(params["llm"], h, TINY.llm)
+        tok = int(jnp.argmax(lg[0, -1]))
+        toks.append(tok)
+        if tok == TINY.llm.eos_token_id:
+            break
+        emb = jnp.concatenate(
+            [emb, llama.embed_tokens(params["llm"], jnp.asarray([[tok]]))], axis=1
+        )
+    return toks
+
+
+def test_generate_matches_naive_greedy_batched_padded():
+    p1 = np.array([5, IMAGE_TOKEN_INDEX, 60, 61, 8], np.int64)  # expands to 8
+    p2 = np.array([IMAGE_TOKEN_INDEX, 7], np.int64)  # expands to 5
+    sb, inputs = _inputs_for([p1, p2], n_images=2, pad_to=10)
+    params = vlm.init_params(jax.random.PRNGKey(7), TINY)
+
+    prompt_lengths = jnp.asarray(sb.segment_ids.sum(axis=1), jnp.int32)
+    assert list(np.asarray(prompt_lengths)) == [8, 5]
+
+    result = generate(
+        params, TINY, inputs, prompt_lengths, max_new_tokens=6, temperature=0.0
+    )
+    toks = np.asarray(result.tokens)
+
+    for row in range(2):
+        oracle = _naive_greedy(params, inputs, row, int(prompt_lengths[row]), 6)
+        got = list(toks[row][: len(oracle)])
+        assert got == oracle, f"row {row}: {got} vs {oracle}"
