@@ -1,0 +1,534 @@
+"""Pallas TPU flash attention (forward + backward) with packed-segment masks.
+
+TPU-native replacement for the reference's flash-attn 2.5.8 CUDA wheel and
+the vendored MPT Triton kernel (SURVEY.md S2.9): one kernel family serves
+
+  - ViT attention        (causal=False, no segments),
+  - packed SFT / prefill (causal=True, segment ids == the reference's
+    `flash_attn_varlen_func` cu_seqlens semantics),
+  - GQA                  (kv heads broadcast to q heads in the wrapper's
+                          block index map, no materialized repeat).
+
+Algorithm: standard online-softmax flash attention.  Grid is
+(batch, q_heads, q_blocks, kv_blocks) with the kv dimension innermost and
+"arbitrary" semantics; running max / sum / output accumulator live in VMEM
+scratch across kv steps.  Fully-masked (causal-skipped) kv blocks are
+predicated out with pl.when so they cost only the grid step.
+
+Backward follows the flash-attention-2 recompute scheme: delta = rowsum
+(dO * O) is precomputed in XLA; one kernel accumulates dK/dV over q blocks,
+another accumulates dQ over kv blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _block_sizes(s_q: int, s_k: int, bq: Optional[int], bk: Optional[int]):
+    bq = bq or min(DEFAULT_BLOCK_Q, s_q)
+    bk = bk or min(DEFAULT_BLOCK_K, s_k)
+    bq = min(bq, s_q)
+    bk = min(bk, s_k)
+    assert s_q % bq == 0, f"seq_q {s_q} % block_q {bq} != 0"
+    assert s_k % bk == 0, f"seq_k {s_k} % block_k {bk} != 0"
+    return bq, bk
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref,  # (bq, D)
+    k_ref,  # (bk, D)
+    v_ref,  # (bk, D)
+    qseg_ref,  # (1, bq) int32 or None
+    kseg_ref,  # (1, bk) int32 or None
+    out_ref,  # (bq, D)
+    lse_ref,  # (1, bq) fp32
+    acc_ref,  # VMEM (bq, D) fp32
+    m_ref,  # VMEM (bq, 1) fp32
+    l_ref,  # VMEM (bq, 1) fp32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_k_blocks: int,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # causal block skip: block fully above the diagonal contributes nothing
+    run = True
+    if causal:
+        run = (ki * block_k) <= (qi * block_q + block_q - 1)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        s = s * sm_scale
+
+        mask = None
+        if causal:
+            rows = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = rows >= cols
+        if qseg_ref is not None:
+            # keep ids 2D and 32-bit: Mosaic only supports minor-dim
+            # insertion reshapes for 32-bit types
+            qs = qseg_ref[0].reshape(block_q, 1)  # (bq, 1) int32
+            ks = kseg_ref[0].reshape(1, block_k)  # (1, bk) int32
+            seg = (qs == ks) & (qs != 0)
+            mask = seg if mask is None else (mask & seg)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:]  # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (bq, bk)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0, 0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
+        lse = m_ref[:] + jnp.log(l_safe)
+        lse_ref[0, 0, 0, :] = jnp.where(l == 0.0, NEG_INF, lse)[:, 0]
+
+
+def _fwd(
+    q,  # (B, Hq, S, D)
+    k,  # (B, Hk, S, D)
+    v,
+    q_seg,  # (B, S) int32 or None
+    kv_seg,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+):
+    B, Hq, Sq, D = q.shape
+    Hk, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hk
+    nq, nk = Sq // block_q, Sk // block_k
+
+    def qmap(b, h, i, j):
+        return (b, h, i, 0)
+
+    def kvmap(b, h, i, j):
+        return (b, h // group, j, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), qmap),
+        pl.BlockSpec((1, 1, block_k, D), kvmap),
+        pl.BlockSpec((1, 1, block_k, D), kvmap),
+    ]
+    args = [q, k, v]
+    if q_seg is not None:
+        in_specs.append(pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, i)))
+        in_specs.append(pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)))
+        args.append(q_seg[:, None, :])
+        args.append(kv_seg[:, None, :])
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        num_k_blocks=nk,
+    )
+    if q_seg is None:
+        kernel = functools.partial(_drop_seg_fwd, kernel)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, nq, nk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), qmap),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, 1, Sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out, lse[:, :, 0, :]
+
+
+def _drop_seg_fwd(kernel, q_ref, k_ref, v_ref, out_ref, lse_ref, *scratch, **kw):
+    return kernel(q_ref, k_ref, v_ref, None, None, out_ref, lse_ref, *scratch, **kw)
+
+
+# Block refs arrive with leading singleton dims (1, 1, bq, D); index them away.
+def _squeeze2(ref):
+    return ref.at[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, causal, sm_scale, block_q, block_k, num_q_blocks,
+):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    run = True
+    if causal:
+        run = (qi * block_q + block_q - 1) >= (ki * block_k)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0, :][:, None]  # (bq, 1)
+        delta = delta_ref[0, 0, 0, :][:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # (bq, bk)
+
+        mask = None
+        if causal:
+            rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = rows >= cols
+        if qseg_ref is not None:
+            qs = qseg_ref[0].reshape(block_q, 1)
+            ks = kseg_ref[0].reshape(1, block_k)
+            seg = (qs == ks) & (qs != 0)
+            mask = seg if mask is None else (mask & seg)
+
+        p = jnp.exp(s - lse)  # (bq, bk)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+
+        # dV += P^T dO
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dP = dO V^T ; dS = P * (dP - delta)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+        # dK += dS^T Q
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    dq_ref, dq_acc,
+    *, causal, sm_scale, block_q, block_k, num_k_blocks,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    run = True
+    if causal:
+        run = (ki * block_k) <= (qi * block_q + block_q - 1)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0, :][:, None]
+        delta = delta_ref[0, 0, 0, :][:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        mask = None
+        if causal:
+            rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = rows >= cols
+        if qseg_ref is not None:
+            qs = qseg_ref[0].reshape(block_q, 1)
+            ks = kseg_ref[0].reshape(1, block_k)
+            seg = (qs == ks) & (qs != 0)
+            mask = seg if mask is None else (mask & seg)
+
+        p = jnp.exp(s - lse)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+        dq_acc[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _drop_seg_bwd(kernel, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest, **kw):
+    return kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, None, None, *rest, **kw)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+)
+def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret):
+    out, _ = _fwd(
+        q, k, v, q_seg, kv_seg,
+        causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return out
+
+
+def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret):
+    out, lse = _fwd(
+        q, k, v, q_seg, kv_seg,
+        causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return out, (q, k, v, q_seg, kv_seg, out, lse)
+
+
+def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+    q, k, v, q_seg, kv_seg, out, lse = res
+    B, Hq, Sq, D = q.shape
+    Hk, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hk
+    nq, nk = Sq // block_q, Sk // block_k
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Hq,S)
+
+    def qmap(b, h, i, j):
+        return (b, h, i, 0)
+
+    def lsemap_q_inner(b, h, i, j):
+        return (b, h, 0, j)
+
+    # ---- dk / dv: grid (B, Hq, nk, nq) ----
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, j, 0)),  # q
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, i, 0)),  # k
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, i, 0)),  # v
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, j, 0)),  # do
+        pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, j)),  # lse
+        pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, j)),  # delta
+    ]
+    args = [q, k, v, do, lse[:, :, None, :], delta[:, :, None, :]]
+    if q_seg is not None:
+        in_specs.append(pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, j)))
+        in_specs.append(pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, i)))
+        args.append(q_seg[:, None, :])
+        args.append(kv_seg[:, None, :])
+
+    kernel = functools.partial(
+        _bwd_dkv_kernel,
+        causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, num_q_blocks=nq,
+    )
+    if q_seg is None:
+        kernel = functools.partial(_drop_seg_bwd, kernel)
+
+    dk_per_qhead, dv_per_qhead = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, nk, nq),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Sk, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sk, D), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    # GQA: sum query-head-group gradients into kv heads
+    if group > 1:
+        dk = dk_per_qhead.reshape(B, Hk, group, Sk, D).sum(axis=2).astype(k.dtype)
+        dv = dv_per_qhead.reshape(B, Hk, group, Sk, D).sum(axis=2).astype(v.dtype)
+    else:
+        dk, dv = dk_per_qhead, dv_per_qhead
+
+    # ---- dq: grid (B, Hq, nq, nk) ----
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), qmap),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, j, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, j, 0)),
+        pl.BlockSpec((1, 1, block_q, D), qmap),
+        pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
+        pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
+    ]
+    args = [q, k, v, do, lse[:, :, None, :], delta[:, :, None, :]]
+    if q_seg is not None:
+        in_specs.append(pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, i)))
+        in_specs.append(pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)))
+        args.append(q_seg[:, None, :])
+        args.append(kv_seg[:, None, :])
+
+    kernel = functools.partial(
+        _bwd_dq_kernel,
+        causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, num_k_blocks=nk,
+    )
+    if q_seg is None:
+        kernel = functools.partial(_drop_seg_bwd, kernel)
+
+    dq = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, D), qmap),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    return dq, dk, dv, None, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q: jax.Array,  # (B, S, Hq, D)
+    k: jax.Array,  # (B, S, Hk, D)
+    v: jax.Array,  # (B, S, Hk, D)
+    segment_ids: Optional[jax.Array] = None,  # (B, S) int32, 0 = padding
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention over (B, S, H, D) tensors; differentiable.
+
+    Padding rows (segment id 0) return zeros.
+    """
+    B, S, Hq, D = q.shape
+    if sm_scale is None:
+        sm_scale = D**-0.5
+    if interpret is None:
+        interpret = not _on_tpu()
+    bq, bk = _block_sizes(S, k.shape[1], block_q, block_k)
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    seg = segment_ids.astype(jnp.int32) if segment_ids is not None else None
+
+    out = _flash(qt, kt, vt, seg, seg, causal, sm_scale, bq, bk, interpret)
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    if segment_ids is not None:
+        out = out * (segment_ids != 0)[:, :, None, None].astype(out.dtype)
+    return out

@@ -1,0 +1,89 @@
+"""Pallas flash attention vs XLA oracle: forward + gradients, causal,
+segment-packed, GQA, padding. Runs in interpreter mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatialrgpt_tpu.ops.attention import causal_attention
+from spatialrgpt_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(rng, B, S, Hq, Hk, D):
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    return q, k, v
+
+
+def _xla_full(q, k, v, segment_ids=None, causal=True):
+    return causal_attention(q, k, v, segment_ids=segment_ids, impl="xla") if causal else _xla_noncausal(q, k, v)
+
+
+def _xla_noncausal(q, k, v):
+    b, s, hq, d = q.shape
+    n_rep = hq // k.shape[2]
+    if n_rep > 1:
+        k = jnp.repeat(k, n_rep, axis=2)
+        v = jnp.repeat(v, n_rep, axis=2)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d**-0.5)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_fwd_matches_xla_plain(causal):
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng, 2, 128, 4, 4, 32)
+    got = flash_attention(q, k, v, causal=causal, block_q=64, block_k=64, interpret=True)
+    exp = _xla_full(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5, rtol=2e-4)
+
+
+def test_fwd_gqa_and_segments():
+    rng = np.random.default_rng(1)
+    q, k, v = _rand_qkv(rng, 2, 128, 8, 2, 32)
+    seg = np.zeros((2, 128), np.int32)
+    seg[0, :50] = 1
+    seg[0, 50:100] = 2  # row 0: two packed sequences + padding
+    seg[1, :128] = 1  # row 1: full
+    seg = jnp.asarray(seg)
+    got = flash_attention(q, k, v, segment_ids=seg, causal=True, block_q=64, block_k=64, interpret=True)
+    exp = causal_attention(q, k, v, segment_ids=seg, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5, rtol=2e-4)
+
+
+def test_grads_match_xla():
+    rng = np.random.default_rng(2)
+    q, k, v = _rand_qkv(rng, 1, 128, 4, 2, 32)
+    seg = np.zeros((1, 128), np.int32)
+    seg[0, :80] = 1
+    seg[0, 80:112] = 2
+    seg = jnp.asarray(seg)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, segment_ids=seg, causal=True, block_q=64, block_k=64, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = causal_attention(q, k, v, segment_ids=seg, impl="xla")
+        return jnp.sum(o * jnp.cos(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4, err_msg=f"d{name}"
+        )
+
+
+def test_fwd_bf16():
+    rng = np.random.default_rng(3)
+    q, k, v = _rand_qkv(rng, 1, 128, 4, 4, 64)
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    got = flash_attention(q, k, v, causal=True, block_q=64, block_k=64, interpret=True)
+    exp = causal_attention(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(got.astype(jnp.float32)), np.asarray(exp), atol=3e-2, rtol=3e-2
+    )
