@@ -1,0 +1,94 @@
+"""Device mesh construction and sharding rules.
+
+Replaces the reference's ProcessGroupManager + NCCL groups
+(llava/train/sequence_parallel/globals.py:21-158) and DeepSpeed ZeRO/MiCS
+partitioning (SURVEY.md S2.9): one ``jax.sharding.Mesh`` with axes
+
+  dp    data parallel (across slices / DCN when multi-slice)
+  fsdp  parameter/optimizer sharding (ZeRO-3 equivalent, ICI)
+  sp    sequence parallel (Ulysses/ring, ICI)
+  tp    tensor parallel (reserved; the reference has no real TP)
+
+ZeRO-2/3 and MiCS's hierarchical gathers disappear into pjit sharding
+rules: parameters and optimizer state are sharded over ``fsdp`` and XLA
+inserts the (hierarchical, ICI-aware) all-gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("dp", "fsdp", "sp", "tp")
+
+
+def make_mesh(
+    dp: int = 1,
+    fsdp: int = 1,
+    sp: int = 1,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    need = dp * fsdp * sp * tp
+    if need > len(devices):
+        raise ValueError(f"mesh {dp}x{fsdp}x{sp}x{tp} needs {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(dp, fsdp, sp, tp)
+    return Mesh(arr, AXES)
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(1, 1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules (ZeRO-equivalent)
+# ---------------------------------------------------------------------------
+
+
+def param_spec(path: str, shape: tuple) -> P:
+    """FSDP rule: shard the largest dim of every big matrix over 'fsdp',
+    prefer the embedding/vocab dim and MLP fan-out so all-gathers ride ICI
+    with contiguous layouts.  Small vectors (norms, biases) replicate."""
+    if len(shape) < 2 or max(shape) < 1024:
+        return P()
+    # shard the last dim for kernels (fan-out), first for embeddings
+    if "embed_tokens" in path or "pos_embed" in path:
+        return P("fsdp", None)
+    if shape[-1] >= shape[0]:
+        return P(*([None] * (len(shape) - 1) + ["fsdp"]))
+    return P(*(["fsdp"] + [None] * (len(shape) - 1)))
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply param_spec over a pytree and device_put with NamedSharding."""
+
+    def _place(path, x):
+        spec = param_spec(path, x.shape)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return _tree_map_with_path(_place, params)
+
+
+def param_sharding_tree(params, mesh: Mesh):
+    def _spec(path, x):
+        return NamedSharding(mesh, param_spec(path, x.shape))
+
+    return _tree_map_with_path(_spec, params)
+
+
+def batch_spec() -> P:
+    """Activations: batch over (dp, fsdp) combined, sequence over sp."""
+    return P(("dp", "fsdp"), "sp")
+
+
+def _tree_map_with_path(fn, tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for path, leaf in flat:
+        path_str = "/".join(str(p) for p in path)
+        out.append(fn(path_str, leaf))
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -1,0 +1,128 @@
+"""Ring sequence-parallel attention: blockwise KV rotation over the ICI ring.
+
+TPU-native equivalent of the reference's ring flash attention family
+(llava/train/sequence_parallel/ring/*): instead of NCCL batched
+isend/irecv (ring/utils.py:71-109), KV chunks rotate with
+``jax.lax.ppermute`` inside ``shard_map``; partial attention outputs merge
+with the online-softmax rule (the math of ring/utils.py:12-48, re-derived
+on (m, l, o) accumulators):
+
+    m_new = max(m_a, m_b)
+    o_new = o_a * exp(m_a - m_new) + o_b * exp(m_b - m_new)
+    l_new = l_a * exp(m_a - m_new) + l_b * exp(m_b - m_new)
+
+Causal step-skipping (ring/ring_flash_attn.py:35): with contiguous
+sequence sharding, q-chunk i only needs kv-chunks j <= i: j == i causal,
+j < i full, j > i skipped (zero contribution, mode computed arithmetically
+so the loop stays SPMD-uniform).  JAX autodiff derives the backward
+through ppermute and the per-step attention.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _block_attn(
+    q: jax.Array,  # (B, Sq, Hq, D)
+    k: jax.Array,  # (B, Sk, Hk, D)
+    v: jax.Array,
+    mode: jax.Array,  # () int32: 0 = skip, 1 = causal (diagonal), 2 = full
+    q_seg: Optional[jax.Array],  # (B, Sq)
+    kv_seg: Optional[jax.Array],  # (B, Sk)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One q-chunk x kv-chunk attention block.
+
+    Returns (m (B,H,Sq,1), l (B,H,Sq,1), o (B,Sq,H,D) = sum exp(s-m) v),
+    all fp32.  ``mode`` is a traced scalar so the ring loop stays a single
+    compiled program on every device.
+    """
+    b, sq, hq, d = q.shape
+    hk = k.shape[2]
+    n_rep = hq // hk
+    if n_rep > 1:
+        k = jnp.repeat(k, n_rep, axis=2)
+        v = jnp.repeat(v, n_rep, axis=2)
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * (d**-0.5)
+
+    qi = jnp.arange(sq)[:, None]
+    ki = jnp.arange(k.shape[1])[None, :]
+    causal_mask = qi >= ki
+    mask = jnp.where(mode == 1, causal_mask, mode == 2)[None, None, :, :]
+    if q_seg is not None:
+        seg = (q_seg[:, :, None] == kv_seg[:, None, :]) & (q_seg != 0)[:, :, None]
+        mask = mask & seg[:, None, :, :]
+
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)  # (B,H,Sq,1); NEG_INF if empty
+    p = jnp.where(mask, jnp.exp(s - jnp.where(m == NEG_INF, 0.0, m)), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    return m, l, o
+
+
+def _merge(m_a, l_a, o_a, m_b, l_b, o_b):
+    """Online-softmax merge of two (m, l, o) partials (o in (B,S,H,D))."""
+    m_new = jnp.maximum(m_a, m_b)
+    m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
+    s_a = jnp.where(m_a == NEG_INF, 0.0, jnp.exp(m_a - m_safe))
+    s_b = jnp.where(m_b == NEG_INF, 0.0, jnp.exp(m_b - m_safe))
+    l_new = l_a * s_a + l_b * s_b
+    # scales are (B,H,Sq,1); o is (B,Sq,H,D)
+    sa_o = jnp.transpose(s_a, (0, 2, 1, 3))
+    sb_o = jnp.transpose(s_b, (0, 2, 1, 3))
+    o_new = o_a * sa_o + o_b * sb_o
+    return m_new, l_new, o_new
+
+
+def ring_attention(
+    q: jax.Array,  # (B, S_local, Hq, D) contiguous sequence shard
+    k: jax.Array,  # (B, S_local, Hk, D)
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,  # (B, S_local)
+    axis_name: str = "sp",
+) -> jax.Array:
+    """Causal ring attention; call inside shard_map over ``axis_name``.
+
+    Shard i holds global positions [i*S_local, (i+1)*S_local): contiguous
+    sharding, like the reference's default ring layout (zigzag balancing
+    is a planned optimization).
+    """
+    sp = jax.lax.axis_size(axis_name)
+    if sp == 1:
+        from spatialrgpt_tpu.ops.attention import causal_attention
+
+        return causal_attention(q, k, v, segment_ids=segment_ids)
+
+    my = jax.lax.axis_index(axis_name)
+    b, s, hq, d = q.shape
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    m_acc = jnp.full((b, hq, s, 1), NEG_INF, jnp.float32)
+    l_acc = jnp.zeros((b, hq, s, 1), jnp.float32)
+    o_acc = jnp.zeros((b, s, hq, d), jnp.float32)
+
+    kc, vc, seg_c = k, v, segment_ids
+    for t in range(sp):  # static unroll: sp is a compile-time mesh size
+        src = (my - t) % sp  # owner of the kv chunk currently held
+        mode = jnp.where(src == my, 1, jnp.where(src < my, 2, 0))
+        m_b, l_b, o_b = _block_attn(q, kc, vc, mode, segment_ids, seg_c)
+        m_acc, l_acc, o_acc = _merge(m_acc, l_acc, o_acc, m_b, l_b, o_b)
+        if t < sp - 1:
+            kc = jax.lax.ppermute(kc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
+            if seg_c is not None:
+                seg_c = jax.lax.ppermute(seg_c, axis_name, perm)
+
+    l_safe = jnp.where(l_acc == 0.0, 1.0, l_acc)
+    out = o_acc / jnp.transpose(l_safe, (0, 2, 1, 3))
+    if segment_ids is not None:
+        out = out * (segment_ids != 0)[:, :, None, None].astype(out.dtype)
+    return out.astype(q.dtype)

@@ -1,0 +1,112 @@
+"""Sequence parallelism (Ulysses / ring / hybrid) vs single-device oracle,
+on the 8-device CPU mesh; forward and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from spatialrgpt_tpu.ops.attention import causal_attention
+from spatialrgpt_tpu.parallel.hybrid import hybrid_attention
+from spatialrgpt_tpu.parallel.ring import ring_attention
+from spatialrgpt_tpu.parallel.ulysses import ulysses_attention
+
+
+def _data(rng, B=2, S=64, Hq=8, Hk=4, D=16, packed=True):
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    seg = np.ones((B, S), np.int32)
+    if packed:
+        seg[0, S // 2 :] = 2
+        seg[1, -8:] = 0  # padding
+    return q, k, v, jnp.asarray(seg)
+
+
+def _mesh(sp):
+    devs = np.asarray(jax.devices()[:sp]).reshape(sp)
+    return Mesh(devs, ("sp",))
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_ulysses_matches_global(sp):
+    rng = np.random.default_rng(0)
+    q, k, v, seg = _data(rng)
+    mesh = _mesh(sp)
+
+    fn = shard_map(
+        lambda q, k, v, s: ulysses_attention(q, k, v, s, axis_name="sp"),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+    )
+    got = fn(q, k, v, seg)
+    exp = causal_attention(q, k, v, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sp", [2, 4, 8])
+def test_ring_matches_global(sp):
+    rng = np.random.default_rng(1)
+    q, k, v, seg = _data(rng)
+    mesh = _mesh(sp)
+
+    fn = shard_map(
+        lambda q, k, v, s: ring_attention(q, k, v, s, axis_name="sp"),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+    )
+    got = fn(q, k, v, seg)
+    exp = causal_attention(q, k, v, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5, rtol=1e-4)
+
+
+def test_ring_gradients_match_global():
+    rng = np.random.default_rng(2)
+    q, k, v, seg = _data(rng, S=32)
+    mesh = _mesh(4)
+
+    sp_fn = shard_map(
+        lambda q, k, v, s: ring_attention(q, k, v, s, axis_name="sp"),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+    )
+
+    def loss_sp(q, k, v):
+        return jnp.sum(jnp.square(sp_fn(q, k, v, seg)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(causal_attention(q, k, v, segment_ids=seg)))
+
+    g_sp = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(g_sp, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4, err_msg=f"d{n}"
+        )
+
+
+def test_hybrid_matches_global():
+    rng = np.random.default_rng(3)
+    q, k, v, seg = _data(rng)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("sp_u", "sp_r"))
+
+    fn = shard_map(
+        lambda q, k, v, s: hybrid_attention(q, k, v, s),
+        mesh=mesh,
+        in_specs=(
+            P(None, ("sp_r", "sp_u")),
+            P(None, ("sp_r", "sp_u")),
+            P(None, ("sp_r", "sp_u")),
+            P(None, ("sp_r", "sp_u")),
+        ),
+        out_specs=P(None, ("sp_r", "sp_u")),
+    )
+    got = fn(q, k, v, seg)
+    exp = causal_attention(q, k, v, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5, rtol=1e-4)
