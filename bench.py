@@ -1,0 +1,159 @@
+"""End-to-end region-QA serving benchmark (driver contract).
+
+Measures the BASELINE.json north-star on the Sheared-3B flagship config
+(config 1): batched SpatialRGPT-Bench-style region QA — RGB image + depth
+map through the SigLIP tower, region extraction for box regions, prompt
+prefill, and greedy decode — end to end on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/sec/chip, "unit": ..., "vs_baseline": ...}
+
+vs_baseline is measured against A100_BASELINE_TOK_S, an estimate of the
+PyTorch reference's per-A100 end-to-end generation throughput at the same
+batch size (HF generate + flash-attn 2, batch 8, 2.7B bf16).  The repo
+publishes no numbers (BASELINE.md), so this constant documents our
+assumption until a measured reference lands; the target in BASELINE.json
+is 2x this value per v5e chip (vs_baseline >= 2 means target met).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatialrgpt_tpu.config import preset
+from spatialrgpt_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX, NUM_TOKENS_PER_IMAGE
+from spatialrgpt_tpu.data.splice import expand_rows
+from spatialrgpt_tpu.models import vlm
+from spatialrgpt_tpu.serving.generate import generate
+from spatialrgpt_tpu.utils.timing import device_sync, time_fn
+
+A100_BASELINE_TOK_S = 220.0  # est. reference throughput (batch 8, A100, HF generate)
+
+BATCH = 8
+MAX_NEW = 64
+N_REGIONS = 2
+PROMPT_TEXT_TOKENS = 96  # text tokens around the image + region tokens
+
+
+def build_batch(cfg, rng):
+    rows = []
+    for b in range(BATCH):
+        ids = (
+            [1]
+            + list(rng.integers(10, 1000, 8))
+            + [IMAGE_TOKEN_INDEX]
+            + [cfg.mask_token_id, cfg.depth_token_id] * N_REGIONS
+            + list(rng.integers(10, 1000, PROMPT_TEXT_TOKENS))
+        )
+        rows.append(np.asarray(ids, np.int64))
+    # pad prompts to a fixed bucket
+    sb = expand_rows(
+        rows,
+        None,
+        max_len=cfg.model_max_length,
+        tokens_per_image=NUM_TOKENS_PER_IMAGE,
+        mask_token_id=cfg.mask_token_id,
+        depth_token_id=cfg.depth_token_id,
+        regions_per_image=N_REGIONS,
+        pad_to=384,
+    )
+    size = cfg.vision.image_size
+    dtype = jnp.bfloat16
+    inputs = vlm.VLMInputs(
+        input_ids=jnp.asarray(sb.input_ids),
+        is_image=jnp.asarray(sb.is_image),
+        image_gather_idx=jnp.asarray(sb.image_gather_idx),
+        position_ids=jnp.asarray(sb.position_ids),
+        segment_ids=jnp.asarray(sb.segment_ids),
+        labels=None,
+        mask_slot=jnp.asarray(sb.mask_slot),
+        is_mask=jnp.asarray(sb.is_mask),
+        depth_slot=jnp.asarray(sb.depth_slot),
+        is_depth=jnp.asarray(sb.is_depth),
+        images=jnp.asarray(rng.standard_normal((BATCH, size, size, 3)), dtype),
+        depths=jnp.asarray(rng.standard_normal((BATCH, size, size, 3)), dtype),
+        masks=jnp.asarray((rng.random((BATCH, N_REGIONS, size, size)) > 0.5), dtype),
+        mask_valid=jnp.ones((BATCH, N_REGIONS), bool),
+    )
+    prompt_lengths = jnp.asarray(sb.segment_ids.sum(axis=1), jnp.int32)
+    return inputs, prompt_lengths
+
+
+def main():
+    cfg = preset("sheared-3b").replace(
+        mask_token_id=32000, depth_token_id=32001, num_extra_tokens=8
+    )
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    device_sync(params["llm"]["final_ln"])
+    init_s = time.time() - t0
+
+    inputs, prompt_lengths = build_batch(cfg, rng)
+
+    run = lambda: generate(
+        params,
+        cfg,
+        inputs,
+        prompt_lengths,
+        max_new_tokens=MAX_NEW,
+        temperature=0.0,
+        eos_token_id=-1,  # force full-length decode for stable throughput
+        attn_impl="pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla",
+    )
+
+    t0 = time.time()
+    result = run()
+    device_sync(result.tokens)
+    compile_s = time.time() - t0
+
+    # timed runs (block_until_ready is a no-op on the tunneled platform;
+    # sync via scalar fetch -- utils/timing.py)
+    wall = time_fn(run, iters=3, warmup=1)
+
+    total_new_tokens = BATCH * MAX_NEW  # greedy on random weights rarely hits EOS
+    tok_s = total_new_tokens / wall
+
+    # TTFT: prefill-only latency (image encode + splice + prefill + 1st token)
+    # measured by a generate with max_new_tokens=1
+    run1 = lambda: generate(
+        params, cfg, inputs, prompt_lengths, max_new_tokens=1, temperature=0.0,
+        eos_token_id=-1,
+        attn_impl="pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla",
+    )
+    r = run1()
+    device_sync(r.tokens)  # compile
+    ttfts = []
+    for _ in range(5):
+        t0 = time.time()
+        r = run1()
+        device_sync(r.tokens)
+        ttfts.append(time.time() - t0)
+    ttft_p50 = sorted(ttfts)[len(ttfts) // 2]
+
+    print(
+        json.dumps(
+            {
+                "metric": "region-qa tokens/sec/chip (sheared-3b, batch 8, 2 regions, RGB+depth)",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / A100_BASELINE_TOK_S, 3),
+                "ttft_p50_s": round(ttft_p50, 4),
+                "e2e_batch_s": round(wall, 4),
+                "compile_s": round(compile_s, 1),
+                "init_s": round(init_s, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

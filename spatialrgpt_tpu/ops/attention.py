@@ -61,6 +61,8 @@ def causal_attention(
         from spatialrgpt_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, segment_ids=segment_ids, causal=True)
+    if impl in ("ulysses", "ring", "hybrid"):
+        return _sp_attention(q, k, v, segment_ids, impl)
     if impl != "xla":
         raise ValueError(f"unknown attention impl: {impl}")
 
@@ -81,6 +83,50 @@ def causal_attention(
     if segment_ids is not None:
         probs = probs * (segment_ids != 0)[:, None, :, None].astype(probs.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _sp_attention(q, k, v, segment_ids, impl):
+    """Sequence-parallel attention: shard_map over the SP mesh axes from
+    the ambient SPContext (parallel/context.py).  Inputs are global-shaped
+    (inside jit); shard_map splits the sequence axis across devices."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from spatialrgpt_tpu.parallel.context import get_sp_context
+
+    ctx = get_sp_context()
+    if ctx is None:
+        raise RuntimeError(f"attn impl '{impl}' requires set_sp_context(...)")
+
+    if impl == "hybrid":
+        from spatialrgpt_tpu.parallel.hybrid import hybrid_attention
+
+        axes = (ctx.ring_axis, ctx.ulysses_axis)
+        fn = lambda q, k, v, s: hybrid_attention(
+            q, k, v, s, ulysses_axis=ctx.ulysses_axis, ring_axis=ctx.ring_axis
+        )
+    elif impl == "ulysses":
+        from spatialrgpt_tpu.parallel.ulysses import ulysses_attention
+
+        axes = ctx.ulysses_axis
+        fn = lambda q, k, v, s: ulysses_attention(q, k, v, s, axis_name=ctx.ulysses_axis)
+    else:
+        from spatialrgpt_tpu.parallel.ring import ring_attention
+
+        axes = ctx.ring_axis
+        fn = lambda q, k, v, s: ring_attention(q, k, v, s, axis_name=ctx.ring_axis)
+
+    spec4 = P(None, axes, None, None)
+    spec2 = P(None, axes)
+    if segment_ids is None:
+        segment_ids = jnp.ones(q.shape[:2], jnp.int32)
+    return shard_map(
+        fn,
+        mesh=ctx.mesh,
+        in_specs=(spec4, spec4, spec4, spec2),
+        out_specs=spec4,
+        check_vma=False,
+    )(q, k, v, segment_ids)
 
 
 def decode_attention(

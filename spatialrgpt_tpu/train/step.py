@@ -1,0 +1,124 @@
+"""Sharded training step.
+
+Replaces the reference's HF-Trainer + DeepSpeed loop (llava/train/train.py
++ llava_trainer.py + ZeRO): one jitted function computing
+grad(loss) -> clipped AdamW update, with
+
+  - parameters and optimizer state sharded over the ``fsdp`` mesh axis
+    (ZeRO-3 equivalent; XLA inserts the hierarchical all-gathers that
+    MiCS hand-rolls, deepspeed_replace/runtime/zero/mics.py:255-326),
+  - batch sharded over ``dp`` (+``fsdp``), sequence over ``sp``,
+  - gradient psums handled automatically by pjit,
+  - optional sequence-parallel attention via the ambient SPContext.
+
+The loss (models/vlm.py:loss_fn) already normalizes by the number of valid
+target tokens across the whole global batch, which reproduces the
+reference's SP loss-rescale semantics (llava/train/utils.py:141-246:
+weight by valid tokens, not by rank) without any manual resharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spatialrgpt_tpu.config import SpatialRGPTConfig
+from spatialrgpt_tpu.models import vlm
+from spatialrgpt_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+def batch_shardings(mesh: Mesh, inputs: vlm.VLMInputs) -> vlm.VLMInputs:
+    """NamedShardings for a VLMInputs batch: (B, S) arrays over
+    (dp, sp); image tensors over dp on their leading axis."""
+    bs = NamedSharding(mesh, P(("dp", "fsdp"), "sp"))
+    b_only = NamedSharding(mesh, P(("dp", "fsdp")))
+    rep = NamedSharding(mesh, P())
+
+    def pick(name, x):
+        if x is None:
+            return None
+        if x.ndim >= 2 and name in (
+            "input_ids", "is_image", "image_gather_idx", "position_ids",
+            "segment_ids", "labels", "mask_slot", "is_mask", "depth_slot", "is_depth",
+        ):
+            return bs
+        if name in ("images", "depths", "masks", "mask_valid"):
+            return b_only
+        return rep
+
+    return vlm.VLMInputs(
+        **{k: pick(k, getattr(inputs, k)) for k in inputs._fields}
+    )
+
+
+def make_train_step(
+    cfg: SpatialRGPTConfig,
+    optimizer: optax.GradientTransformation,
+    attn_impl: str = "xla",
+):
+    """Build the jitted train step.  Shardings come from the arrays
+    themselves (jit propagates NamedShardings), so the same step works on
+    1 device or a full mesh."""
+
+    def loss_fn(params, batch: vlm.VLMInputs):
+        loss, metrics = vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl)
+        return loss, metrics
+
+    @jax.jit
+    def train_step(state: TrainState, batch: vlm.VLMInputs) -> Tuple[TrainState, Dict]:
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = gnorm
+        return TrainState(state.step + 1, new_params, new_opt), metrics
+
+    return train_step
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place params + optimizer state with FSDP sharding over the mesh."""
+    params = mesh_lib.shard_params(state.params, mesh)
+    p_tree = mesh_lib.param_sharding_tree(state.params, mesh)
+
+    def opt_place(x):
+        # moments share the param tree structure where array shapes match
+        return x
+
+    # optimizer state: shard any leaf whose shape matches a param leaf
+    shape_to_sharding = {}
+    for leaf, sh in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(p_tree)
+    ):
+        shape_to_sharding.setdefault(leaf.shape, sh)
+
+    def place_opt(x):
+        if hasattr(x, "shape") and x.shape in shape_to_sharding:
+            return jax.device_put(x, shape_to_sharding[x.shape])
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    opt_state = jax.tree_util.tree_map(place_opt, state.opt_state)
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    return TrainState(step, params, opt_state)
