@@ -1,0 +1,198 @@
+"""Training orchestration: loop, checkpoint/resume, callbacks, metrics.
+
+Replaces the reference's HF Trainer + DeepSpeed orchestration
+(llava/train/train.py:388-776, llava_trainer.py) with an explicit loop:
+
+- step checkpoints ``checkpoint-<N>/`` with save_total_limit pruning,
+- auto-resume discovery (reference get_checkpoint_path,
+  llava/train/utils.py:42-62: newest checkpoint wins; a final
+  ``config.json`` at root means training already finished),
+- wall-clock pre-termination (TimeoutTerminateCallback,
+  llava/train/slurm_utils.py:52-76) and a pollable autoresume hook
+  (callbacks/autoresume_callback.py:37-62),
+- jsonl metrics with optional Weights & Biases mirroring,
+- final save in the reference's split composite layout (utils/export.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from spatialrgpt_tpu.config import SpatialRGPTConfig
+from spatialrgpt_tpu.utils import checkpoint as ckpt_lib
+from spatialrgpt_tpu.utils.export import save_composite
+
+
+@dataclass
+class TrainerConfig:
+    output_dir: str = "output"
+    max_steps: int = 1000
+    save_steps: int = 100
+    save_total_limit: int = 1
+    log_steps: int = 10
+    autoresume_poll_steps: int = 50  # reference polls every 50 steps
+    total_time_limit_min: Optional[float] = None
+    pre_terminate_min: float = 5.0
+    report_to: str = "jsonl"  # jsonl | wandb | none
+
+
+def find_resume_checkpoint(output_dir: str) -> Optional[str]:
+    """Newest checkpoint-<N> dir, or None.  A root config.json means the
+    run already finished (reference train.py:431-435)."""
+    if os.path.exists(os.path.join(output_dir, "config.json")):
+        return "DONE"
+    cands = glob.glob(os.path.join(output_dir, "checkpoint-*"))
+    steps = []
+    for c in cands:
+        m = re.match(r".*checkpoint-(\d+)$", c)
+        if m and os.path.exists(os.path.join(c, "state.npz")):
+            steps.append((int(m.group(1)), c))
+    if not steps:
+        return None
+    return max(steps)[1]
+
+
+class MetricsLogger:
+    def __init__(self, cfg: TrainerConfig):
+        self.cfg = cfg
+        self.f = None
+        self.wandb = None
+        if cfg.report_to in ("jsonl", "wandb"):
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            self.f = open(os.path.join(cfg.output_dir, "metrics.jsonl"), "a")
+        if cfg.report_to == "wandb":
+            try:
+                import wandb
+
+                wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "SpatialRGPT"),
+                    resume="allow",
+                )
+                self.wandb = wandb
+            except Exception:
+                self.wandb = None
+
+    def log(self, step: int, metrics: Dict) -> None:
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        if self.f:
+            self.f.write(json.dumps(rec) + "\n")
+            self.f.flush()
+        if self.wandb:
+            self.wandb.log(rec, step=step)
+
+    def close(self):
+        if self.f:
+            self.f.close()
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: SpatialRGPTConfig,
+        tcfg: TrainerConfig,
+        train_step: Callable,
+        state,
+        batches: Iterable,
+        autoresume_check: Optional[Callable[[], bool]] = None,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.train_step = train_step
+        self.state = state
+        self.batches = batches
+        self.autoresume_check = autoresume_check
+        self.logger = MetricsLogger(tcfg)
+        self.start_time = time.time()
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save_checkpoint(self, step: int) -> str:
+        d = os.path.join(self.tcfg.output_dir, f"checkpoint-{step}")
+        os.makedirs(d, exist_ok=True)
+        ckpt_lib.save_pytree(os.path.join(d, "state.npz"), self.state.params)
+        ckpt_lib.save_pytree(os.path.join(d, "opt.npz"), self.state.opt_state)
+        with open(os.path.join(d, "trainer_state.json"), "w") as f:
+            json.dump({"step": step}, f)
+        self._prune()
+        return d
+
+    def _prune(self):
+        cands = sorted(
+            glob.glob(os.path.join(self.tcfg.output_dir, "checkpoint-*")),
+            key=lambda c: int(re.match(r".*checkpoint-(\d+)$", c).group(1)),
+        )
+        while len(cands) > self.tcfg.save_total_limit:
+            shutil.rmtree(cands.pop(0))
+
+    def load_checkpoint(self, path: str):
+        from spatialrgpt_tpu.train.step import TrainState
+        import jax.numpy as jnp
+
+        params = ckpt_lib.load_pytree(os.path.join(path, "state.npz"))
+        opt = ckpt_lib.load_pytree(os.path.join(path, "opt.npz"))
+        with open(os.path.join(path, "trainer_state.json")) as f:
+            step = json.load(f)["step"]
+        self.state = TrainState(jnp.asarray(step, jnp.int32), params, opt)
+        return step
+
+    # -- time budget -------------------------------------------------------
+
+    def _out_of_time(self) -> bool:
+        if self.tcfg.total_time_limit_min is None:
+            return False
+        elapsed_min = (time.time() - self.start_time) / 60
+        return elapsed_min > self.tcfg.total_time_limit_min - self.tcfg.pre_terminate_min
+
+    # -- loop --------------------------------------------------------------
+
+    def train(self) -> Dict:
+        tcfg = self.tcfg
+        resume = find_resume_checkpoint(tcfg.output_dir)
+        step = 0
+        if resume == "DONE":
+            return {"status": "already_done"}
+        if resume:
+            step = self.load_checkpoint(resume)
+
+        status = "completed"
+        for batch in self.batches:
+            if step >= tcfg.max_steps:
+                break
+            self.state, metrics = self.train_step(self.state, batch)
+            step += 1
+            if step % tcfg.log_steps == 0:
+                self.logger.log(step, metrics)
+            if step % tcfg.save_steps == 0:
+                self.save_checkpoint(step)
+            if (
+                self.autoresume_check is not None
+                and step % tcfg.autoresume_poll_steps == 0
+                and self.autoresume_check()
+            ):
+                self.save_checkpoint(step)
+                status = "preempted"
+                break
+            if self._out_of_time():
+                self.save_checkpoint(step)
+                status = "timeout"
+                break
+
+        if status == "completed":
+            self.save_final()
+        self.logger.close()
+        return {"status": status, "step": step}
+
+    def save_final(self):
+        params_host = jax.device_get(self.state.params)
+        save_composite(self.tcfg.output_dir, params_host, self.cfg)

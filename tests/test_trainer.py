@@ -1,0 +1,147 @@
+"""Trainer loop: loss decreases, checkpoint save/resume round-trips,
+composite export reloads through the HF-layout converters, sampler
+determinism."""
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatialrgpt_tpu.config import (
+    LlamaConfig,
+    ProjectorConfig,
+    RegionExtractorConfig,
+    SiglipVisionConfig,
+    SpatialRGPTConfig,
+)
+from spatialrgpt_tpu.data.sampler import DistributedMixtureSampler
+from spatialrgpt_tpu.models import vlm
+from spatialrgpt_tpu.train.optimizer import OptimizerConfig, build_optimizer
+from spatialrgpt_tpu.train.step import TrainState, create_train_state, make_train_step
+from spatialrgpt_tpu.train.trainer import Trainer, TrainerConfig, find_resume_checkpoint
+
+import __graft_entry__ as graft
+
+TINY = graft._tiny_cfg()
+
+
+def _batches(cfg, n, B=2):
+    for i in range(n):
+        yield graft._tiny_batch(cfg, B=B, S=64, seed=i)
+
+
+def test_loss_decreases_over_steps(tmp_path):
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ocfg = OptimizerConfig(
+        learning_rate=1e-3, total_steps=30, warmup_ratio=0.0, tune_vision_tower=True
+    )
+    optimizer = build_optimizer(params, ocfg)
+    state = create_train_state(params, optimizer)
+    step_fn = make_train_step(cfg, optimizer)
+
+    fixed = graft._tiny_batch(cfg, B=2, S=64, seed=7)
+    losses = []
+    for _ in range(12):
+        state, metrics = step_fn(state, fixed)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_frozen_modules_do_not_move():
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ocfg = OptimizerConfig(
+        learning_rate=1e-2,
+        total_steps=10,
+        warmup_ratio=0.0,
+        tune_vision_tower=False,
+        tune_language_model=True,
+    )
+    optimizer = build_optimizer(params, ocfg)
+    state = create_train_state(params, optimizer)
+    step_fn = make_train_step(cfg, optimizer)
+    batch = graft._tiny_batch(cfg, B=2, S=64, seed=3)
+    before = jax.tree_util.tree_leaves(state.params["vision"])[0].copy()
+    llm_before = state.params["llm"]["embed_tokens"].copy()
+    state, _ = step_fn(state, batch)
+    after = jax.tree_util.tree_leaves(state.params["vision"])[0]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    assert not np.allclose(np.asarray(llm_before), np.asarray(state.params["llm"]["embed_tokens"]))
+
+
+def test_trainer_checkpoint_resume(tmp_path):
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ocfg = OptimizerConfig(total_steps=10, warmup_ratio=0.0)
+    optimizer = build_optimizer(params, ocfg)
+    state = create_train_state(params, optimizer)
+    step_fn = make_train_step(cfg, optimizer)
+    out = str(tmp_path / "run")
+
+    tcfg = TrainerConfig(output_dir=out, max_steps=4, save_steps=2, log_steps=1)
+    tr = Trainer(cfg, tcfg, step_fn, state, _batches(cfg, 10))
+    res = tr.train()
+    assert res["status"] == "completed" and res["step"] == 4
+    # final composite exists
+    assert os.path.exists(os.path.join(out, "llm", "model.safetensors"))
+    assert os.path.exists(os.path.join(out, "config.json"))
+    # resume discovery says DONE now
+    assert find_resume_checkpoint(out) == "DONE"
+
+    # preempted run leaves a checkpoint; a fresh trainer resumes from it
+    out2 = str(tmp_path / "run2")
+    tcfg2 = TrainerConfig(
+        output_dir=out2, max_steps=6, save_steps=2, log_steps=1, autoresume_poll_steps=2
+    )
+    tr2 = Trainer(
+        cfg,
+        tcfg2,
+        step_fn,
+        create_train_state(params, optimizer),
+        _batches(cfg, 10),
+        autoresume_check=lambda: True,  # simulated cluster preemption
+    )
+    res2 = tr2.train()
+    assert res2["status"] == "preempted" and res2["step"] == 2
+    ck = find_resume_checkpoint(out2)
+    assert ck and ck.endswith("checkpoint-2")
+    tr3 = Trainer(cfg, tcfg2, step_fn, create_train_state(params, optimizer), _batches(cfg, 10))
+    res3 = tr3.train()
+    assert res3["step"] == 6
+    # metrics written
+    assert os.path.getsize(os.path.join(out2, "metrics.jsonl")) > 0
+
+
+def test_composite_export_roundtrip(tmp_path):
+    from spatialrgpt_tpu.utils.checkpoint import load_reference_checkpoint
+    from spatialrgpt_tpu.utils.export import save_composite
+
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(1), cfg)
+    root = str(tmp_path / "ckpt")
+    save_composite(root, jax.device_get(params), cfg)
+    reloaded = load_reference_checkpoint(root, cfg, dtype=jnp.float32)
+    for mod in ("vision", "projector", "region", "llm"):
+        a = jax.tree_util.tree_leaves(params[mod])
+        b = jax.tree_util.tree_leaves(reloaded[mod])
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_sampler_deterministic_and_mixed():
+    s1 = DistributedMixtureSampler([100, 40], num_replicas=4, rank=1, batch_size=2, seed=5)
+    s2 = DistributedMixtureSampler([100, 40], num_replicas=4, rank=1, batch_size=2, seed=5)
+    l1, l2 = list(s1), list(s2)
+    assert l1 == l2
+    assert len(l1) == len(set(l1))  # no dup
+    # contains samples from both datasets
+    assert any(i < 100 for i in l1) and any(i >= 100 for i in l1)
+    # different ranks disjoint
+    s3 = DistributedMixtureSampler([100, 40], num_replicas=4, rank=2, batch_size=2, seed=5)
+    assert set(l1).isdisjoint(set(s3))
