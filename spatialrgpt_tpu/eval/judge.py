@@ -1,0 +1,282 @@
+"""SpatialRGPT-Bench scorer.
+
+Rebuild of the reference judge (scripts/srgpt/eval/evaluate_spatial_with_gpt4.py):
+same metric surface — per-category qualitative accuracy, quantitative
+success (pred in [0.75, 1.25] x gt; direction clock-error <= 1), abs_rel /
+rmse / delta<1.25 error stats — writing the same ``score.json`` keys.
+
+Answer/response extraction is pluggable:
+  - ``LocalExtractor``: deterministic regex parsing of distances (meters /
+    cm / inches / feet conversions) and clock directions, plus a keyword
+    matcher for the qualitative pairs.  Fully offline; the default.
+  - ``GPT4Extractor``: the reference's GPT-4-turbo protocol (requires
+    OPENAI_API_KEY); prompts re-written, same JSON contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+UNIT_TO_METERS = {
+    "meter": 1.0,
+    "meters": 1.0,
+    "m": 1.0,
+    "metre": 1.0,
+    "metres": 1.0,
+    "centimeter": 0.01,
+    "centimeters": 0.01,
+    "cm": 0.01,
+    "millimeter": 0.001,
+    "millimeters": 0.001,
+    "mm": 0.001,
+    "inch": 0.0254,
+    "inches": 0.0254,
+    "in": 0.0254,
+    '"': 0.0254,
+    "foot": 0.3048,
+    "feet": 0.3048,
+    "ft": 0.3048,
+}
+
+_NUM_UNIT = re.compile(
+    r"(-?\d+(?:\.\d+)?)\s*(meters?|metres?|centimeters?|millimeters?|inches|inch|feet|foot|cm|mm|ft|m|in)\b",
+    re.IGNORECASE,
+)
+_CLOCK = re.compile(r"(\d{1,2})\s*o'?\s*clock", re.IGNORECASE)
+
+QUAL_PAIRS = [
+    ("tall", "short", "tall/short"),
+    ("left", "right", "left/right"),
+    ("below", "above", "below/above"),
+    ("behind", "front", "behind/front"),
+    ("big", "small", "big/small"),
+    ("wide", "thin", "wide/thin"),
+]
+
+QUANT_CATEGORY_NAMES = {
+    "vertical_distance_data": "vertical_distance",
+    "horizontal_distance_data": "horizontal_distance",
+    "distance_data": "direct_distance",
+    "width_data": "width",
+    "height_data": "height",
+    "direction": "direction",
+}
+
+
+def compute_errors(gt: np.ndarray, pred: np.ndarray) -> Dict[str, float]:
+    """Depth-style error metrics (reference :61-82), identical formulas."""
+    thresh = np.maximum(gt / pred, pred / gt)
+    err = np.log(pred) - np.log(gt)
+    return dict(
+        a1=float((thresh < 1.25).mean()),
+        a2=float((thresh < 1.25**2).mean()),
+        a3=float((thresh < 1.25**3).mean()),
+        abs_rel=float(np.mean(np.abs(gt - pred) / gt)),
+        sq_rel=float(np.mean(((gt - pred) ** 2) / gt)),
+        rmse=float(np.sqrt(((gt - pred) ** 2).mean())),
+        rmse_log=float(np.sqrt(((np.log(gt) - np.log(pred)) ** 2).mean())),
+        silog=float(np.sqrt(np.mean(err**2) - np.mean(err) ** 2) * 100),
+        log_10=float(np.abs(np.log10(gt) - np.log10(pred)).mean()),
+    )
+
+
+class LocalExtractor:
+    """Offline extraction: regex distances + clock directions + keyword
+    qualitative matching."""
+
+    def meters(self, text: str) -> Optional[float]:
+        m = _NUM_UNIT.search(text)
+        if not m:
+            # bare number fallback: treat as meters
+            m2 = re.search(r"(-?\d+(?:\.\d+)?)", text)
+            return float(m2.group(1)) if m2 else None
+        value = float(m.group(1))
+        unit = m.group(2).lower()
+        return value * UNIT_TO_METERS.get(unit, 1.0)
+
+    def clock(self, text: str) -> Optional[int]:
+        m = _CLOCK.search(text)
+        return int(m.group(1)) if m else None
+
+    def extract_distance(self, question, answer, response) -> Tuple[Optional[float], Optional[float]]:
+        return self.meters(answer), self.meters(response)
+
+    def extract_direction(self, question, answer, response) -> Tuple[Optional[int], Optional[int]]:
+        return self.clock(answer), self.clock(response)
+
+    def judge_qualitative(self, question, answer, response, category) -> int:
+        """1 if the response agrees with the answer on the category's
+        predicate pair (e.g. both say 'left'), else 0."""
+        a, r = answer.lower(), response.lower()
+        for w1, w2, _ in QUAL_PAIRS:
+            if w1 in category or w2 in category or w1 in a or w2 in a:
+                a_side = _side(a, w1, w2)
+                r_side = _side(r, w1, w2)
+                if a_side is not None:
+                    return int(a_side == r_side)
+        # yes/no fallback
+        for word in ("yes", "no"):
+            if a.strip().startswith(word):
+                return int(r.strip().startswith(word))
+        return int(a.strip() == r.strip())
+
+
+def _side(text: str, w1: str, w2: str) -> Optional[bool]:
+    h1, h2 = w1 in text, w2 in text
+    if h1 == h2:
+        return None
+    return h1
+
+
+class GPT4Extractor:
+    """GPT-4-turbo extraction, JSON contract as the reference's.  Prompts
+    are our own wording with the same examples-in/JSON-out protocol."""
+
+    def __init__(self, model: str = "gpt-4-turbo"):
+        import openai
+
+        self.client = openai
+        self.model = model
+
+    def _ask(self, content: str) -> Dict:
+        resp = self.client.chat.completions.create(
+            model=self.model,
+            response_format={"type": "json_object"},
+            messages=[
+                {"role": "system", "content": "You are a helpful assistant designed to output JSON."},
+                {"role": "user", "content": content},
+            ],
+        )
+        return json.loads(resp.choices[0].message.content)
+
+    def extract_distance(self, question, answer, response):
+        content = (
+            "Convert the measurement stated in the answer and in the response to meters "
+            "(1 inch = 0.0254 m, 1 foot = 0.3048 m, 1 cm = 0.01 m) and reply as JSON "
+            '{"answer_in_meters": <float>, "response_in_meters": <float>}.\n'
+            f"Question: {question}\nAnswer: {answer}\nResponse: {response}"
+        )
+        out = self._ask(content)
+        return float(out["answer_in_meters"]), float(out["response_in_meters"])
+
+    def extract_direction(self, question, answer, response):
+        content = (
+            "Extract the clock direction (1-12) stated in the answer and in the response; "
+            'reply as JSON {"answer_direction": <int>, "response_direction": <int>}.\n'
+            f"Question: {question}\nAnswer: {answer}\nResponse: {response}"
+        )
+        out = self._ask(content)
+        return int(out["answer_direction"]), int(out["response_direction"])
+
+    def judge_qualitative(self, question, answer, response, category):
+        content = (
+            "Mark the response against the correct answer: output JSON "
+            '{"your_mark": 1} if the response matches the answer, {"your_mark": 0} otherwise.\n'
+            f"Question: {question}\nAnswer: {answer}\nResponse: {response}"
+        )
+        return int(self._ask(content)["your_mark"])
+
+
+def _qual_bucket(category: str) -> str:
+    for w1, w2, name in QUAL_PAIRS:
+        if w1 in category or w2 in category:
+            return name
+    raise ValueError(f"{category} not found")
+
+
+def score_answers(
+    lines: List[Dict],
+    extractor=None,
+) -> Dict[str, float]:
+    """Score a list of answer records ({question, pred, gt, qa_info}) into
+    the reference's score.json dict."""
+    ex = extractor or LocalExtractor()
+    qual = defaultdict(list)
+    quant_success = defaultdict(list)
+    quant_error = defaultdict(list)
+    errors_per_cat = defaultdict(lambda: {"gt": [], "pred": []})
+    match_fail = 0
+
+    for data in lines:
+        info = data["qa_info"]
+        if info["type"] == "quantitative":
+            category = info["category"]
+            if category not in QUANT_CATEGORY_NAMES:
+                continue
+            name = QUANT_CATEGORY_NAMES[category]
+            if category == "direction":
+                try:
+                    a, r = ex.extract_direction(data["question"], data["gt"], data["pred"])
+                    diff = abs(int(a) - int(r))
+                    err = min(diff, 12 - diff)
+                    success = err <= 1
+                    quant_success[name].append(int(success))
+                    quant_error[name].append(err)
+                except Exception:
+                    match_fail += 1
+                    quant_success[name].append(0)
+            else:
+                try:
+                    a, r = ex.extract_distance(data["question"], data["gt"], data["pred"])
+                    success = (r <= 1.25 * a) and (r >= 0.75 * a)
+                    err = abs(r - a) / (a + 1e-4)
+                    quant_success[name].append(int(success))
+                    quant_error[name].append(err)
+                    if a and r and a > 0 and r > 0:
+                        errors_per_cat[category]["gt"].append(a)
+                        errors_per_cat[category]["pred"].append(r)
+                except Exception:
+                    match_fail += 1
+                    quant_success[name].append(0)
+        elif info["type"] == "qualitative":
+            category = info["category"]
+            try:
+                mark = ex.judge_qualitative(data["question"], data["gt"], data["pred"], category)
+            except Exception:
+                match_fail += 1
+                mark = 0
+            qual[_qual_bucket(category)].append(int(mark > 0))
+
+    result: Dict[str, float] = {}
+    total_q = correct_q = 0
+    for cat, vals in qual.items():
+        correct_q += int(np.sum(vals))
+        total_q += len(vals)
+        result[f"Qual_{cat}_acc"] = float(np.sum(vals) / len(vals) * 100)
+    if total_q:
+        result["Qual_overall_acc"] = float(correct_q / total_q * 100)
+
+    total_n = correct_n = 0
+    for cat, vals in quant_success.items():
+        correct_n += int(np.sum(vals))
+        total_n += len(vals)
+        result[f"Quan_{cat}_acc"] = float(np.sum(vals) / len(vals) * 100)
+        if quant_error[cat]:
+            result[f"Quan_{cat}_err"] = float(np.sum(quant_error[cat]) / len(quant_error[cat]) * 100)
+    if total_n:
+        result["Quan_overall_acc"] = float(correct_n / total_n * 100)
+
+    for cat, d in errors_per_cat.items():
+        errs = compute_errors(np.asarray(d["gt"]), np.asarray(d["pred"]))
+        result[f"Quan_{cat}_absrel"] = round(errs["abs_rel"], 3)
+        for k, v in errs.items():
+            result[f"Quan_{cat}_{k}"] = round(v, 4)
+
+    result["Match_fail_count"] = match_fail
+    return result
+
+
+def score_file(answers_jsonl: str, extractor=None, out_dir: Optional[str] = None) -> Dict:
+    with open(answers_jsonl) as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    result = score_answers(lines, extractor)
+    out_dir = out_dir or os.path.dirname(answers_jsonl)
+    with open(os.path.join(out_dir, "score.json"), "w") as f:
+        json.dump(result, f)
+    return result

@@ -1,0 +1,229 @@
+"""SpatialRGPT-Bench runner.
+
+Rebuild of llava/eval/eval_spatial.py: loads a composite checkpoint,
+builds region masks from rle/bbox annotations, runs batched greedy decode
+on TPU, and writes the same jsonl answer records the GPT-4/offline judge
+consumes (eval/judge.py).
+
+TPU-first differences from the reference:
+  - prompts are bucketed and decoded in fixed-shape batches inside one
+    compiled while_loop (no per-sample HF generate),
+  - depth maps come from a precomputed depth directory (or the
+    Depth-Anything JAX port in models/depth_anything.py when weights are
+    available); the RGB image is reused as fake depth otherwise, matching
+    the training-side fallback (dataset.py:1840-1845).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from spatialrgpt_tpu.config import SpatialRGPTConfig
+from spatialrgpt_tpu.constants import NUM_TOKENS_PER_IMAGE
+from spatialrgpt_tpu.conversation import SeparatorStyle, conv_templates
+from spatialrgpt_tpu.data import preprocess as pp
+from spatialrgpt_tpu.data.splice import expand_rows
+from spatialrgpt_tpu.data.tokenize import tokenizer_image_token
+from spatialrgpt_tpu.models import vlm
+from spatialrgpt_tpu.serving.generate import generate
+
+
+@dataclass
+class BenchConfig:
+    model_path: str = ""
+    annotation_file: str = ""
+    image_folder: str = ""
+    depth_folder: Optional[str] = None
+    answers_file: str = "answers.jsonl"
+    conv_mode: str = "llama_3"
+    batch_size: int = 32
+    max_new_tokens: int = 128
+    prompt_bucket: int = 1024
+    use_mask: bool = True
+    num_chunks: int = 1
+    chunk_idx: int = 0
+    temperature: float = 0.0
+    regions_per_image: int = 8
+
+
+def get_chunk(lst: List, n: int, k: int) -> List:
+    """Contiguous chunking (reference data-parallel eval launcher,
+    scripts/srgpt/eval/srgpt_bench.sh:23-49)."""
+    size = (len(lst) + n - 1) // n
+    return lst[k * size : (k + 1) * size]
+
+
+def build_prompt(conv_mode: str, question: str) -> str:
+    conv = conv_templates[conv_mode].copy()
+    question, _ = re.subn(r"<mask>", "<mask> <depth>", question)
+    conv.append_message(conv.roles[0], question)
+    conv.append_message(conv.roles[1], None)
+    return conv.get_prompt()
+
+
+def stop_str_for(conv_mode: str) -> str:
+    conv = conv_templates[conv_mode]
+    return conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
+
+
+def masks_for_line(line: Dict, image_aspect_ratio: str, use_mask: bool) -> List[np.ndarray]:
+    info = line["image_info"]
+    masks = []
+    if use_mask and "rle" in line:
+        try:
+            for rle in line["rle"]:
+                m = pp.rle_decode(rle).astype(np.uint8)
+                if image_aspect_ratio == "pad":
+                    m = pp.pad_to_square_array(m)
+                masks.append(m)
+            return masks
+        except Exception:
+            masks = []
+    for bbox in line.get("bbox", []):
+        h, w = info["height"], info["width"]
+        x1, y1, x2, y2 = (int(max(0, min(v, lim))) for v, lim in zip(bbox, (w, h, w, h)))
+        m = np.zeros((h, w), np.uint8)
+        m[y1:y2, x1:x2] = 1
+        if image_aspect_ratio == "pad":
+            m = pp.pad_to_square_array(m)
+        masks.append(m)
+    return masks
+
+
+def run_bench(bcfg: BenchConfig, model=None) -> str:
+    """Execute the benchmark; returns the answers file path.
+
+    ``model`` may be a preloaded (tokenizer, params, cfg, processor)
+    tuple to skip checkpoint loading (tests)."""
+    if model is None:
+        from spatialrgpt_tpu.models.builder import load_pretrained_model
+
+        model = load_pretrained_model(bcfg.model_path)
+    tokenizer, params, cfg, processor = model
+
+    with open(bcfg.annotation_file) as f:
+        questions = json.load(f)
+    questions = get_chunk(questions, bcfg.num_chunks, bcfg.chunk_idx)
+
+    os.makedirs(os.path.dirname(bcfg.answers_file) or ".", exist_ok=True)
+    ans_file = open(bcfg.answers_file, "w")
+    stop_str = stop_str_for(bcfg.conv_mode)
+
+    # flatten: one record per (question, conversation round)
+    work = []
+    for line in questions:
+        conversations = line["conversations"]
+        for qi in range(len(conversations) // 2):
+            work.append((line, conversations[qi * 2]["value"], conversations[qi * 2 + 1]["value"]))
+
+    for start in range(0, len(work), bcfg.batch_size):
+        chunk = work[start : start + bcfg.batch_size]
+        records = []
+        rows = []
+        images, depths, mask_stacks, valids = [], [], [], []
+        for line, q_text, gt in chunk:
+            image_path = os.path.join(bcfg.image_folder, line["image_info"]["file_path"])
+            image = pp.process_image(image_path, processor, cfg.image_aspect_ratio)
+            depth = None
+            if bcfg.depth_folder:
+                dp = os.path.join(
+                    bcfg.depth_folder,
+                    os.path.splitext(line["image_info"]["file_path"])[0] + ".png",
+                )
+                if os.path.exists(dp):
+                    depth = pp.process_depth(dp, processor, cfg.image_aspect_ratio)
+            if depth is None:
+                depth = image.copy()
+
+            raw_masks = masks_for_line(line, cfg.image_aspect_ratio, bcfg.use_mask)
+            proc_masks = (
+                pp.process_masks(raw_masks, processor, cfg.image_aspect_ratio)
+                if raw_masks
+                else None
+            )
+            m, v = pp.pad_masks_to_slots(
+                proc_masks, bcfg.regions_per_image, processor.size
+            )
+
+            prompt = build_prompt(bcfg.conv_mode, q_text)
+            ids = np.asarray(tokenizer_image_token(prompt, tokenizer), np.int64)
+            rows.append(ids)
+            images.append(image)
+            depths.append(depth)
+            mask_stacks.append(m)
+            valids.append(v)
+            records.append((line, q_text, gt))
+
+        sb = expand_rows(
+            rows,
+            None,
+            max_len=cfg.model_max_length,
+            tokens_per_image=NUM_TOKENS_PER_IMAGE,
+            mask_token_id=cfg.mask_token_id,
+            depth_token_id=cfg.depth_token_id,
+            regions_per_image=bcfg.regions_per_image,
+            pad_to=bcfg.prompt_bucket,
+        )
+        inputs = vlm.VLMInputs(
+            input_ids=jnp.asarray(sb.input_ids),
+            is_image=jnp.asarray(sb.is_image),
+            image_gather_idx=jnp.asarray(sb.image_gather_idx),
+            position_ids=jnp.asarray(sb.position_ids),
+            segment_ids=jnp.asarray(sb.segment_ids),
+            labels=None,
+            mask_slot=jnp.asarray(sb.mask_slot),
+            is_mask=jnp.asarray(sb.is_mask),
+            depth_slot=jnp.asarray(sb.depth_slot),
+            is_depth=jnp.asarray(sb.is_depth),
+            images=jnp.asarray(np.stack(images), jnp.bfloat16),
+            depths=jnp.asarray(np.stack(depths), jnp.bfloat16),
+            masks=jnp.asarray(np.stack(mask_stacks), jnp.bfloat16),
+            mask_valid=jnp.asarray(np.stack(valids)),
+        )
+        prompt_lengths = jnp.asarray(sb.segment_ids.sum(axis=1), jnp.int32)
+        result = generate(
+            params,
+            cfg,
+            inputs,
+            prompt_lengths,
+            max_new_tokens=bcfg.max_new_tokens,
+            temperature=bcfg.temperature,
+        )
+        toks = np.asarray(result.tokens)
+
+        for i, (line, q_text, gt) in enumerate(records):
+            out_ids = toks[i].tolist()
+            if cfg.llm.eos_token_id in out_ids:
+                out_ids = out_ids[: out_ids.index(cfg.llm.eos_token_id)]
+            text = tokenizer.decode(out_ids, skip_special_tokens=True).strip()
+            if text.endswith(stop_str):
+                text = text[: -len(stop_str)].strip()
+            ans_file.write(
+                json.dumps(
+                    {
+                        "question_id": line["id"],
+                        "image": line["image_info"]["file_path"],
+                        "question": line.get("text_q", q_text),
+                        "pred": text,
+                        "gt": gt,
+                        "model_id": get_model_name(bcfg.model_path),
+                        "qa_info": line["qa_info"],
+                    }
+                )
+                + "\n"
+            )
+    ans_file.close()
+    return bcfg.answers_file
+
+
+def get_model_name(path: str) -> str:
+    from spatialrgpt_tpu.models.builder import get_model_name_from_path
+
+    return get_model_name_from_path(path) if path else "spatialrgpt-tpu"

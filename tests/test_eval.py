@@ -1,0 +1,128 @@
+"""Judge metrics (offline extractor) and the batched bench runner."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from spatialrgpt_tpu.eval.judge import LocalExtractor, compute_errors, score_answers
+
+
+def _rec(qtype, category, gt, pred, q="How far is Region [0] from Region [1]?"):
+    return {
+        "question": q,
+        "gt": gt,
+        "pred": pred,
+        "qa_info": {"type": qtype, "category": category},
+    }
+
+
+def test_local_extractor_units():
+    ex = LocalExtractor()
+    assert ex.meters("It is 2.5 meters wide") == pytest.approx(2.5)
+    assert ex.meters("about 30 cm") == pytest.approx(0.3)
+    assert ex.meters("10.0 inches") == pytest.approx(0.254)
+    assert ex.meters("22.32 feet") == pytest.approx(6.803, abs=1e-2)
+    assert ex.clock("around the 2 o'clock direction") == 2
+    assert ex.clock("at 11 o'clock") == 11
+
+
+def test_quantitative_scoring():
+    lines = [
+        _rec("quantitative", "distance_data", "5 meters", "5.5 meters"),  # within 1.25x
+        _rec("quantitative", "distance_data", "5 meters", "10 meters"),  # fail
+        _rec("quantitative", "width_data", "1.0 meters", "100 cm"),  # exact
+        _rec("quantitative", "direction", "2 o'clock", "3 o'clock"),  # err 1 -> ok
+        _rec("quantitative", "direction", "12 o'clock", "6 o'clock"),  # err 6 -> fail
+    ]
+    res = score_answers(lines)
+    assert res["Quan_direct_distance_acc"] == pytest.approx(50.0)
+    assert res["Quan_width_acc"] == pytest.approx(100.0)
+    assert res["Quan_direction_acc"] == pytest.approx(50.0)
+    assert res["Quan_overall_acc"] == pytest.approx(60.0)
+    assert "Quan_distance_data_absrel" in res
+
+
+def test_qualitative_scoring():
+    lines = [
+        _rec("qualitative", "left_predicate", "Region [0] is to the left.", "It is on the left side."),
+        _rec("qualitative", "left_predicate", "Region [0] is to the left.", "It is on the right."),
+        _rec("qualitative", "tall_predicate", "Region [0] is taller.", "Region [0] is taller than Region [1]."),
+        _rec("qualitative", "behind_predicate", "It is behind.", "It is in front."),
+    ]
+    res = score_answers(lines)
+    assert res["Qual_left/right_acc"] == pytest.approx(50.0)
+    assert res["Qual_tall/short_acc"] == pytest.approx(100.0)
+    assert res["Qual_behind/front_acc"] == pytest.approx(0.0)
+    assert res["Qual_overall_acc"] == pytest.approx(50.0)
+
+
+def test_compute_errors_formulas():
+    gt = np.array([1.0, 2.0, 4.0])
+    pred = np.array([1.0, 2.0, 4.0])
+    e = compute_errors(gt, pred)
+    assert e["a1"] == 1.0 and e["abs_rel"] == 0.0 and e["rmse"] == 0.0
+    e2 = compute_errors(np.array([1.0]), np.array([2.0]))
+    assert e2["a1"] == 0.0 and e2["abs_rel"] == pytest.approx(1.0)
+
+
+def test_bench_runner_end_to_end(tmp_path):
+    """Tiny model + fake tokenizer through the full bench loop."""
+    import jax
+
+    from spatialrgpt_tpu.eval.spatial_bench import BenchConfig, run_bench
+    from spatialrgpt_tpu.data.preprocess import SiglipProcessor, rle_encode
+    from spatialrgpt_tpu.models import vlm
+    import __graft_entry__ as graft
+    from test_templates import FakeTokenizer
+
+    cfg = graft._tiny_cfg()
+    cfg = cfg.replace(mask_token_id=1009, depth_token_id=1010, model_max_length=512)
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTokenizer()
+    tok.model_max_length = 512
+    processor = SiglipProcessor(size=cfg.vision.image_size)
+
+    # fabricate bench data
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (60, 80, 3), np.uint8)).save(img_dir / "a.jpg")
+    mask = np.zeros((60, 80), np.uint8)
+    mask[10:30, 20:50] = 1
+    ann = [
+        {
+            "id": "q0",
+            "image_info": {"file_path": "a.jpg", "height": 60, "width": 80},
+            "text_q": "How wide is <mask>?",
+            "qa_info": {"type": "quantitative", "category": "width_data"},
+            "rle": [rle_encode(mask)],
+            "bbox": [[20, 10, 50, 30]],
+            "conversations": [
+                {"from": "human", "value": "<image>\nHow wide is Region [0] <mask>?"},
+                {"from": "gpt", "value": "1.0 meters"},
+            ],
+        }
+    ]
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+
+    bcfg = BenchConfig(
+        model_path="",
+        annotation_file=str(ann_file),
+        image_folder=str(img_dir),
+        answers_file=str(tmp_path / "out" / "answers.jsonl"),
+        conv_mode="v1",
+        batch_size=2,
+        max_new_tokens=4,
+        prompt_bucket=256,
+        regions_per_image=2,
+    )
+    out = run_bench(bcfg, model=(tok, params, cfg, processor))
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 1
+    assert lines[0]["gt"] == "1.0 meters"
+    assert lines[0]["qa_info"]["category"] == "width_data"
+    assert isinstance(lines[0]["pred"], str)

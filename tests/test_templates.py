@@ -61,6 +61,21 @@ class FakeTokenizer:
             ids = [self.bos_token_id] + ids
         return FakeTokens(ids)
 
+    def decode(self, ids, skip_special_tokens=False):
+        inv = {v: k for k, v in self.vocab.items()}
+        out = []
+        for t in ids:
+            t = int(t)
+            if t in (self.bos_token_id, self.eos_token_id, self.pad_token_id):
+                if not skip_special_tokens:
+                    out.append(f"<{t}>")
+            elif t in inv:
+                if not skip_special_tokens:
+                    out.append(inv[t])
+            else:
+                out.append(chr((t - 3) % 900))
+        return "".join(out)
+
 
 def test_tokenizer_image_token_dedups_bos():
     tok = FakeTokenizer()
