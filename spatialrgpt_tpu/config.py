@@ -54,7 +54,10 @@ class SiglipVisionConfig:
 
 @dataclass(frozen=True)
 class LlamaConfig:
-    """Llama-family decoder configuration (HF-compatible field meanings)."""
+    """Decoder configuration for the Llama family and its relatives
+    (Mistral = sliding window; Gemma = gelu MLP + (1+w) norms + scaled
+    embeddings + tied head; Mixtral = Mistral + MoE).  Field meanings are
+    HF-compatible so checkpoints convert mechanically."""
 
     vocab_size: int = 32000
     hidden_size: int = 4096
@@ -72,14 +75,29 @@ class LlamaConfig:
     attention_bias: bool = False
     bos_token_id: int = 1
     eos_token_id: int = 128009
+    # family knobs
+    hidden_act: str = "silu"  # silu (llama/mistral) | gelu_tanh (gemma)
+    sliding_window: Optional[int] = None  # mistral/mixtral
+    norm_plus_one: bool = False  # gemma RMSNorm uses (1 + weight)
+    scale_embeddings: bool = False  # gemma multiplies embeds by sqrt(hidden)
+    explicit_head_dim: Optional[int] = None  # gemma fixes head_dim=256
+    # MoE (mixtral); experts run densely like the reference
+    # (modeling_mixtral_long_context.py top-2 routing executed densely)
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    router_aux_loss_coef: float = 0.02
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_attention_heads
+        return self.explicit_head_dim or self.hidden_size // self.num_attention_heads
 
     @property
     def num_query_groups(self) -> int:
         return self.num_attention_heads // self.num_key_value_heads
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
 
 
 # Named decoder presets for the model families the reference ships
@@ -107,6 +125,50 @@ LLAMA_PRESETS = {
         max_position_embeddings=4096,
         rope_theta=10000.0,
         eos_token_id=2,
+    ),
+    "mistral-7b": LlamaConfig(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        max_position_embeddings=32768,
+        rope_theta=10000.0,
+        sliding_window=4096,
+        eos_token_id=2,
+    ),
+    "mixtral-8x7b": LlamaConfig(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        max_position_embeddings=32768,
+        rope_theta=1e6,
+        sliding_window=None,
+        num_experts=8,
+        num_experts_per_tok=2,
+        eos_token_id=2,
+    ),
+    "gemma-7b": LlamaConfig(
+        vocab_size=256000,
+        hidden_size=3072,
+        intermediate_size=24576,
+        num_hidden_layers=28,
+        num_attention_heads=16,
+        num_key_value_heads=16,
+        max_position_embeddings=8192,
+        rope_theta=10000.0,
+        hidden_act="gelu_tanh",
+        norm_plus_one=True,
+        scale_embeddings=True,
+        explicit_head_dim=256,
+        tie_word_embeddings=True,
+        rms_norm_eps=1e-6,
+        bos_token_id=2,
+        eos_token_id=1,
     ),
     "llama3-8b": LlamaConfig(
         vocab_size=128256,

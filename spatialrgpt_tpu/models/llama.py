@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from spatialrgpt_tpu.config import LlamaConfig
 from spatialrgpt_tpu.ops import attention as attn_ops
-from spatialrgpt_tpu.ops.layers import linear, rms_norm, silu
+from spatialrgpt_tpu.ops.layers import gelu_tanh, linear, rms_norm, silu
 
 Params = Dict
 
@@ -43,6 +43,7 @@ def init_params(
 ) -> Params:
     ks = jax.random.split(rng, 2 + cfg.num_hidden_layers)
     H = cfg.hidden_size
+    Q = cfg.num_attention_heads * cfg.head_dim
     KV = cfg.num_key_value_heads * cfg.head_dim
     I = cfg.intermediate_size
     V = cfg.vocab_size + extra_vocab
@@ -50,26 +51,34 @@ def init_params(
     def dense(key, fi, fo):
         return {"kernel": jax.random.normal(key, (fi, fo), dtype) * (fi**-0.5)}
 
+    def mlp_params(keys):
+        return {
+            "gate": dense(keys[0], H, I),
+            "up": dense(keys[1], H, I),
+            "down": dense(keys[2], I, H),
+        }
+
     layers = []
     for li in range(cfg.num_hidden_layers):
-        kk = jax.random.split(ks[2 + li], 7)
-        layers.append(
-            {
-                "input_ln": jnp.ones((H,), dtype),
-                "post_ln": jnp.ones((H,), dtype),
-                "attn": {
-                    "wq": dense(kk[0], H, H),
-                    "wk": dense(kk[1], H, KV),
-                    "wv": dense(kk[2], H, KV),
-                    "wo": dense(kk[3], H, H),
-                },
-                "mlp": {
-                    "gate": dense(kk[4], H, I),
-                    "up": dense(kk[5], H, I),
-                    "down": dense(kk[6], I, H),
-                },
-            }
-        )
+        kk = jax.random.split(ks[2 + li], 7 + 3 * max(cfg.num_experts, 0))
+        layer = {
+            "input_ln": jnp.ones((H,), dtype),
+            "post_ln": jnp.ones((H,), dtype),
+            "attn": {
+                "wq": dense(kk[0], H, Q),
+                "wk": dense(kk[1], H, KV),
+                "wv": dense(kk[2], H, KV),
+                "wo": dense(kk[3], Q, H),
+            },
+        }
+        if cfg.is_moe:
+            layer["router"] = dense(kk[4], H, cfg.num_experts)
+            layer["experts"] = [
+                mlp_params(kk[7 + 3 * e : 10 + 3 * e]) for e in range(cfg.num_experts)
+            ]
+        else:
+            layer["mlp"] = mlp_params(kk[4:7])
+        layers.append(layer)
     params = {
         "embed_tokens": jax.random.normal(ks[0], (V, H), dtype) * 0.02,
         "layers": layers,
@@ -168,25 +177,56 @@ def _attention_block(
         out = attn_ops.decode_attention(q, ck, cv, kv_len)
         new_kv = (ck, cv)
     else:
-        out = attn_ops.causal_attention(q, k, v, segment_ids=segment_ids, impl=impl)
+        out = attn_ops.causal_attention(
+            q, k, v, segment_ids=segment_ids, impl=impl, window=cfg.sliding_window
+        )
         new_kv = None
 
     out = out.reshape(B, S, Hq * D)
     return linear(out, p["wo"]), new_kv
 
 
-def _mlp_block(x: jax.Array, p: Params) -> jax.Array:
-    return linear(silu(linear(x, p["gate"])) * linear(x, p["up"]), p["down"])
+def _mlp_block(x: jax.Array, p: Params, act: str = "silu") -> jax.Array:
+    a = silu if act == "silu" else gelu_tanh
+    return linear(a(linear(x, p["gate"])) * linear(x, p["up"]), p["down"])
+
+
+def _moe_block(x: jax.Array, p: Params, cfg: LlamaConfig) -> Tuple[jax.Array, jax.Array]:
+    """Mixtral sparse-MoE FFN executed densely (every expert computes on
+    every token, combined with top-k router weights), mirroring the
+    reference's dense execution (modeling_mixtral_long_context.py) --
+    and the MXU-friendly choice at small expert counts.  Returns
+    (output, router aux loss)."""
+    B, S, H = x.shape
+    logits = linear(x, p["router"]).astype(jnp.float32)  # (B,S,E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topk = jax.lax.top_k(probs, cfg.num_experts_per_tok)[0][..., -1:]
+    gates = jnp.where(probs >= topk, probs, 0.0)
+    gates = gates / jnp.maximum(gates.sum(-1, keepdims=True), 1e-9)
+
+    out = jnp.zeros_like(x)
+    for e, ep in enumerate(p["experts"]):
+        out = out + _mlp_block(x, ep, "silu") * gates[..., e : e + 1].astype(x.dtype)
+
+    # load-balancing loss (switch-style: E * sum_e f_e * P_e)
+    frac_tokens = (gates > 0).astype(jnp.float32).mean(axis=(0, 1))
+    frac_probs = probs.mean(axis=(0, 1))
+    aux = cfg.num_experts * jnp.sum(frac_tokens * frac_probs)
+    return out, aux
 
 
 def _decoder_layer(x, p, cfg, position_ids, segment_ids, layer_idx, cache, impl):
-    h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps)
+    h = _norm(x, p["input_ln"], cfg)
     attn_out, new_kv = _attention_block(
         h, p["attn"], cfg, position_ids, segment_ids, layer_idx, cache, impl
     )
     x = x + attn_out
-    h = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
-    x = x + _mlp_block(h, p["mlp"])
+    h = _norm(x, p["post_ln"], cfg)
+    if cfg.is_moe:
+        moe_out, aux = _moe_block(h, p, cfg)
+        x = x + moe_out
+    else:
+        x = x + _mlp_block(h, p["mlp"], cfg.hidden_act)
     return x, new_kv
 
 
@@ -195,8 +235,17 @@ def _decoder_layer(x, p, cfg, position_ids, segment_ids, layer_idx, cache, impl)
 # ---------------------------------------------------------------------------
 
 
-def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
-    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+def embed_tokens(params: Params, input_ids: jax.Array, cfg: "LlamaConfig" = None) -> jax.Array:
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    if cfg is not None and cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
+    return x
+
+
+def _norm(x, scale, cfg: LlamaConfig):
+    if cfg.norm_plus_one:
+        return rms_norm(x, 1.0 + scale.astype(jnp.float32), cfg.rms_norm_eps)
+    return rms_norm(x, scale, cfg.rms_norm_eps)
 
 
 def forward(
@@ -223,7 +272,7 @@ def forward(
         if new_kv is not None:
             new_ks.append(new_kv[0])
             new_vs.append(new_kv[1])
-    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    x = _norm(x, params["final_ln"], cfg)
     new_cache = None
     if cache is not None:
         new_cache = KVCache(tuple(new_ks), tuple(new_vs), cache.length + inputs_embeds.shape[1])
@@ -243,7 +292,7 @@ def logits(params: Params, hidden: jax.Array, cfg: LlamaConfig) -> jax.Array:
 
 def forward_logits(params, cfg, *, input_ids, position_ids, segment_ids=None, attn_impl="xla"):
     """Convenience: ids -> logits (no cache)."""
-    x = embed_tokens(params, input_ids)
+    x = embed_tokens(params, input_ids, cfg)
     h, _ = forward(
         params,
         cfg,

@@ -56,11 +56,12 @@ def causal_attention(
     v: jax.Array,  # (B, S, Hk, D)
     segment_ids: Optional[jax.Array] = None,  # (B, S), 0 = padding
     impl: str = "xla",
+    window: Optional[int] = None,  # sliding-window attention (mistral)
 ) -> jax.Array:
     if impl == "pallas":
         from spatialrgpt_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, segment_ids=segment_ids, causal=True)
+        return flash_attention(q, k, v, segment_ids=segment_ids, causal=True, window=window)
     if impl in ("ulysses", "ring", "hybrid"):
         return _sp_attention(q, k, v, segment_ids, impl)
     if impl != "xla":
@@ -77,6 +78,10 @@ def causal_attention(
         mask = jnp.tril(jnp.ones((s, s), jnp.bool_))[None, None]
     else:
         mask = make_attention_mask(segment_ids, segment_ids, causal=True)
+    if window is not None:
+        qi = jnp.arange(s)[:, None]
+        ki = jnp.arange(s)[None, :]
+        mask = mask & ((qi - ki) < window)[None, None]
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
     # rows that attend to nothing (padding) produce uniform probs; zero them

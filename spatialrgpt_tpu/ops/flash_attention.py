@@ -75,6 +75,7 @@ def _fwd_kernel(
     block_q: int,
     block_k: int,
     num_k_blocks: int,
+    window: int = 0,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -85,10 +86,13 @@ def _fwd_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # causal block skip: block fully above the diagonal contributes nothing
+    # causal block skip: block fully above the diagonal contributes nothing;
+    # with a sliding window also skip blocks entirely below the band
     run = True
     if causal:
         run = (ki * block_k) <= (qi * block_q + block_q - 1)
+        if window:
+            run = run & ((qi * block_q) - (ki * block_k + block_k - 1) < window)
 
     @pl.when(run)
     def _body():
@@ -111,6 +115,8 @@ def _fwd_kernel(
                 jnp.int32, (block_q, block_k), 1
             )
             mask = rows >= cols
+            if window:
+                mask = mask & ((rows - cols) < window)
         if qseg_ref is not None:
             # keep ids 2D and 32-bit: Mosaic only supports minor-dim
             # insertion reshapes for 32-bit types
@@ -159,6 +165,7 @@ def _fwd(
     block_q: int,
     block_k: int,
     interpret: bool,
+    window: int = 0,
 ):
     B, Hq, Sq, D = q.shape
     Hk, Sk = k.shape[1], k.shape[2]
@@ -190,6 +197,7 @@ def _fwd(
         block_q=block_q,
         block_k=block_k,
         num_k_blocks=nk,
+        window=window,
     )
     if q_seg is None:
         kernel = functools.partial(_drop_seg_fwd, kernel)
@@ -236,7 +244,7 @@ def _squeeze2(ref):
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
     dk_ref, dv_ref, dk_acc, dv_acc,
-    *, causal, sm_scale, block_q, block_k, num_q_blocks,
+    *, causal, sm_scale, block_q, block_k, num_q_blocks, window=0,
 ):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
@@ -268,6 +276,8 @@ def _bwd_dkv_kernel(
             rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = rows >= cols
+            if window:
+                mask = mask & ((rows - cols) < window)
         if qseg_ref is not None:
             qs = qseg_ref[0].reshape(block_q, 1)
             ks = kseg_ref[0].reshape(1, block_k)
@@ -301,7 +311,7 @@ def _bwd_dkv_kernel(
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
     dq_ref, dq_acc,
-    *, causal, sm_scale, block_q, block_k, num_k_blocks,
+    *, causal, sm_scale, block_q, block_k, num_k_blocks, window=0,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -332,6 +342,8 @@ def _bwd_dq_kernel(
             rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = rows >= cols
+            if window:
+                mask = mask & ((rows - cols) < window)
         if qseg_ref is not None:
             qs = qseg_ref[0].reshape(block_q, 1)
             ks = kseg_ref[0].reshape(1, block_k)
@@ -364,27 +376,27 @@ def _drop_seg_bwd(kernel, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
-def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret):
+def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window):
     out, _ = _fwd(
         q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
-        block_q=block_q, block_k=block_k, interpret=interpret,
+        block_q=block_q, block_k=block_k, interpret=interpret, window=window,
     )
     return out
 
 
-def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window):
     out, lse = _fwd(
         q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
-        block_q=block_q, block_k=block_k, interpret=interpret,
+        block_q=block_q, block_k=block_k, interpret=interpret, window=window,
     )
     return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, window, res, do):
     q, k, v, q_seg, kv_seg, out, lse = res
     B, Hq, Sq, D = q.shape
     Hk, Sk = k.shape[1], k.shape[2]
@@ -418,7 +430,7 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
     kernel = functools.partial(
         _bwd_dkv_kernel,
         causal=causal, sm_scale=sm_scale,
-        block_q=block_q, block_k=block_k, num_q_blocks=nq,
+        block_q=block_q, block_k=block_k, num_q_blocks=nq, window=window,
     )
     if q_seg is None:
         kernel = functools.partial(_drop_seg_bwd, kernel)
@@ -471,7 +483,7 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
     kernel = functools.partial(
         _bwd_dq_kernel,
         causal=causal, sm_scale=sm_scale,
-        block_q=block_q, block_k=block_k, num_k_blocks=nk,
+        block_q=block_q, block_k=block_k, num_k_blocks=nk, window=window,
     )
     if q_seg is None:
         kernel = functools.partial(_drop_seg_bwd, kernel)
@@ -510,6 +522,7 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,  # sliding-window (mistral); causal only
 ) -> jax.Array:
     """Flash attention over (B, S, H, D) tensors; differentiable.
 
@@ -527,7 +540,7 @@ def flash_attention(
     vt = jnp.transpose(v, (0, 2, 1, 3))
     seg = segment_ids.astype(jnp.int32) if segment_ids is not None else None
 
-    out = _flash(qt, kt, vt, seg, seg, causal, sm_scale, bq, bk, interpret)
+    out = _flash(qt, kt, vt, seg, seg, causal, sm_scale, bq, bk, interpret, window or 0)
     out = jnp.transpose(out, (0, 2, 1, 3))
     if segment_ids is not None:
         out = out * (segment_ids != 0)[:, :, None, None].astype(out.dtype)

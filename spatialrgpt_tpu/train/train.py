@@ -1,0 +1,169 @@
+"""Training entry point.
+
+Rebuild of the reference orchestration (llava/train/train.py:388-776):
+args -> mesh -> model build/load -> freeze flags -> data module ->
+sharded train loop with autoresume.  Run as
+
+    python -m spatialrgpt_tpu.train.train --output_dir ... --data_mixture ...
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatialrgpt_tpu.config import LLAMA_PRESETS, SpatialRGPTConfig, preset
+from spatialrgpt_tpu.data.dataset import Collator, CollatorConfig, build_datasets, to_vlm_inputs
+from spatialrgpt_tpu.data.sampler import DistributedMixtureSampler
+from spatialrgpt_tpu.models import vlm
+from spatialrgpt_tpu.parallel import mesh as mesh_lib
+from spatialrgpt_tpu.parallel.context import SPContext, set_sp_context
+from spatialrgpt_tpu.train.args import parse_args
+from spatialrgpt_tpu.train.optimizer import OptimizerConfig, build_optimizer
+from spatialrgpt_tpu.train.step import (
+    batch_shardings,
+    create_train_state,
+    make_train_step,
+    shard_state,
+)
+from spatialrgpt_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def build_config(margs, dargs, targs) -> SpatialRGPTConfig:
+    cfg = preset(margs.llm_preset)
+    return cfg.replace(
+        enable_region=margs.enable_region,
+        enable_depth=margs.enable_depth,
+        image_aspect_ratio=dargs.image_aspect_ratio,
+        model_max_length=targs.model_max_length,
+    )
+
+
+def make_batches(dataset, collator, sampler, batch_size, cfg, dtype) -> Iterable:
+    """Host-side batch generator (single-process; multi-host data loading
+    shards via the sampler's (rank, num_replicas))."""
+    idx_iter = iter(sampler)
+    while True:
+        idx = []
+        try:
+            for _ in range(batch_size):
+                idx.append(next(idx_iter))
+        except StopIteration:
+            if not idx:
+                return
+        samples = [dataset[i] for i in idx]
+        batch, images, depths, masks, valid = collator(samples)
+        yield to_vlm_inputs(batch, images, depths, masks, valid, dtype=dtype)
+
+
+def main(argv=None):
+    margs, dargs, targs = parse_args(argv)
+    dtype = jnp.bfloat16 if margs.model_dtype == "bfloat16" else jnp.float32
+
+    # ---- mesh & SP context ----
+    sp = targs.seq_parallel_size * targs.seq_parallel_ring_size
+    mesh = mesh_lib.make_mesh(dp=targs.dp_size, fsdp=targs.fsdp_size, sp=sp)
+    attn_impl = targs.attn_impl
+    if sp > 1:
+        if targs.seq_parallel_ring_size > 1 and targs.seq_parallel_size > 1:
+            attn_impl = "hybrid"
+            set_sp_context(SPContext(mesh=mesh, ulysses_axis="sp", ring_axis="sp"))
+        elif targs.seq_parallel_ring_size > 1:
+            attn_impl = "ring"
+            set_sp_context(SPContext(mesh=mesh, ring_axis="sp"))
+        else:
+            attn_impl = "ulysses"
+            set_sp_context(SPContext(mesh=mesh, ulysses_axis="sp"))
+
+    cfg = build_config(margs, dargs, targs)
+
+    # ---- model ----
+    if margs.model_name_or_path and os.path.isdir(margs.model_name_or_path):
+        from spatialrgpt_tpu.models.builder import load_pretrained_model
+
+        tokenizer, params, cfg, processor = load_pretrained_model(
+            margs.model_name_or_path, dtype=dtype
+        )
+    else:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(margs.model_name_or_path or "gpt2")
+        params = vlm.init_params(jax.random.PRNGKey(targs.seed), cfg, dtype=dtype)
+        from spatialrgpt_tpu.data.preprocess import SiglipProcessor
+
+        processor = SiglipProcessor(size=cfg.vision.image_size)
+
+    # ---- data ----
+    dataset = build_datasets(
+        dargs.data_mixture, tokenizer, processor, conv_template=dargs.conv_template
+    )
+    collator = Collator(
+        CollatorConfig(
+            max_len=targs.model_max_length,
+            mask_token_id=cfg.mask_token_id,
+            depth_token_id=cfg.depth_token_id,
+            regions_per_image=dargs.regions_per_image,
+            image_size=cfg.vision.image_size,
+        )
+    )
+    sampler = DistributedMixtureSampler(
+        [len(p) for p in dataset.parts],
+        num_replicas=1,
+        rank=0,
+        batch_size=targs.per_device_train_batch_size,
+        seed=targs.seed,
+    )
+
+    steps_per_epoch = max(len(sampler) // targs.per_device_train_batch_size, 1)
+    max_steps = (
+        targs.max_steps
+        if targs.max_steps > 0
+        else int(steps_per_epoch * targs.num_train_epochs)
+    )
+
+    # ---- optimizer & step ----
+    ocfg = OptimizerConfig(
+        learning_rate=targs.learning_rate,
+        mm_projector_lr=targs.mm_projector_lr,
+        weight_decay=targs.weight_decay,
+        warmup_ratio=targs.warmup_ratio,
+        total_steps=max_steps,
+        lr_scheduler=targs.lr_scheduler_type,
+        tune_language_model=targs.tune_language_model,
+        tune_vision_tower=targs.tune_vision_tower,
+        tune_mm_projector=targs.tune_mm_projector,
+        tune_region_extractor=targs.tune_region_extractor,
+    )
+    optimizer = build_optimizer(params, ocfg)
+
+    with mesh:
+        state = shard_state(create_train_state(params, optimizer), mesh)
+        step_fn = make_train_step(cfg, optimizer, attn_impl=attn_impl)
+
+        batches = make_batches(
+            dataset, collator, sampler, targs.per_device_train_batch_size, cfg, dtype
+        )
+
+        tcfg = TrainerConfig(
+            output_dir=targs.output_dir,
+            max_steps=max_steps,
+            save_steps=targs.save_steps,
+            save_total_limit=targs.save_total_limit,
+            log_steps=targs.logging_steps,
+            total_time_limit_min=(targs.total_time_limit if targs.total_time_limit > 0 else None),
+            pre_terminate_min=targs.pre_terminate_time,
+            report_to=targs.report_to,
+        )
+        trainer = Trainer(cfg, tcfg, step_fn, state, batches)
+        result = trainer.train()
+    set_sp_context(None)
+    print(result)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -183,30 +183,49 @@ def convert_region_extractor(sd: StateDict, deconv_depth: int = 2, dtype=jnp.flo
 
 
 def convert_llama(sd: StateDict, num_layers: int, dtype=jnp.float32) -> Dict:
-    """HF LlamaForCausalLM state dict -> models/llama.py pytree."""
+    """HF LlamaForCausalLM-family state dict -> models/llama.py pytree.
+
+    Also handles Mistral (same names), Gemma (same names) and Mixtral
+    (``block_sparse_moe.gate`` router + ``experts.{e}.w1/w3/w2`` =
+    gate/up/down)."""
     pref = "model." if any(k.startswith("model.") for k in sd) else ""
     layers = []
     for i in range(num_layers):
         lp = f"{pref}layers.{i}."
-        layers.append(
-            {
-                "input_ln": jnp.asarray(_np(sd[lp + "input_layernorm.weight"]), dtype),
-                "post_ln": jnp.asarray(
-                    _np(sd[lp + "post_attention_layernorm.weight"]), dtype
-                ),
-                "attn": {
-                    "wq": _dense(sd, lp + "self_attn.q_proj", dtype),
-                    "wk": _dense(sd, lp + "self_attn.k_proj", dtype),
-                    "wv": _dense(sd, lp + "self_attn.v_proj", dtype),
-                    "wo": _dense(sd, lp + "self_attn.o_proj", dtype),
-                },
-                "mlp": {
-                    "gate": _dense(sd, lp + "mlp.gate_proj", dtype),
-                    "up": _dense(sd, lp + "mlp.up_proj", dtype),
-                    "down": _dense(sd, lp + "mlp.down_proj", dtype),
-                },
+        layer = {
+            "input_ln": jnp.asarray(_np(sd[lp + "input_layernorm.weight"]), dtype),
+            "post_ln": jnp.asarray(
+                _np(sd[lp + "post_attention_layernorm.weight"]), dtype
+            ),
+            "attn": {
+                "wq": _dense(sd, lp + "self_attn.q_proj", dtype),
+                "wk": _dense(sd, lp + "self_attn.k_proj", dtype),
+                "wv": _dense(sd, lp + "self_attn.v_proj", dtype),
+                "wo": _dense(sd, lp + "self_attn.o_proj", dtype),
+            },
+        }
+        if lp + "block_sparse_moe.gate.weight" in sd:
+            layer["router"] = _dense(sd, lp + "block_sparse_moe.gate", dtype)
+            experts = []
+            e = 0
+            while lp + f"block_sparse_moe.experts.{e}.w1.weight" in sd:
+                ep = lp + f"block_sparse_moe.experts.{e}."
+                experts.append(
+                    {
+                        "gate": _dense(sd, ep + "w1", dtype),
+                        "down": _dense(sd, ep + "w2", dtype),
+                        "up": _dense(sd, ep + "w3", dtype),
+                    }
+                )
+                e += 1
+            layer["experts"] = experts
+        else:
+            layer["mlp"] = {
+                "gate": _dense(sd, lp + "mlp.gate_proj", dtype),
+                "up": _dense(sd, lp + "mlp.up_proj", dtype),
+                "down": _dense(sd, lp + "mlp.down_proj", dtype),
             }
-        )
+        layers.append(layer)
     params = {
         "embed_tokens": jnp.asarray(_np(sd[pref + "embed_tokens.weight"]), dtype),
         "layers": layers,

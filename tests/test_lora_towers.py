@@ -1,0 +1,116 @@
+"""LoRA adapters, CLIP tower parity, and the S2 multi-scale wrapper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatialrgpt_tpu.config import LlamaConfig, SiglipVisionConfig
+from spatialrgpt_tpu.models import clip, llama, s2
+from spatialrgpt_tpu.train.lora import (
+    LoraConfig,
+    apply_lora,
+    init_lora,
+    load_adapters,
+    merge_lora,
+    save_adapters,
+)
+
+SMALL_LLM = LlamaConfig(
+    vocab_size=64,
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=64,
+)
+
+
+def test_lora_zero_init_is_identity_and_trains():
+    params = llama.init_params(jax.random.PRNGKey(0), SMALL_LLM)
+    lcfg = LoraConfig(r=4, alpha=8.0)
+    adapters = init_lora(jax.random.PRNGKey(1), params, lcfg)
+    assert len(adapters) == 2 * 7  # 2 layers x 7 targets
+
+    merged = apply_lora(params, adapters, lcfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (1, 8)), jnp.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+    base = llama.forward_logits(params, SMALL_LLM, input_ids=ids, position_ids=pos)
+    with_lora = llama.forward_logits(merged, SMALL_LLM, input_ids=ids, position_ids=pos)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_lora), atol=1e-5)
+
+    # gradient flows only through adapters
+    def loss(adapters):
+        p = apply_lora(params, adapters, lcfg)
+        lg = llama.forward_logits(p, SMALL_LLM, input_ids=ids, position_ids=pos)
+        return jnp.sum(jnp.square(lg))
+
+    g = jax.grad(loss)(adapters)
+    gn = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert gn > 0
+
+
+def test_lora_save_load_roundtrip(tmp_path):
+    params = llama.init_params(jax.random.PRNGKey(0), SMALL_LLM)
+    lcfg = LoraConfig(r=2)
+    adapters = init_lora(jax.random.PRNGKey(1), params, lcfg)
+    p = str(tmp_path / "adapter.npz")
+    save_adapters(p, adapters, lcfg)
+    back = load_adapters(p)
+    for k in adapters:
+        np.testing.assert_allclose(np.asarray(adapters[k]["a"]), np.asarray(back[k]["a"]))
+
+
+def test_clip_tower_parity():
+    import torch
+    from transformers import CLIPVisionConfig as HFCfg
+    from transformers import CLIPVisionModel
+
+    cfg = SiglipVisionConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        image_size=56,
+        patch_size=14,
+        select_feature="patch",  # CLIP default drops CLS
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModel(
+        HFCfg(
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            image_size=56,
+            patch_size=14,
+            attn_implementation="eager",
+        )
+    ).eval()
+    params = clip.convert_clip(hf.state_dict(), 3)
+    pix = np.random.default_rng(0).standard_normal((2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(pix.transpose(0, 3, 1, 2)), output_hidden_states=True)
+    expected = out.hidden_states[-2].numpy()[:, 1:]
+    got = np.asarray(clip.forward_features(params, jnp.asarray(pix), cfg))
+    np.testing.assert_allclose(got, expected, atol=3e-4, rtol=2e-3)
+
+
+def test_s2_multiscale_shapes_and_crops():
+    calls = []
+
+    def fake_tower(x):
+        calls.append(x.shape)
+        b, h, w, c = x.shape
+        t = (h // 14) * (w // 14)
+        # feature = mean pixel per patch projected to 8 channels
+        patches = x.reshape(b, h // 14, 14, w // 14, 14, c).mean((2, 4))
+        feats = jnp.concatenate([patches] * 3, axis=-1)[..., :8]
+        return feats.reshape(b, t, 8)
+
+    imgs = jnp.asarray(np.random.default_rng(0).standard_normal((2, 112, 112, 3)), jnp.float32)
+    out = s2.multiscale_forward(fake_tower, imgs, scales=(56, 112), base_size=56)
+    assert out.shape == (2, 16, 16)  # 4x4 grid, 8 channels x 2 scales
+    assert calls[0] == (2, 56, 56, 3)  # scale 1: resized whole image
+    assert calls[1] == (8, 56, 56, 3)  # scale 2: 2x2 crops stacked in batch

@@ -1,0 +1,126 @@
+"""Dataset-synthesis pipeline: geometry, predicates, end-to-end annotate."""
+
+import numpy as np
+import pytest
+
+from spatialrgpt_tpu.synth.geometry import (
+    PointCloud,
+    average_cloud_distance,
+    calculate_angle_clockwise,
+    dbscan_filter,
+    human_like_distance,
+    intrinsics_from_fov,
+    unproject_depth,
+)
+from spatialrgpt_tpu.synth.pipeline import Detection, SkipImageException, SynthConfig, SynthPipeline
+from spatialrgpt_tpu.synth.prompts import (
+    PromptGenerator,
+    behind_predicate,
+    big_predicate,
+    direction,
+    left_predicate,
+    tall_choice,
+    width_data,
+)
+
+
+def _cloud(center, extent=(1, 1, 1), n=50, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-0.5, 0.5, (n, 3)) * np.asarray(extent) + np.asarray(center)
+    return PointCloud(points=pts)
+
+
+def _obj(name, center, extent=(1, 1, 1)):
+    return {"caption": name, "pcd": _cloud(center, extent)}
+
+
+def test_clock_direction():
+    # +z forward, +x left in predicate frame; B straight ahead of A -> 12
+    assert calculate_angle_clockwise((0, 0), (0, 5)) == 12
+    # B to the left (+x) and slightly ahead -> morning side (9-11 region)
+    assert calculate_angle_clockwise((0, 0), (5, 0.001)) in (9, 10, 11)
+    assert calculate_angle_clockwise((0, 0), (-5, 0.001)) in (1, 2, 3)
+
+
+def test_human_like_distance_units():
+    import random
+
+    rng = random.Random(0)
+    for _ in range(20):
+        s = human_like_distance(0.5, rng)
+        assert any(u in s for u in ("centimeters", "inches"))
+        s = human_like_distance(2.0, rng)
+        assert any(u in s for u in ("meters", "feet"))
+
+
+def test_predicates_reflect_geometry():
+    A = _obj("a red box", (2, 0, 5))  # +x = left
+    B = _obj("a blue ball", (-2, 0, 8))
+    q, a = left_predicate(A, B)
+    assert any(w in a.lower() for w in ("yes", "correct"))
+    q, a = behind_predicate(A, B)  # A.z < B.z -> not behind
+    assert any(w in a.lower() for w in ("no", "front"))
+    big = _obj("a couch", (0, 0, 3), extent=(3, 1, 1))
+    small = _obj("a cup", (1, 0, 3), extent=(0.1, 0.1, 0.1))
+    q, a = big_predicate(big, small)
+    assert any(w in a.lower() for w in ("yes", "correct"))
+    q, a = tall_choice(big, small)
+    assert "couch" in a
+    q, a = width_data(big)
+    assert "couch" in q and any(u in a for u in ("meters", "feet", "inches", "centimeters"))
+
+
+def test_direction_and_avg_distance():
+    A = _obj("a", (0, 0, 2))
+    B = _obj("b", (0, 0, 6))
+    q, a = direction(A, B)
+    assert "12" in a
+    d = average_cloud_distance(A["pcd"], B["pcd"])
+    assert 2.5 < d < 5.5
+
+
+def test_unproject_and_dbscan():
+    K = intrinsics_from_fov(64, 48)
+    depth = np.full((48, 64), 2.0)
+    mask = np.zeros((48, 64), bool)
+    mask[20:30, 28:38] = True
+    cloud = unproject_depth(depth, K, mask)
+    assert len(cloud.points) == 100
+    assert np.allclose(cloud.points[:, 2], 2.0)
+    # center of the image patch is near principal point -> x,y near 0
+    assert abs(cloud.get_center()[0]) < 0.3 and abs(cloud.get_center()[1]) < 0.3
+
+    # dbscan: main cluster + a far outlier
+    pts = np.concatenate([cloud.points, [[100.0, 100.0, 100.0]]])
+    filtered = dbscan_filter(PointCloud(points=pts), eps=0.3, min_points=4)
+    assert len(filtered.points) == 100
+
+
+def test_pipeline_end_to_end_with_provided_inputs():
+    cfg = SynthConfig(min_detections=2, dbscan_min_points=4, n_pairs=1, n_conv=4)
+    pipe = SynthPipeline(cfg)
+    H, W = 48, 64
+    image = np.zeros((H, W, 3), np.uint8)
+    depth = np.full((H, W), 3.0)
+    m1 = np.zeros((H, W), bool)
+    m1[5:20, 5:25] = True
+    m2 = np.zeros((H, W), bool)
+    m2[28:44, 40:60] = True
+    dets = [
+        Detection("a chair", np.array([5, 5, 25, 20], float), m1),
+        Detection("a table", np.array([40, 28, 60, 44], float), m2),
+    ]
+    out = pipe.annotate(image, detections=dets, depth=depth)
+    assert len(out["objects"]) == 2
+    assert len(out["qa"]) == 4
+    for qa in out["qa"]:
+        assert "chair" in qa["question"] or "table" in qa["question"] or "chair" in qa["answer"]
+
+
+def test_pipeline_skips_underfilled_images():
+    pipe = SynthPipeline(SynthConfig(min_detections=2))
+    image = np.zeros((32, 32, 3), np.uint8)
+    m = np.zeros((32, 32), bool)
+    m[4:8, 4:8] = True
+    with pytest.raises(SkipImageException):
+        pipe.annotate(image, detections=[Detection("x", np.array([4, 4, 8, 8], float), m)], depth=np.ones((32, 32)))
