@@ -1,0 +1,476 @@
+"""Segment-Anything (SAM / SAM-HQ) in JAX.
+
+TPU port of the mask-proposal model the reference demo uses
+(demo/gradio_web_server_multi.py:78-116 runs SAM-HQ vit_h on user boxes):
+ViT-det image encoder (windowed attention + decomposed relative
+positions), Fourier prompt encoder (points / boxes / masks), and the
+two-way-transformer mask decoder.  Weight layout converts 1:1 from HF
+``SamModel`` (facebook/sam-vit-*); SAM-HQ checkpoints load the same
+encoder/decoder with the HQ token ignored (quality parity with base SAM).
+
+TPU-first notes: window partitioning is pure reshape/transpose (no
+padding needed at the canonical 64x64 grid with window 14 -> padded to
+70), and the decomposed rel-pos bias is two einsums.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatialrgpt_tpu.ops.layers import gelu_erf, layer_norm, linear
+
+Params = Dict
+
+
+@dataclass(frozen=True)
+class SamVisionConfig:
+    hidden_size: int = 1280  # vit_h
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 16
+    intermediate_size: int = 5120
+    image_size: int = 1024
+    patch_size: int = 16
+    output_channels: int = 256
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    layer_norm_eps: float = 1e-6
+
+
+@dataclass(frozen=True)
+class SamConfig:
+    vision: SamVisionConfig = SamVisionConfig()
+    prompt_hidden_size: int = 256
+    image_embedding_size: int = 64
+    decoder_hidden_size: int = 256
+    decoder_num_heads: int = 8
+    decoder_mlp_dim: int = 2048
+    decoder_layers: int = 2
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden: int = 256
+
+
+# ---------------------------------------------------------------------------
+# Vision encoder
+# ---------------------------------------------------------------------------
+
+
+def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Relative position table lookup (modeling_sam.get_rel_pos); table is
+    assumed pre-sized to 2*size - 1 (always true at fixed resolution)."""
+    q = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q - k) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.astype(jnp.int32)]
+
+
+def _vision_attention(x: jax.Array, p: Params, cfg: SamVisionConfig) -> jax.Array:
+    """x: (B, H, W, C) windowed or global block."""
+    B, H, W, C = x.shape
+    nh = cfg.num_attention_heads
+    d = C // nh
+    qkv = linear(x.reshape(B, H * W, C), p["qkv"])  # (B, HW, 3C)
+    qkv = qkv.reshape(B, H * W, 3, nh, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, HW, nh, d)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (d**-0.5)
+
+    rh = _get_rel_pos(H, H, p["rel_pos_h"].astype(jnp.float32))  # (H, H, d)
+    rw = _get_rel_pos(W, W, p["rel_pos_w"].astype(jnp.float32))
+    qg = q.reshape(B, H, W, nh, d).astype(jnp.float32)
+    rel_h = jnp.einsum("bhwnc,hkc->bnhwk", qg, rh)  # (B, nh, H, W, Hk)
+    rel_w = jnp.einsum("bhwnc,wkc->bnhwk", qg, rw)  # (B, nh, H, W, Wk)
+    bias = rel_h[..., :, None] + rel_w[..., None, :]  # (B, nh, H, W, Hk, Wk)
+    # HF computes (q*scale) @ k^T and adds the rel-pos bias built from the
+    # UN-scaled q -- so the bias is added raw here too.
+    scores = scores.reshape(B, nh, H, W, H, W) + bias
+    scores = scores.reshape(B, nh, H * W, H * W)
+
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, H * W, C)
+    return linear(out, p["proj"]).reshape(B, H, W, C)
+
+
+def _window_partition(x: jax.Array, w: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    B, H, W, C = x.shape
+    pad_h = (w - H % w) % w
+    pad_w = (w - W % w) % w
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // w, w, Wp // w, w, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, w, w, C)
+    return x, (Hp, Wp)
+
+
+def _window_unpartition(wins: jax.Array, w: int, pad_hw, hw) -> jax.Array:
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = wins.shape[0] // (Hp * Wp // w // w)
+    x = wins.reshape(B, Hp // w, Wp // w, w, w, -1)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+def _vision_layer(x, p, cfg: SamVisionConfig, window_size: int):
+    res = x
+    h = layer_norm(x, p["ln1"], eps=cfg.layer_norm_eps)
+    if window_size > 0:
+        H, W = h.shape[1], h.shape[2]
+        h, pad_hw = _window_partition(h, window_size)
+        h = _vision_attention(h, p["attn"], cfg)
+        h = _window_unpartition(h, window_size, pad_hw, (H, W))
+    else:
+        h = _vision_attention(h, p["attn"], cfg)
+    x = res + h
+    h = layer_norm(x, p["ln2"], eps=cfg.layer_norm_eps)
+    h = linear(h, p["mlp"]["lin1"])
+    h = gelu_erf(h)
+    h = linear(h, p["mlp"]["lin2"])
+    return x + h
+
+
+def _channels_ln(x: jax.Array, p, eps=1e-6) -> jax.Array:
+    """SamLayerNorm channels_first == LN over channel axis (NHWC last)."""
+    return layer_norm(x, p, eps=eps)
+
+
+def encode_image(params: Params, pixel_values: jax.Array, cfg: SamVisionConfig) -> jax.Array:
+    """(B, H, W, 3) -> (B, g, g, output_channels) image embedding."""
+    k = params["patch_embed"]["kernel"]
+    x = jax.lax.conv_general_dilated(
+        pixel_values.astype(k.dtype),
+        k,
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed"]["bias"]
+    x = x + params["pos_embed"].astype(x.dtype)
+    for li, lp in enumerate(params["layers"]):
+        w = 0 if li in cfg.global_attn_indexes else cfg.window_size
+        x = _vision_layer(x, lp, cfg, w)
+    # neck: 1x1 conv -> LN -> 3x3 conv -> LN (no bias convs)
+    x = jnp.einsum("bhwc,cd->bhwd", x, params["neck"]["conv1"].astype(x.dtype))
+    x = _channels_ln(x, params["neck"]["ln1"])
+    x = jax.lax.conv_general_dilated(
+        x,
+        params["neck"]["conv2"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = _channels_ln(x, params["neck"]["ln2"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Prompt encoder
+# ---------------------------------------------------------------------------
+
+
+def _fourier_embed(coords: jax.Array, table: jax.Array) -> jax.Array:
+    """coords in [0,1] -> sin/cos Fourier features (SamPositionalEmbedding)."""
+    c = 2.0 * coords - 1.0
+    c = c @ table.astype(c.dtype)
+    c = 2.0 * jnp.pi * c
+    return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
+
+
+def image_positional_embedding(params: Params, cfg: SamConfig) -> jax.Array:
+    size = cfg.image_embedding_size
+    grid = jnp.ones((size, size), jnp.float32)
+    y = (jnp.cumsum(grid, axis=0) - 0.5) / size
+    x = (jnp.cumsum(grid, axis=1) - 0.5) / size
+    pe = _fourier_embed(jnp.stack([x, y], axis=-1), params["pe_table"])
+    return pe[None]  # (1, g, g, C)
+
+
+def embed_boxes(params: Params, boxes: jax.Array, cfg: SamConfig) -> jax.Array:
+    """boxes (B, N, 4) xyxy in input-image pixels -> (B, N, 2, C)."""
+    b = boxes + 0.5
+    corners = b.reshape(*b.shape[:-1], 2, 2) / params["input_image_size"]
+    emb = _fourier_embed(corners, params["pe_table_prompt"])
+    emb = emb.at[..., 0, :].add(params["point_embed"][2].astype(emb.dtype))
+    emb = emb.at[..., 1, :].add(params["point_embed"][3].astype(emb.dtype))
+    return emb
+
+
+def no_mask_dense_embedding(params: Params, cfg: SamConfig, batch: int) -> jax.Array:
+    g = cfg.image_embedding_size
+    return jnp.broadcast_to(
+        params["no_mask_embed"][None, None, None, :], (batch, g, g, params["no_mask_embed"].shape[0])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mask decoder (two-way transformer)
+# ---------------------------------------------------------------------------
+
+
+def _attn(q, k, v, p, num_heads):
+    """SamAttention: (B, N, C) inputs, optionally downsampled internal."""
+    qq = linear(q, p["q"])
+    kk = linear(k, p["k"])
+    vv = linear(v, p["v"])
+    B, Nq, Ci = qq.shape
+    d = Ci // num_heads
+    qq = qq.reshape(B, Nq, num_heads, d)
+    kk = kk.reshape(B, kk.shape[1], num_heads, d)
+    vv = vv.reshape(B, vv.shape[1], num_heads, d)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qq, kk, preferred_element_type=jnp.float32) * (d**-0.5)
+    pr = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(vv.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", pr, vv).reshape(B, Nq, Ci)
+    return linear(o, p["out"])
+
+
+def _two_way_block(queries, keys, qpe, kpe, p, cfg: SamConfig, skip_first_pe: bool):
+    if skip_first_pe:
+        # first layer REPLACES queries with the self-attention output
+        # (SamTwoWayAttentionBlock.forward skip_first_layer_pe branch)
+        queries = _attn(queries, queries, queries, p["self_attn"], cfg.decoder_num_heads)
+    else:
+        q = queries + qpe
+        queries = queries + _attn(q, q, queries, p["self_attn"], cfg.decoder_num_heads)
+    queries = layer_norm(queries, p["ln1"])
+    q = queries + qpe
+    k = keys + kpe
+    queries = queries + _attn(q, k, keys, p["t2i"], cfg.decoder_num_heads)
+    queries = layer_norm(queries, p["ln2"])
+    h = linear(queries, p["mlp"]["lin1"])
+    h = jax.nn.relu(h)
+    queries = queries + linear(h, p["mlp"]["lin2"])
+    queries = layer_norm(queries, p["ln3"])
+    q = queries + qpe
+    k = keys + kpe
+    keys = keys + _attn(k, q, queries, p["i2t"], cfg.decoder_num_heads)
+    keys = layer_norm(keys, p["ln4"])
+    return queries, keys
+
+
+def _ffn(x, p, sigmoid=False):
+    h = jax.nn.relu(linear(x, p["proj_in"]))
+    for lp in p.get("layers", []):
+        h = jax.nn.relu(linear(h, lp))
+    h = linear(h, p["proj_out"])
+    return jax.nn.sigmoid(h) if sigmoid else h
+
+
+def decode_masks(
+    params: Params,
+    cfg: SamConfig,
+    image_embeddings: jax.Array,  # (B, g, g, C)
+    sparse_prompts: jax.Array,  # (B, N, C) prompt tokens (flattened point batch)
+    dense_prompts: Optional[jax.Array] = None,  # (B, g, g, C)
+    multimask: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (masks (B, M, 4g, 4g), iou_pred (B, M))."""
+    B, g, _, C = image_embeddings.shape
+    dp = params["decoder"]
+    n_mask_tokens = cfg.num_multimask_outputs + 1
+    out_tokens = jnp.concatenate([dp["iou_token"], dp["mask_tokens"]], axis=0)  # (1+M, C)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(out_tokens[None], (B, out_tokens.shape[0], C)), sparse_prompts], axis=1
+    )
+
+    img = image_embeddings
+    if dense_prompts is not None:
+        img = img + dense_prompts
+    keys = img.reshape(B, g * g, C)
+    kpe = jnp.broadcast_to(
+        image_positional_embedding(params, cfg).reshape(1, g * g, C), (B, g * g, C)
+    ).astype(keys.dtype)
+
+    queries = tokens
+    for i, bp in enumerate(dp["layers"]):
+        queries, keys = _two_way_block(queries, keys, tokens, kpe, bp, cfg, skip_first_pe=(i == 0))
+    q = queries + tokens
+    k = keys + kpe
+    queries = queries + _attn(q, k, keys, dp["final_t2i"], cfg.decoder_num_heads)
+    # HF's layer_norm_final_attn is a default nn.LayerNorm -> eps 1e-5
+    queries = layer_norm(queries, dp["final_ln"], eps=1e-5)
+
+    iou_out = queries[:, 0]
+    mask_tokens_out = queries[:, 1 : 1 + n_mask_tokens]
+
+    # upscale image features 4x: two stride-2 deconvs with LN+GELU between
+    grid = keys.reshape(B, g, g, C)
+    up = _deconv2(grid, dp["up1"])
+    up = gelu_erf(_channels_ln(up, dp["up_ln"]))
+    up = gelu_erf(_deconv2(up, dp["up2"]))  # (B, 4g, 4g, C/8)
+
+    hyper = jnp.stack(
+        [_ffn(mask_tokens_out[:, i], dp["hyper"][i]) for i in range(n_mask_tokens)], axis=1
+    )  # (B, M, C/8)
+    masks = jnp.einsum(
+        "bmc,bhwc->bmhw", hyper, up.astype(hyper.dtype), preferred_element_type=jnp.float32
+    )
+    iou_pred = _ffn(iou_out, dp["iou_head"])
+    if multimask:
+        return masks[:, 1:], iou_pred[:, 1:]
+    return masks[:, :1], iou_pred[:, :1]
+
+
+def _deconv2(x, p):
+    n, h, w, ci = x.shape
+    k = p["kernel"].astype(x.dtype)  # (2, 2, Ci, Co)
+    co = k.shape[-1]
+    y = jnp.einsum("nhwc,pqcd->nhwpqd", x, k, preferred_element_type=jnp.float32).astype(x.dtype)
+    y = y + p["bias"].astype(x.dtype)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, h * 2, w * 2, co)
+
+
+def predict_boxes(
+    params: Params, cfg: SamConfig, pixel_values: jax.Array, boxes: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Full pipeline: image + (B, N, 4) boxes -> best mask per box.
+
+    Returns (masks (B*N, 4g, 4g) logits, iou (B*N,)).  Mirrors the demo's
+    box-prompt flow (sam_utils.get_box_inputs -> predictor)."""
+    emb = encode_image(params["vision"], pixel_values, cfg.vision)
+    B, N = boxes.shape[0], boxes.shape[1]
+    sparse = embed_boxes(params, boxes, cfg)  # (B, N, 2, C)
+    # one mask per box: treat each box as its own prompt batch entry
+    emb_rep = jnp.repeat(emb, N, axis=0)
+    sparse = sparse.reshape(B * N, 2, -1)
+    dense = no_mask_dense_embedding(params, cfg, B * N).astype(emb_rep.dtype)
+    masks, iou = decode_masks(params, cfg, emb_rep, sparse, dense, multimask=False)
+    return masks[:, 0], iou[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Converter (HF SamModel)
+# ---------------------------------------------------------------------------
+
+
+def convert_sam(sd, cfg: SamConfig, dtype=jnp.float32) -> Params:
+    from spatialrgpt_tpu.utils.checkpoint import _dense, _ln, _np
+
+    v = cfg.vision
+    layers = []
+    for i in range(v.num_hidden_layers):
+        lp = f"vision_encoder.layers.{i}."
+        layers.append(
+            {
+                "ln1": _ln(sd, lp + "layer_norm1", dtype),
+                "ln2": _ln(sd, lp + "layer_norm2", dtype),
+                "attn": {
+                    "qkv": _dense(sd, lp + "attn.qkv", dtype),
+                    "proj": _dense(sd, lp + "attn.proj", dtype),
+                    "rel_pos_h": jnp.asarray(_np(sd[lp + "attn.rel_pos_h"]), dtype),
+                    "rel_pos_w": jnp.asarray(_np(sd[lp + "attn.rel_pos_w"]), dtype),
+                },
+                "mlp": {
+                    "lin1": _dense(sd, lp + "mlp.lin1", dtype),
+                    "lin2": _dense(sd, lp + "mlp.lin2", dtype),
+                },
+            }
+        )
+    vision = {
+        "patch_embed": {
+            "kernel": jnp.asarray(
+                _np(sd["vision_encoder.patch_embed.projection.weight"]).transpose(2, 3, 1, 0), dtype
+            ),
+            "bias": jnp.asarray(_np(sd["vision_encoder.patch_embed.projection.bias"]), dtype),
+        },
+        "pos_embed": jnp.asarray(_np(sd["vision_encoder.pos_embed"])[0], dtype),
+        "layers": layers,
+        "neck": {
+            "conv1": jnp.asarray(_np(sd["vision_encoder.neck.conv1.weight"])[:, :, 0, 0].T, dtype),
+            "ln1": _ln(sd, "vision_encoder.neck.layer_norm1", dtype),
+            "conv2": jnp.asarray(
+                _np(sd["vision_encoder.neck.conv2.weight"]).transpose(2, 3, 1, 0), dtype
+            ),
+            "ln2": _ln(sd, "vision_encoder.neck.layer_norm2", dtype),
+        },
+    }
+
+    def sam_attn(prefix):
+        return {
+            "q": _dense(sd, prefix + "q_proj", dtype),
+            "k": _dense(sd, prefix + "k_proj", dtype),
+            "v": _dense(sd, prefix + "v_proj", dtype),
+            "out": _dense(sd, prefix + "out_proj", dtype),
+        }
+
+    dec_layers = []
+    for i in range(cfg.decoder_layers):
+        lp = f"mask_decoder.transformer.layers.{i}."
+        dec_layers.append(
+            {
+                "self_attn": sam_attn(lp + "self_attn."),
+                "ln1": _ln(sd, lp + "layer_norm1", dtype),
+                "t2i": sam_attn(lp + "cross_attn_token_to_image."),
+                "ln2": _ln(sd, lp + "layer_norm2", dtype),
+                "mlp": {
+                    "lin1": _dense(sd, lp + "mlp.lin1", dtype),
+                    "lin2": _dense(sd, lp + "mlp.lin2", dtype),
+                },
+                "ln3": _ln(sd, lp + "layer_norm3", dtype),
+                "i2t": sam_attn(lp + "cross_attn_image_to_token."),
+                "ln4": _ln(sd, lp + "layer_norm4", dtype),
+            }
+        )
+
+    def ffn(prefix, n_mid):
+        p = {
+            "proj_in": _dense(sd, prefix + "proj_in", dtype),
+            "proj_out": _dense(sd, prefix + "proj_out", dtype),
+        }
+        mids = []
+        i = 0
+        while f"{prefix}layers.{i}.weight" in sd:
+            mids.append(_dense(sd, f"{prefix}layers.{i}", dtype))
+            i += 1
+        if mids:
+            p["layers"] = mids
+        return p
+
+    n_mask_tokens = cfg.num_multimask_outputs + 1
+    decoder = {
+        "iou_token": jnp.asarray(_np(sd["mask_decoder.iou_token.weight"]), dtype),
+        "mask_tokens": jnp.asarray(_np(sd["mask_decoder.mask_tokens.weight"]), dtype),
+        "layers": dec_layers,
+        "final_t2i": sam_attn("mask_decoder.transformer.final_attn_token_to_image."),
+        "final_ln": _ln(sd, "mask_decoder.transformer.layer_norm_final_attn", dtype),
+        "up1": {
+            "kernel": jnp.asarray(
+                _np(sd["mask_decoder.upscale_conv1.weight"]).transpose(2, 3, 0, 1), dtype
+            ),
+            "bias": jnp.asarray(_np(sd["mask_decoder.upscale_conv1.bias"]), dtype),
+        },
+        "up2": {
+            "kernel": jnp.asarray(
+                _np(sd["mask_decoder.upscale_conv2.weight"]).transpose(2, 3, 0, 1), dtype
+            ),
+            "bias": jnp.asarray(_np(sd["mask_decoder.upscale_conv2.bias"]), dtype),
+        },
+        "up_ln": _ln(sd, "mask_decoder.upscale_layer_norm", dtype),
+        "hyper": [
+            ffn(f"mask_decoder.output_hypernetworks_mlps.{i}.", 1) for i in range(n_mask_tokens)
+        ],
+        "iou_head": ffn("mask_decoder.iou_prediction_head.", 1),
+    }
+
+    return {
+        "vision": vision,
+        "decoder": decoder,
+        # two Fourier tables: SamModel.shared_image_embedding (image-wide
+        # PE) and prompt_encoder.shared_embedding (point/box PE).  They are
+        # equal in released checkpoints but independent parameters.
+        "pe_table": jnp.asarray(_np(sd["shared_image_embedding.positional_embedding"]), dtype),
+        "pe_table_prompt": jnp.asarray(
+            _np(sd["prompt_encoder.shared_embedding.positional_embedding"]), dtype
+        ),
+        "point_embed": [
+            jnp.asarray(_np(sd[f"prompt_encoder.point_embed.{i}.weight"])[0], dtype) for i in range(4)
+        ],
+        "not_a_point_embed": jnp.asarray(_np(sd["prompt_encoder.not_a_point_embed.weight"])[0], dtype),
+        "no_mask_embed": jnp.asarray(_np(sd["prompt_encoder.no_mask_embed.weight"])[0], dtype),
+        "input_image_size": jnp.asarray(float(cfg.vision.image_size), jnp.float32),
+    }

@@ -1,0 +1,109 @@
+"""SAM JAX port parity vs HF SamModel (random weights, tiny config)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatialrgpt_tpu.models.sam import (
+    SamConfig,
+    SamVisionConfig,
+    convert_sam,
+    decode_masks,
+    embed_boxes,
+    encode_image,
+    image_positional_embedding,
+    no_mask_dense_embedding,
+    predict_boxes,
+)
+
+TINY = SamConfig(
+    vision=SamVisionConfig(
+        hidden_size=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=64,
+        patch_size=16,
+        output_channels=32,
+        window_size=2,
+        global_attn_indexes=(1, 3),
+    ),
+    prompt_hidden_size=32,
+    image_embedding_size=4,
+    decoder_hidden_size=32,
+    decoder_num_heads=2,
+    decoder_mlp_dim=64,
+    decoder_layers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_sam():
+    import torch
+    from transformers import SamConfig as HFCfg
+    from transformers import SamModel
+
+    torch.manual_seed(0)
+    cfg = HFCfg(
+        vision_config=dict(
+            hidden_size=64,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            image_size=64,
+            patch_size=16,
+            intermediate_size=128,
+            output_channels=32,
+            global_attn_indexes=[1, 3],
+            window_size=2,
+            num_pos_feats=16,  # Fourier dim -> decoder hidden 32
+            attn_implementation="eager",
+        ),
+        prompt_encoder_config=dict(
+            hidden_size=32, image_embedding_size=4, image_size=64, patch_size=16, mask_input_channels=4
+        ),
+        mask_decoder_config=dict(
+            hidden_size=32,
+            num_attention_heads=2,
+            mlp_dim=64,
+            num_hidden_layers=2,
+            iou_head_depth=2,
+            iou_head_hidden_dim=32,
+        ),
+        attn_implementation="eager",
+    )
+    return SamModel(cfg).eval()
+
+
+def test_image_encoder_parity(hf_sam):
+    import torch
+
+    params = convert_sam(hf_sam.state_dict(), TINY)
+    pix = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = hf_sam.vision_encoder(torch.from_numpy(pix.transpose(0, 3, 1, 2)))[0].numpy()
+    got = np.asarray(encode_image(params["vision"], jnp.asarray(pix), TINY.vision))
+    # HF returns (B, C, H, W)
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), expected, atol=2e-4, rtol=2e-3)
+
+
+def test_full_box_prediction_parity(hf_sam):
+    import torch
+
+    params = convert_sam(hf_sam.state_dict(), TINY)
+    rng = np.random.default_rng(1)
+    pix = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    boxes = np.array([[[8.0, 8.0, 40.0, 48.0], [4.0, 16.0, 30.0, 30.0]]], np.float32)
+
+    with torch.no_grad():
+        out = hf_sam(
+            pixel_values=torch.from_numpy(pix.transpose(0, 3, 1, 2)),
+            input_boxes=torch.from_numpy(boxes),
+            multimask_output=False,
+        )
+    expected_masks = out.pred_masks.numpy()  # (1, n_boxes, 1, 4g, 4g)
+    expected_iou = out.iou_scores.numpy()
+
+    masks, iou = predict_boxes(params, TINY, jnp.asarray(pix), jnp.asarray(boxes))
+    got_masks = np.asarray(masks).reshape(1, 2, *masks.shape[-2:])
+    np.testing.assert_allclose(got_masks, expected_masks[:, :, 0], atol=5e-3, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(iou).reshape(1, 2), expected_iou[:, :, 0], atol=1e-3, rtol=1e-2)
