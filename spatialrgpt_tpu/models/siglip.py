@@ -91,17 +91,42 @@ def init_params(rng: jax.Array, cfg: SiglipVisionConfig, dtype=jnp.float32) -> P
 
 
 def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
-    """Bidirectional multi-head attention over (B, S, C), fp32 softmax."""
+    """Bidirectional multi-head attention over (B, S, C).
+
+    On TPU the Pallas flash kernel is used (sequence padded to a block
+    multiple with segment-id masking); the XLA fallback materializes the
+    full (B, H, S, S) score tensor, which at SigLIP's 729 tokens x big
+    batches is HBM-bound and dominates TTFT.
+    """
     B, S, C = x.shape
     D = C // num_heads
     q = linear(x, p["wq"]).reshape(B, S, num_heads, D)
     k = linear(x, p["wk"]).reshape(B, S, num_heads, D)
     v = linear(x, p["wv"]).reshape(B, S, num_heads, D)
 
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores * (D**-0.5)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    from spatialrgpt_tpu.ops.flash_attention import _on_tpu, flash_attention
+
+    if _on_tpu() and S >= 256:
+        block = 128
+        S_pad = ((S + block - 1) // block) * block
+        pad = S_pad - S
+        if pad:
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        else:
+            qp, kp, vp = q, k, v
+        seg = jnp.concatenate(
+            [jnp.ones((B, S), jnp.int32), jnp.zeros((B, pad), jnp.int32)], axis=1
+        )
+        out = flash_attention(
+            qp, kp, vp, segment_ids=seg, causal=False, block_q=block, block_k=block
+        )[:, :S]
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (D**-0.5)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     return linear(out.reshape(B, S, C), p["wo"])
 
 
