@@ -1,0 +1,87 @@
+"""InternViT numerics (torch-replica oracle), RADIO spec/processor, tower builder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatialrgpt_tpu.models.intern_vit import InternVisionConfig, forward_features, init_params
+from spatialrgpt_tpu.models.radio import RadioImageProcessor, parse_radio_spec
+from spatialrgpt_tpu.models.tower_builder import build_vision_tower
+
+
+def test_intern_vit_against_torch_replica():
+    import torch
+    import torch.nn as nn
+
+    cfg = InternVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        qk_normalization=True, select_layer=-1,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # torch replica of the vendored block math (modeling_intern_vit.py:310-411)
+    def rms(x, w, eps=1e-6):
+        var = x.float().pow(2).mean(-1, keepdim=True)
+        return x.float() * torch.rsqrt(var + eps) * w
+
+    pix = np.random.default_rng(0).standard_normal((1, 28, 28, 3)).astype(np.float32)
+    with torch.no_grad():
+        kern = torch.from_numpy(np.asarray(params["patch_embed"]["kernel"]))
+        x = torch.nn.functional.conv2d(
+            torch.from_numpy(pix.transpose(0, 3, 1, 2)),
+            kern.permute(3, 2, 0, 1), bias=torch.from_numpy(np.asarray(params["patch_embed"]["bias"])),
+            stride=14)
+        x = x.flatten(2).transpose(1, 2)
+        cls = torch.from_numpy(np.asarray(params["class_embed"]))[None, None]
+        x = torch.cat([cls.expand(1, 1, -1), x], dim=1)
+        x = x + torch.from_numpy(np.asarray(params["pos_embed"]))[None]
+        for lp in params["layers"]:
+            h = rms(x, torch.from_numpy(np.asarray(lp["norm1"])))
+            B, N, C = h.shape
+            qkv = h @ torch.from_numpy(np.asarray(lp["qkv"]["kernel"])).float() + torch.from_numpy(np.asarray(lp["qkv"]["bias"]))
+            qkv = qkv.reshape(B, N, 3, 4, C // 4)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            q = rms(q.reshape(B, N, C), torch.from_numpy(np.asarray(lp["q_norm"]))).reshape(B, N, 4, C // 4)
+            k = rms(k.reshape(B, N, C), torch.from_numpy(np.asarray(lp["k_norm"]))).reshape(B, N, 4, C // 4)
+            s = torch.einsum("bqhd,bkhd->bhqk", q, k) / (C // 4) ** 0.5
+            p = s.softmax(-1)
+            o = torch.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, N, C)
+            o = o @ torch.from_numpy(np.asarray(lp["proj"]["kernel"])).float() + torch.from_numpy(np.asarray(lp["proj"]["bias"]))
+            x = x + o * torch.from_numpy(np.asarray(lp["ls1"]))
+            h = rms(x, torch.from_numpy(np.asarray(lp["norm2"])))
+            h = h @ torch.from_numpy(np.asarray(lp["mlp"]["fc1"]["kernel"])).float() + torch.from_numpy(np.asarray(lp["mlp"]["fc1"]["bias"]))
+            h = torch.nn.functional.gelu(h)
+            h = h @ torch.from_numpy(np.asarray(lp["mlp"]["fc2"]["kernel"])).float() + torch.from_numpy(np.asarray(lp["mlp"]["fc2"]["bias"]))
+            x = x + h * torch.from_numpy(np.asarray(lp["ls2"]))
+        expected = x.numpy()[:, 1:]  # select_feature patch drops cls
+    got = np.asarray(forward_features(params, jnp.asarray(pix), cfg))
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+
+
+def test_radio_spec_and_processor():
+    spec = parse_radio_spec("radio:768:radio_v2.1:adaptor=clip,extra")
+    assert spec.resolution == 768 and spec.checkpoint == "radio_v2.1"
+    assert spec.options_dict["adaptor"] == "clip"
+
+    proc = RadioImageProcessor(longest_edge=64, pad_multiple=16)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (100, 50, 3)).astype(np.uint8)
+    out = proc(img)
+    nh, nw = out["unpadded_size"]
+    assert nh == 64 and nw == 32
+    assert out["pixel_values"].shape == (64, 32, 3)
+    # pad to multiple when needed
+    img2 = rng.integers(0, 255, (100, 70, 3)).astype(np.uint8)
+    out2 = proc(img2)
+    assert out2["pixel_values"].shape[0] % 16 == 0
+
+
+def test_tower_builder_dispatch():
+    t = build_vision_tower("google/siglip-so400m-patch14-384")
+    assert t.family == "siglip" and t.mm_hidden_size == 1152
+    t = build_vision_tower("openai/clip-vit-large-patch14-336", use_s2=True, s2_scales="336,672")
+    assert t.family == "clip" and t.mm_hidden_size == 2048
+    t = build_vision_tower("OpenGVLab/InternViT-6B-448px")
+    assert t.family == "intern" and t.mm_hidden_size == 3200
+    t = build_vision_tower("radio:432:radio_v2:")
+    assert t.family == "radio" and t.config.resolution == 432
