@@ -59,16 +59,16 @@ def _block_sizes(s_q: int, s_k: int, bq: Optional[int], bk: Optional[int]):
 
 
 def _fwd_kernel(
-    q_ref,  # (bq, D)
-    k_ref,  # (bk, D)
-    v_ref,  # (bk, D)
-    qseg_ref,  # (1, bq) int32 or None
-    kseg_ref,  # (1, bk) int32 or None
-    out_ref,  # (bq, D)
-    lse_ref,  # (1, bq) fp32
-    acc_ref,  # VMEM (bq, D) fp32
-    m_ref,  # VMEM (bq, 1) fp32
-    l_ref,  # VMEM (bq, 1) fp32
+    q_ref,  # (1, hb, bq, D)
+    k_ref,  # (1, hb, bk, D)
+    v_ref,  # (1, hb, bk, D)
+    qseg_ref,  # (1, 1, bq) int32 or None
+    kseg_ref,  # (1, 1, bk) int32 or None
+    out_ref,  # (1, hb, bq, D)
+    lse_ref,  # (1, hb, 1, bq) fp32
+    acc_ref,  # VMEM (hb, bq, D) fp32
+    m_ref,  # VMEM (hb, bq, 1) fp32
+    l_ref,  # VMEM (hb, bq, 1) fp32
     *,
     causal: bool,
     sm_scale: float,
@@ -76,7 +76,11 @@ def _fwd_kernel(
     block_k: int,
     num_k_blocks: int,
     window: int = 0,
+    block_h: int = 1,
 ):
+    """block_h > 1 processes several heads per program (unrolled loop),
+    amortizing per-program overhead when per-head work is small (e.g. the
+    ViT's 729-token D=72 attention)."""
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -96,16 +100,6 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _body():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bq, bk)
-        s = s * sm_scale
-
         mask = None
         if causal:
             rows = qi * block_q + jax.lax.broadcasted_iota(
@@ -124,33 +118,45 @@ def _fwd_kernel(
             ks = kseg_ref[0].reshape(1, block_k)  # (1, bk) int32
             seg = (qs == ks) & (qs != 0)
             mask = seg if mask is None else (mask & seg)
-        if mask is not None:
-            s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_ref[:]  # (bq, 1)
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # (bq, bk)
-        if mask is not None:
-            p = jnp.where(mask, p, 0.0)
+        for h in range(block_h):
+            q = q_ref[0, h].astype(jnp.float32)
+            k = k_ref[0, h].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q,
+                k,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, bk)
+            s = s * sm_scale
+            if mask is not None:
+                s = jnp.where(mask, s, NEG_INF)
 
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype),
-            v_ref[0, 0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[:] = m_new
+            m_prev = m_ref[h]  # (bq, 1)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)  # (bq, bk)
+            if mask is not None:
+                p = jnp.where(mask, p, 0.0)
+
+            l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype),
+                v_ref[0, h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = m_new
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
-        l = l_ref[:]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0, 0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
-        lse = m_ref[:] + jnp.log(l_safe)
-        lse_ref[0, 0, 0, :] = jnp.where(l == 0.0, NEG_INF, lse)[:, 0]
+        for h in range(block_h):
+            l = l_ref[h]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            out_ref[0, h] = (acc_ref[h] / l_safe).astype(out_ref.dtype)
+            lse = m_ref[h] + jnp.log(l_safe)
+            lse_ref[0, h, 0, :] = jnp.where(l == 0.0, NEG_INF, lse)[:, 0]
 
 
 def _fwd(
@@ -166,22 +172,29 @@ def _fwd(
     block_k: int,
     interpret: bool,
     window: int = 0,
+    block_h: int = 1,
 ):
     B, Hq, Sq, D = q.shape
     Hk, Sk = k.shape[1], k.shape[2]
     group = Hq // Hk
     nq, nk = Sq // block_q, Sk // block_k
+    if block_h <= 0:
+        block_h = 1
+    assert Hq % block_h == 0
+    # multi-head blocks only when kv heads align (no GQA mixing in-block)
+    if block_h > 1:
+        assert group == 1, "block_h > 1 requires Hq == Hk"
 
     def qmap(b, h, i, j):
         return (b, h, i, 0)
 
     def kvmap(b, h, i, j):
-        return (b, h // group, j, 0)
+        return (b, h // group if block_h == 1 else h, j, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, D), qmap),
-        pl.BlockSpec((1, 1, block_k, D), kvmap),
-        pl.BlockSpec((1, 1, block_k, D), kvmap),
+        pl.BlockSpec((1, block_h, block_q, D), qmap),
+        pl.BlockSpec((1, block_h, block_k, D), kvmap),
+        pl.BlockSpec((1, block_h, block_k, D), kvmap),
     ]
     args = [q, k, v]
     if q_seg is not None:
@@ -198,26 +211,27 @@ def _fwd(
         block_k=block_k,
         num_k_blocks=nk,
         window=window,
+        block_h=block_h,
     )
     if q_seg is None:
         kernel = functools.partial(_drop_seg_fwd, kernel)
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=(B, Hq, nq, nk),
+        grid=(B, Hq // block_h, nq, nk),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, D), qmap),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
+            pl.BlockSpec((1, block_h, block_q, D), qmap),
+            pl.BlockSpec((1, block_h, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct((B, Hq, 1, Sq), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_h, block_q, D), jnp.float32),
+            pltpu.VMEM((block_h, block_q, 1), jnp.float32),
+            pltpu.VMEM((block_h, block_q, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -376,27 +390,29 @@ def _drop_seg_bwd(kernel, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
 )
-def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window):
+def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window, block_h):
     out, _ = _fwd(
         q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, interpret=interpret, window=window,
+        block_h=block_h,
     )
     return out
 
 
-def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window):
+def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window, block_h):
     out, lse = _fwd(
         q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, interpret=interpret, window=window,
+        block_h=block_h,
     )
     return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, window, res, do):
+def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, window, block_h, res, do):
     q, k, v, q_seg, kv_seg, out, lse = res
     B, Hq, Sq, D = q.shape
     Hk, Sk = k.shape[1], k.shape[2]
@@ -523,6 +539,7 @@ def flash_attention(
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     window: Optional[int] = None,  # sliding-window (mistral); causal only
+    block_h: int = 1,  # heads per program (amortizes overhead; fwd only)
 ) -> jax.Array:
     """Flash attention over (B, S, H, D) tensors; differentiable.
 
@@ -540,7 +557,7 @@ def flash_attention(
     vt = jnp.transpose(v, (0, 2, 1, 3))
     seg = segment_ids.astype(jnp.int32) if segment_ids is not None else None
 
-    out = _flash(qt, kt, vt, seg, seg, causal, sm_scale, bq, bk, interpret, window or 0)
+    out = _flash(qt, kt, vt, seg, seg, causal, sm_scale, bq, bk, interpret, window or 0, block_h)
     out = jnp.transpose(out, (0, 2, 1, 3))
     if segment_ids is not None:
         out = out * (segment_ids != 0)[:, :, None, None].astype(out.dtype)

@@ -87,3 +87,16 @@ def test_fwd_bf16():
     np.testing.assert_allclose(
         np.asarray(got.astype(jnp.float32)), np.asarray(exp), atol=3e-2, rtol=3e-2
     )
+
+
+def test_fwd_block_h_multihead():
+    rng = np.random.default_rng(5)
+    q, k, v = _rand_qkv(rng, 2, 128, 8, 8, 32)
+    seg = jnp.asarray(np.where(np.arange(128) < 100, 1, 0)[None].repeat(2, 0), jnp.int32)
+    got = flash_attention(
+        q, k, v, segment_ids=seg, causal=False, block_q=64, block_k=64, block_h=4, interpret=True
+    )
+    exp = flash_attention(
+        q, k, v, segment_ids=seg, causal=False, block_q=64, block_k=64, block_h=1, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)

@@ -1,0 +1,103 @@
+"""Quantization, DPO loss, feature viz, region-cls scoring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__ as graft
+from spatialrgpt_tpu.models import llama, vlm
+from spatialrgpt_tpu.ops.quant import dequantize, dequantize_llm, quantize_int4, quantize_int8, quantize_llm
+
+
+def test_int8_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    q = quantize_int8(w)
+    back = dequantize(q, jnp.float32)
+    err = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
+    assert err < 0.01
+
+
+def test_int4_roundtrip_and_odd_dim():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((33, 16)), jnp.float32)  # odd dim0
+    q = quantize_int4(w)
+    back = dequantize(q, jnp.float32)
+    assert back.shape == w.shape
+    err = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
+    assert err < 0.12
+
+
+def test_quantize_llm_preserves_quality():
+    from spatialrgpt_tpu.config import LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_llm(params, bits=8)
+    back = dequantize_llm(qp, jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (1, 8)), jnp.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+    a = llama.forward_logits(params, cfg, input_ids=ids, position_ids=pos)
+    b = llama.forward_logits(back, cfg, input_ids=ids, position_ids=pos)
+    # logits shift a little but argmax ranking should essentially hold
+    assert (jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean() > 0.9
+
+
+def test_dpo_loss_prefers_chosen():
+    from spatialrgpt_tpu.train.dpo import dpo_loss
+
+    cfg = graft._tiny_cfg()
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ref = vlm.init_params(jax.random.PRNGKey(0), cfg)  # identical ref
+    chosen = graft._tiny_batch(cfg, B=2, S=64, seed=1)
+    rejected = graft._tiny_batch(cfg, B=2, S=64, seed=2)
+    loss, metrics = dpo_loss(params, ref, cfg, chosen, rejected, beta=0.1)
+    # identical policy/ref -> logits 0 -> loss = log 2
+    np.testing.assert_allclose(float(loss), np.log(2.0), atol=1e-4)
+    assert "reward_accuracy" in metrics
+
+
+def test_feature_viz():
+    from spatialrgpt_tpu.utils.visualize_features import feature_map_rgb
+
+    rng = np.random.default_rng(0)
+    toks = rng.standard_normal((49, 32)).astype(np.float32)
+    img = feature_map_rgb(toks)
+    assert img.shape == (7, 7, 3) and img.dtype == np.uint8
+    batched = feature_map_rgb(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    assert batched.shape == (2, 4, 4, 3)
+
+
+def test_region_cls_scoring():
+    from spatialrgpt_tpu.eval.region_cls import (
+        coco_annotation_to_items,
+        get_crop_box,
+        score_region_predictions,
+    )
+
+    res = score_region_predictions(
+        [
+            {"pred": "This is a dog sitting.", "gt_category": "dog"},
+            {"pred": "a cat", "gt_category": "dog"},
+        ]
+    )
+    assert res["accuracy"] == 50.0 and res["acc_dog"] == 50.0
+
+    box = get_crop_box([[10, 10, 30, 30]], {"height": 100, "width": 200})
+    assert box[2] - box[0] == 100 and box[3] - box[1] == 100
+
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 50, "width": 60}],
+        "categories": [{"id": 7, "name": "dog"}],
+        "annotations": [
+            {"image_id": 1, "category_id": 7, "bbox": [5, 5, 10, 20], "iscrowd": 0},
+            {"image_id": 1, "category_id": 7, "bbox": [0, 0, 5, 5], "iscrowd": 1},
+        ],
+    }
+    items = coco_annotation_to_items(coco)
+    assert len(items) == 1 and items[0]["category"] == "dog"
+    assert items[0]["bbox"] == [5, 5, 15, 25]
