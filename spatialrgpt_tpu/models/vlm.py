@@ -111,7 +111,7 @@ def splice_embeds(
     text -> embedding table; <mask>/<depth> positions -> region embeds
     (in-place overwrite, llava_arch.py:470-501); image slots -> projected
     image tokens (llava_arch.py:519-539)."""
-    embeds = llama.embed_tokens(params["llm"], inputs.input_ids)
+    embeds = llama.embed_tokens(params["llm"], inputs.input_ids, cfg.llm)
     H = embeds.shape[-1]
 
     if mask_embeds is not None:

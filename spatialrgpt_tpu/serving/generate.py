@@ -108,7 +108,7 @@ def generate(
     def step(state):
         t, tokens, done, cache, rng = state
         prev_tok = tokens[:, t - 1]
-        x = llama.embed_tokens(params["llm"], prev_tok[:, None])
+        x = llama.embed_tokens(params["llm"], prev_tok[:, None], cfg.llm)
         pos = (prompt_lengths + t - 1)[:, None]
         h, cache = _decode_step(params, cfg, x, pos, cache, prompt_lengths, S, t - 1)
         logits = llama.logits(params["llm"], h, cfg.llm)[:, 0].astype(jnp.float32)
@@ -154,14 +154,18 @@ def _decode_step(params, cfg, x, pos, cache, prompt_lengths, prompt_pad_len, ste
         slot_ids[None, :] <= slot,
     )
     for li, lp in enumerate(params["llm"]["layers"]):
-        hn = _rms(h, lp["input_ln"], cfg.llm.rms_norm_eps)
+        hn = llama._norm(h, lp["input_ln"], cfg.llm)
         attn_out, (ck, cv) = _cached_attention(hn, lp["attn"], cfg.llm, pos, cache, li, slot, valid)
         h = h + attn_out
-        hn = _rms(h, lp["post_ln"], cfg.llm.rms_norm_eps)
-        h = h + llama._mlp_block(hn, lp["mlp"])
+        hn = llama._norm(h, lp["post_ln"], cfg.llm)
+        if cfg.llm.is_moe:
+            moe_out, _ = llama._moe_block(hn, lp, cfg.llm)
+            h = h + moe_out
+        else:
+            h = h + llama._mlp_block(hn, lp["mlp"], cfg.llm.hidden_act)
         new_ks.append(ck)
         new_vs.append(cv)
-    h = _rms(h, params["llm"]["final_ln"], cfg.llm.rms_norm_eps)
+    h = llama._norm(h, params["llm"]["final_ln"], cfg.llm)
     return h, llama.KVCache(tuple(new_ks), tuple(new_vs), cache.length)
 
 
