@@ -161,6 +161,7 @@ def _attention_block(
     layer_idx: int,
     cache: Optional[KVCache],
     impl: str,
+    collect_kv: bool = False,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, S, H = x.shape
     Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -180,7 +181,7 @@ def _attention_block(
         out = attn_ops.causal_attention(
             q, k, v, segment_ids=segment_ids, impl=impl, window=cfg.sliding_window
         )
-        new_kv = None
+        new_kv = (k, v) if collect_kv else None
 
     out = out.reshape(B, S, Hq * D)
     return linear(out, p["wo"]), new_kv
@@ -215,10 +216,10 @@ def _moe_block(x: jax.Array, p: Params, cfg: LlamaConfig) -> Tuple[jax.Array, ja
     return out, aux
 
 
-def _decoder_layer(x, p, cfg, position_ids, segment_ids, layer_idx, cache, impl):
+def _decoder_layer(x, p, cfg, position_ids, segment_ids, layer_idx, cache, impl, collect_kv=False):
     h = _norm(x, p["input_ln"], cfg)
     attn_out, new_kv = _attention_block(
-        h, p["attn"], cfg, position_ids, segment_ids, layer_idx, cache, impl
+        h, p["attn"], cfg, position_ids, segment_ids, layer_idx, cache, impl, collect_kv
     )
     x = x + attn_out
     h = _norm(x, p["post_ln"], cfg)
@@ -257,17 +258,21 @@ def forward(
     segment_ids: Optional[jax.Array] = None,  # (B, S); 0 = padding
     cache: Optional[KVCache] = None,
     attn_impl: str = "xla",
+    collect_kv: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden_states, updated cache).
 
     With ``segment_ids``, attention is causal within equal-id runs and
     blocked across them (packed-batch semantics); id 0 marks padding.
+    With ``collect_kv`` (cache is None) the per-layer K/V of this pass are
+    returned as a KVCache with capacity == S — the flash-attention prefill
+    path (attention cost S x S instead of S x capacity, no cache-copy).
     """
     x = inputs_embeds
     new_ks, new_vs = [], []
     for li, lp in enumerate(params["layers"]):
         x, new_kv = _decoder_layer(
-            x, lp, cfg, position_ids, segment_ids, li, cache, attn_impl
+            x, lp, cfg, position_ids, segment_ids, li, cache, attn_impl, collect_kv
         )
         if new_kv is not None:
             new_ks.append(new_kv[0])
@@ -276,6 +281,8 @@ def forward(
     new_cache = None
     if cache is not None:
         new_cache = KVCache(tuple(new_ks), tuple(new_vs), cache.length + inputs_embeds.shape[1])
+    elif collect_kv:
+        new_cache = KVCache(tuple(new_ks), tuple(new_vs), jnp.asarray(inputs_embeds.shape[1], jnp.int32))
     return x, new_cache
 
 

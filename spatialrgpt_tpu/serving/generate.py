@@ -75,22 +75,29 @@ def generate(
         rng = jax.random.PRNGKey(0)
 
     # ---- prefill ----
+    # flash-attention prefill over the padded prompt (cost S x S) with the
+    # per-layer K/V collected, then zero-padded out to cache capacity --
+    # cheaper than the decode-attention path (S x capacity scores) and
+    # avoids one full cache copy per layer.  Padded rows are masked by
+    # segment ids here and by the per-row validity mask during decode.
     embeds = vlm.prepare_embeds(params, cfg, inputs)
     capacity = S + max_new_tokens
     compute_dtype = embeds.dtype
-    cache = llama.KVCache.init(cfg.llm, B, capacity, dtype=compute_dtype)
-    h, cache = llama.forward(
+    h, kv = llama.forward(
         params["llm"],
         cfg.llm,
         inputs_embeds=embeds,
         position_ids=inputs.position_ids,
-        cache=cache,
+        segment_ids=inputs.segment_ids,
+        attn_impl=attn_impl,
+        collect_kv=True,
     )
-    # NOTE: prefill uses the cache path whose mask is plain-causal over the
-    # padded batch; padded positions beyond each row's prompt feed the KV
-    # cache but are never attended by decode steps (decode positions start
-    # at prompt_lengths and the causal mask hides nothing before them --
-    # see _decode_mask below for the per-row fix).
+    pad_tail = capacity - S
+    cache = llama.KVCache(
+        tuple(jnp.pad(k, ((0, 0), (0, pad_tail), (0, 0), (0, 0))) for k in kv.k),
+        tuple(jnp.pad(v, ((0, 0), (0, pad_tail), (0, 0), (0, 0))) for v in kv.v),
+        jnp.asarray(S, jnp.int32),
+    )
     last_idx = jnp.maximum(prompt_lengths - 1, 0)  # (B,)
     last_h = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]  # (B, H)
     first_logits = llama.logits(params["llm"], last_h[:, None], cfg.llm)[:, 0]
