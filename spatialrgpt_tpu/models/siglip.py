@@ -107,10 +107,9 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
     from spatialrgpt_tpu.ops.flash_attention import _on_tpu, flash_attention
 
     if _on_tpu() and S >= 256:
-        # whole-sequence blocks + multi-head programs: per-head work at
-        # S=729/D=72 is tiny, so program-launch overhead dominates unless
-        # several heads share one program
-        block = 384
+        # whole-sequence blocks: best measured config for S=729/D=72
+        # (head-blocked variants measured slower or VMEM-bound)
+        block = 768 if S <= 768 else 384
         S_pad = ((S + block - 1) // block) * block
         pad = S_pad - S
         if pad:
@@ -122,10 +121,9 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
         seg = jnp.concatenate(
             [jnp.ones((B, S), jnp.int32), jnp.zeros((B, pad), jnp.int32)], axis=1
         )
-        block_h = 4 if num_heads % 4 == 0 else 1
         out = flash_attention(
             qp, kp, vp, segment_ids=seg, causal=False,
-            block_q=block, block_k=block, block_h=block_h,
+            block_q=min(block, S_pad), block_k=min(block, S_pad),
         )[:, :S]
     else:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)

@@ -1,0 +1,228 @@
+"""Slot-based continuous batching serving engine.
+
+Goes beyond the reference's HF ``generate`` (whole-batch lockstep): a
+fixed pool of B decode slots over one shared KV cache; new requests are
+prefillled individually (own jit) and inserted into free slots while the
+other slots keep decoding — the TPU analogue of continuous batching
+(Orca-style iteration-level scheduling) with fully static shapes:
+
+  - cache: per layer (B, C, Hk, D); slot insertion = dynamic_update_slice
+    on the batch axis,
+  - every decode step runs all B slots; inactive slots are masked,
+  - per-slot positions/lengths drive the attention validity mask.
+
+All device work is jitted once; the scheduler is ordinary Python.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatialrgpt_tpu.config import SpatialRGPTConfig
+from spatialrgpt_tpu.models import llama, vlm
+from spatialrgpt_tpu.serving.generate import _cached_attention, _sample_token
+
+
+@dataclass
+class Request:
+    request_id: int
+    inputs: vlm.VLMInputs  # batch-1 prompt (padded to prompt_bucket)
+    prompt_length: int
+    max_new_tokens: int = 128
+    tokens: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        params,
+        cfg: SpatialRGPTConfig,
+        num_slots: int = 8,
+        prompt_bucket: int = 512,
+        max_new_tokens: int = 128,
+        attn_impl: str = "xla",
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.B = num_slots
+        self.S = prompt_bucket
+        self.capacity = prompt_bucket + max_new_tokens
+        self.max_new = max_new_tokens
+        self.attn_impl = attn_impl
+        self.dtype = dtype
+
+        self.cache = llama.KVCache.init(cfg.llm, self.B, self.capacity, dtype)
+        self.lengths = jnp.zeros((self.B,), jnp.int32)  # tokens in cache per slot
+        self.last_token = jnp.zeros((self.B,), jnp.int32)
+        self.active = np.zeros((self.B,), bool)  # host-side slot occupancy
+        self.slot_req: List[Optional[Request]] = [None] * self.B
+
+        self.queue: collections.deque = collections.deque()
+        self._ids = itertools.count()
+        self._build_fns()
+
+    # ------------------------------------------------------------------
+    def _build_fns(self):
+        cfg = self.cfg
+        attn_impl = self.attn_impl
+
+        @jax.jit
+        def prefill(params, inputs: vlm.VLMInputs, prompt_len):
+            embeds = vlm.prepare_embeds(params, cfg, inputs)
+            h, kv = llama.forward(
+                params["llm"],
+                cfg.llm,
+                inputs_embeds=embeds,
+                position_ids=inputs.position_ids,
+                segment_ids=inputs.segment_ids,
+                attn_impl=attn_impl,
+                collect_kv=True,
+            )
+            last = jax.lax.dynamic_slice_in_dim(h, prompt_len - 1, 1, axis=1)  # (1,1,H)
+            logits = llama.logits(params["llm"], last, cfg.llm)[:, 0]
+            tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+            return kv, tok
+
+        @jax.jit
+        def insert(cache: llama.KVCache, kv: llama.KVCache, lengths, last_token, slot, prompt_len, tok):
+            pad = self.capacity - self.S
+            ks = tuple(
+                jax.lax.dynamic_update_slice_in_dim(
+                    c, jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(c.dtype), slot, axis=0
+                )
+                for c, k in zip(cache.k, kv.k)
+            )
+            vs = tuple(
+                jax.lax.dynamic_update_slice_in_dim(
+                    c, jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(c.dtype), slot, axis=0
+                )
+                for c, v in zip(cache.v, kv.v)
+            )
+            lengths = lengths.at[slot].set(prompt_len)
+            last_token = last_token.at[slot].set(tok)
+            return llama.KVCache(ks, vs, cache.length), lengths, last_token
+
+        @jax.jit
+        def decode(params, cache: llama.KVCache, lengths, last_token, active_mask):
+            x = llama.embed_tokens(params["llm"], last_token[:, None], cfg.llm)
+            pos = lengths[:, None]
+            slot_ids = jnp.arange(self.capacity)
+            valid = slot_ids[None, :] < (lengths + 1)[:, None]
+            h = x
+            new_ks, new_vs = [], []
+            for li, lp in enumerate(params["llm"]["layers"]):
+                hn = llama._norm(h, lp["input_ln"], cfg.llm)
+                attn_out, (ck, cv) = _per_slot_attention(
+                    hn, lp["attn"], cfg.llm, pos, cache, li, lengths, valid
+                )
+                h = h + attn_out
+                hn = llama._norm(h, lp["post_ln"], cfg.llm)
+                if cfg.llm.is_moe:
+                    moe_out, _ = llama._moe_block(hn, lp, cfg.llm)
+                    h = h + moe_out
+                else:
+                    h = h + llama._mlp_block(hn, lp["mlp"], cfg.llm.hidden_act)
+                new_ks.append(ck)
+                new_vs.append(cv)
+            h = llama._norm(h, params["llm"]["final_ln"], cfg.llm)
+            logits = llama.logits(params["llm"], h, cfg.llm)[:, 0].astype(jnp.float32)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lengths = jnp.where(active_mask, lengths + 1, lengths)
+            tok = jnp.where(active_mask, tok, last_token)
+            return llama.KVCache(tuple(new_ks), tuple(new_vs), cache.length), lengths, tok
+
+        self._prefill = prefill
+        self._insert = insert
+        self._decode = decode
+
+    # ------------------------------------------------------------------
+    def submit(self, inputs: vlm.VLMInputs, prompt_length: int, max_new_tokens: int = 128) -> int:
+        rid = next(self._ids)
+        self.queue.append(Request(rid, inputs, prompt_length, max_new_tokens))
+        return rid
+
+    def _admit(self):
+        while self.queue and not self.active.all():
+            req = self.queue.popleft()
+            slot = int(np.flatnonzero(~self.active)[0])
+            kv, tok = self._prefill(
+                self.params, req.inputs, jnp.asarray(req.prompt_length, jnp.int32)
+            )
+            self.cache, self.lengths, self.last_token = self._insert(
+                self.cache, kv, self.lengths, self.last_token,
+                jnp.asarray(slot), jnp.asarray(req.prompt_length, jnp.int32), tok[0],
+            )
+            req.tokens.append(int(tok[0]))
+            self.active[slot] = True
+            self.slot_req[slot] = req
+
+    def step(self) -> List[Request]:
+        """Admit queued requests, run one decode step, return completions."""
+        self._admit()
+        if not self.active.any():
+            return []
+        active_mask = jnp.asarray(self.active)
+        self.cache, self.lengths, tok = self._decode(
+            self.params, self.cache, self.lengths, self.last_token, active_mask
+        )
+        self.last_token = tok
+        tok_host = np.asarray(tok)
+        finished = []
+        eos = self.cfg.llm.eos_token_id
+        for slot in np.flatnonzero(self.active):
+            req = self.slot_req[slot]
+            t = int(tok_host[slot])
+            req.tokens.append(t)
+            if t == eos or len(req.tokens) >= req.max_new_tokens:
+                req.done = True
+                finished.append(req)
+                self.active[slot] = False
+                self.slot_req[slot] = None
+        return finished
+
+    def run_until_drained(self, max_steps: int = 100000) -> List[Request]:
+        out = []
+        for _ in range(max_steps):
+            out.extend(self.step())
+            if not self.queue and not self.active.any():
+                break
+        return out
+
+
+def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
+    """Decode attention where each slot has its own cache length; new kv is
+    written at slot-specific positions via scatter on the length index."""
+    from spatialrgpt_tpu.ops.attention import NEG_INF, _repeat_kv
+    from spatialrgpt_tpu.ops.layers import linear
+
+    B, S, H = x.shape  # S == 1
+    Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = linear(x, p["wq"]).reshape(B, S, Hq, D)
+    k = linear(x, p["wk"]).reshape(B, S, Hk, D)
+    v = linear(x, p["wv"]).reshape(B, S, Hk, D)
+    q, k = llama.apply_rope(q, k, pos, cfg)
+
+    # per-slot scatter: position `lengths[b]` of row b gets the new kv
+    slot_ids = jnp.arange(cache.k[layer_idx].shape[1])
+    write = (slot_ids[None, :] == lengths[:, None])[:, :, None, None]
+    ck = jnp.where(write, k.astype(cache.k[layer_idx].dtype), cache.k[layer_idx])
+    cv = jnp.where(write, v.astype(cache.v[layer_idx].dtype), cache.v[layer_idx])
+
+    kk = _repeat_kv(ck, Hq // Hk)
+    vv = _repeat_kv(cv, Hq // Hk)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, kk, preferred_element_type=jnp.float32)
+    scores = scores * (D**-0.5)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(vv.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vv).reshape(B, S, Hq * D)
+    return linear(out, p["wo"]), (ck, cv)

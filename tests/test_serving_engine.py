@@ -1,0 +1,76 @@
+"""Continuous batching engine: staggered admission must reproduce the
+lockstep generate results per request."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__ as graft
+from spatialrgpt_tpu.constants import IMAGE_TOKEN_INDEX
+from spatialrgpt_tpu.data.splice import expand_rows
+from spatialrgpt_tpu.models import vlm
+from spatialrgpt_tpu.serving.engine import ServingEngine
+from spatialrgpt_tpu.serving.generate import generate
+
+CFG = graft._tiny_cfg()
+
+
+def _make_request(prompt_ids, seed):
+    sb = expand_rows(
+        [np.asarray(prompt_ids, np.int64)],
+        None,
+        max_len=64,
+        tokens_per_image=4,
+        mask_token_id=CFG.mask_token_id,
+        depth_token_id=CFG.depth_token_id,
+        regions_per_image=2,
+        pad_to=32,
+    )
+    rng = np.random.default_rng(seed)
+    size = CFG.vision.image_size
+    inputs = vlm.VLMInputs(
+        input_ids=jnp.asarray(sb.input_ids),
+        is_image=jnp.asarray(sb.is_image),
+        image_gather_idx=jnp.asarray(sb.image_gather_idx),
+        position_ids=jnp.asarray(sb.position_ids),
+        segment_ids=jnp.asarray(sb.segment_ids),
+        labels=None,
+        mask_slot=jnp.asarray(sb.mask_slot),
+        is_mask=jnp.asarray(sb.is_mask),
+        depth_slot=jnp.asarray(sb.depth_slot),
+        is_depth=jnp.asarray(sb.is_depth),
+        images=jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32),
+        depths=jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32),
+        masks=jnp.asarray((rng.random((1, 2, size, size)) > 0.5), jnp.float32),
+        mask_valid=jnp.ones((1, 2), bool),
+    )
+    return inputs, int(sb.segment_ids.sum())
+
+
+def test_continuous_batching_matches_lockstep():
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    engine = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=5)
+
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    # oracle: lockstep generate per request (batch of 1)
+    oracle = []
+    for inputs, plen in reqs:
+        r = generate(
+            params, CFG, inputs, jnp.asarray([plen], jnp.int32),
+            max_new_tokens=5, temperature=0.0, eos_token_id=-1,
+        )
+        oracle.append(list(np.asarray(r.tokens)[0]))
+
+    # engine: 3 requests through 2 slots (third admitted when a slot frees)
+    ids = [engine.submit(inputs, plen, max_new_tokens=5) for inputs, plen in reqs]
+    done = engine.run_until_drained(max_steps=50)
+    assert len(done) == 3
+    by_id = {r.request_id: r.tokens for r in done}
+    for rid, exp in zip(ids, oracle):
+        assert by_id[rid] == exp, (rid, by_id[rid], exp)
