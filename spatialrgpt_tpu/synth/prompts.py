@@ -307,3 +307,80 @@ class PromptGenerator:
             for fn in self.rng.sample(prompts, self.n_conv):
                 results.append((fn(A, B, rng=self.rng), A, B, fn.__name__))
         return results
+
+
+# ---------------------------------------------------------------------------
+# Facts & instruction-style variants (run_template_facts.py / instruction.py)
+# ---------------------------------------------------------------------------
+
+FACT_TEMPLATES: T = {
+    "left": ["[A] is to the left of [B]."],
+    "right": ["[A] is to the right of [B]."],
+    "above": ["[A] is above [B]."],
+    "below": ["[A] is below [B]."],
+    "wide": ["[A] is wider than [B]."],
+    "thin": ["[A] is thinner than [B]."],
+    "big": ["[A] is bigger than [B]."],
+    "small": ["[A] is smaller than [B]."],
+    "tall": ["[A] is taller than [B]."],
+    "short": ["[A] is shorter than [B]."],
+    "behind": ["[A] is behind [B]."],
+    "front": ["[A] is in front of [B]."],
+    "distance": ["[A] and [B] are [X] apart."],
+    "width": ["[A] is [X] wide."],
+    "height": ["[A] is [X] tall."],
+}
+
+
+def facts_for_pair(A: Dict, B: Dict, rng=random) -> List[str]:
+    """Declarative spatial facts for one object pair (the facts-generation
+    path, run_template_facts.py): only TRUE statements are emitted."""
+    a, b = A["caption"].lower(), B["caption"].lower()
+    pa, pb = A["pcd"], B["pcd"]
+    facts = []
+
+    def emit(key, A_desc=a, B_desc=b, X=""):
+        facts.append(_fill(rng.choice(FACT_TEMPLATES[key]), A_desc, B_desc, X))
+
+    emit("left" if pa.get_center()[0] > pb.get_center()[0] else "right")
+    emit("above" if pa.get_center()[1] > pb.get_center()[1] else "below")
+    emit("behind" if pa.get_center()[2] > pb.get_center()[2] else "front")
+    emit("wide" if pa.extent()[0] > pb.extent()[0] else "thin")
+    emit("tall" if pa.extent()[1] > pb.extent()[1] else "short")
+    emit("big" if np.prod(pa.extent()) > np.prod(pb.extent()) else "small")
+    emit("distance", X=human_like_distance(average_cloud_distance(pa, pb), rng))
+    emit("width", X=human_like_distance(float(pa.extent()[0]), rng))
+    emit("height", X=human_like_distance(float(pa.extent()[1]), rng))
+    return facts
+
+
+def tag_regions(text: str, detections: List[Dict]) -> str:
+    """Replace object captions with 'Region [i] <mask>' tags so facts/QA
+    become region-grounded instruction data (instruction.py's tagged
+    variant; the <mask> token count must match the region count)."""
+    out = text
+    for i, det in enumerate(detections):
+        cap = det["caption"].lower()
+        out = out.replace(cap, f"Region [{i}] <mask>")
+    return out
+
+
+class InstructionGenerator(PromptGenerator):
+    """PromptGenerator emitting region-tagged instruction conversations
+    (instruction.py + instruction_template.py behavior)."""
+
+    def conversations(self, detections: List[Dict]) -> List[Dict]:
+        results = self.evaluate_predicates_on_pairs(detections)
+        convs = []
+        for (q, a), A, B, name in results:
+            convs.append(
+                {
+                    "from_pair": (A["caption"], B["caption"]),
+                    "type": name,
+                    "conversations": [
+                        {"from": "human", "value": tag_regions(q, detections)},
+                        {"from": "gpt", "value": tag_regions(a, detections)},
+                    ],
+                }
+            )
+        return convs

@@ -124,3 +124,22 @@ def test_pipeline_skips_underfilled_images():
     m[4:8, 4:8] = True
     with pytest.raises(SkipImageException):
         pipe.annotate(image, detections=[Detection("x", np.array([4, 4, 8, 8], float), m)], depth=np.ones((32, 32)))
+
+
+def test_facts_and_instruction_generation():
+    from spatialrgpt_tpu.synth.prompts import InstructionGenerator, facts_for_pair, tag_regions
+
+    A = _obj("a red chair", (2, 1, 3), extent=(1, 2, 1))
+    B = _obj("a blue table", (-1, 0, 5), extent=(2, 1, 2))
+    facts = facts_for_pair(A, B)
+    assert any("left" in f for f in facts)
+    assert any("taller" in f for f in facts)
+    assert any("apart" in f for f in facts)
+
+    tagged = tag_regions("a red chair is left of a blue table.", [A, B])
+    assert tagged == "Region [0] <mask> is left of Region [1] <mask>."
+
+    gen = InstructionGenerator(n_pairs=1, n_conv=2, seed=0)
+    convs = gen.conversations([A, B])
+    assert len(convs) == 2
+    assert "<mask>" in convs[0]["conversations"][0]["value"]
