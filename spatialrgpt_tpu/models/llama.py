@@ -290,11 +290,7 @@ def logits(params: Params, hidden: jax.Array, cfg: LlamaConfig) -> jax.Array:
     if cfg.tie_word_embeddings:
         w = params["embed_tokens"].astype(hidden.dtype)
         return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
-    return jnp.dot(
-        hidden,
-        params["lm_head"]["kernel"].astype(hidden.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    return linear(hidden, params["lm_head"]).astype(jnp.float32)
 
 
 def forward_logits(params, cfg, *, input_ids, position_ids, segment_ids=None, attn_impl="xla"):

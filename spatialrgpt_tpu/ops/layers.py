@@ -14,8 +14,25 @@ import jax.numpy as jnp
 
 
 def linear(x: jax.Array, p) -> jax.Array:
-    """y = x @ kernel + bias, with fp32 MXU accumulation."""
-    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    """y = x @ kernel + bias, with fp32 MXU accumulation.
+
+    Transparently consumes int8/int4-quantized kernels (ops/quant.py
+    ``kernel_q`` entries): weights stream from HBM at reduced width and the
+    per-channel scale applies to the fp32 accumulator — the serving-side
+    8-bit mode (reference bitsandbytes load_in_8bit equivalent)."""
+    if "kernel_q" in p:
+        from spatialrgpt_tpu.ops.quant import dequantize
+
+        qw = p["kernel_q"]
+        if qw["bits"] == 8 and qw["axis"] == 0:
+            y = jnp.dot(x, qw["q"].astype(x.dtype), preferred_element_type=jnp.float32)
+            y = y * qw["scale"].astype(jnp.float32)
+        else:
+            y = jnp.dot(
+                x, dequantize(qw, x.dtype), preferred_element_type=jnp.float32
+            )
+    else:
+        y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)

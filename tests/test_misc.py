@@ -101,3 +101,20 @@ def test_region_cls_scoring():
     items = coco_annotation_to_items(coco)
     assert len(items) == 1 and items[0]["category"] == "dog"
     assert items[0]["bbox"] == [5, 5, 15, 25]
+
+
+def test_quantized_linear_transparent_forward():
+    """llama forward runs directly on a quantized pytree via ops.layers.linear."""
+    from spatialrgpt_tpu.config import LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_llm(params, bits=8)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 64, (1, 8)), jnp.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+    a = llama.forward_logits(params, cfg, input_ids=ids, position_ids=pos)
+    b = llama.forward_logits(qp, cfg, input_ids=ids, position_ids=pos)
+    assert (jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean() > 0.9
