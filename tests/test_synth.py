@@ -143,3 +143,27 @@ def test_facts_and_instruction_generation():
     convs = gen.conversations([A, B])
     assert len(convs) == 2
     assert "<mask>" in convs[0]["conversations"][0]["value"]
+
+
+def test_scene_export_and_rephrase(tmp_path):
+    from spatialrgpt_tpu.synth.rephrase import rephrase_qa
+    from spatialrgpt_tpu.synth.visualize import export_scene
+
+    objs = [_obj("a chair", (0, 0, 2)), _obj("a lamp", (1, 1, 3))]
+    path = export_scene(str(tmp_path / "scene"), objs, qa=[{"question": "q", "answer": "a"}])
+    import json, os
+
+    scene = json.load(open(path))
+    assert len(scene["objects"]) == 2
+    assert os.path.exists(tmp_path / "scene" / "object_0.ply")
+    assert scene["objects"][0]["extent"][0] > 0
+
+    def fake_llm(prompt):
+        return "Q: Where's the chair?\nA: On the left."
+
+    out = rephrase_qa([{"question": "Is [A] left?", "answer": "Yes."}], fake_llm)
+    assert out[0]["question"] == "Where's the chair?"
+    assert out[0]["template_question"] == "Is [A] left?"
+    # no llm -> identity
+    out2 = rephrase_qa([{"question": "x", "answer": "y"}])
+    assert out2[0]["question"] == "x"
