@@ -122,6 +122,17 @@ class SpatialDataset:
         return len(self.entries)
 
     def __getitem__(self, i: int) -> Sample:
+        # bad-sample tolerance (reference dataset.py:1770-1774): corrupt
+        # image/depth/annotation -> retry a random other index
+        for attempt in range(8):
+            try:
+                return self._get(i)
+            except Exception:
+                if attempt == 7:
+                    raise
+                i = int(self.rng.integers(len(self.entries)))
+
+    def _get(self, i: int) -> Sample:
         entry = copy.deepcopy(self.entries[i])
         conversations = entry["conversations"]
         # <mask> -> <mask> <depth> rewrite (dataset.py:1745-1752 /
