@@ -259,6 +259,7 @@ def forward(
     cache: Optional[KVCache] = None,
     attn_impl: str = "xla",
     collect_kv: bool = False,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden_states, updated cache).
 
@@ -270,8 +271,15 @@ def forward(
     """
     x = inputs_embeds
     new_ks, new_vs = [], []
+    layer_fn = _decoder_layer
+    if remat and cache is None:
+        # gradient checkpointing (reference --gradient_checkpointing):
+        # recompute each decoder layer's activations in the backward pass
+        layer_fn = jax.checkpoint(
+            _decoder_layer, static_argnums=(2, 6, 7, 8), policy=None
+        )
     for li, lp in enumerate(params["layers"]):
-        x, new_kv = _decoder_layer(
+        x, new_kv = layer_fn(
             x, lp, cfg, position_ids, segment_ids, li, cache, attn_impl, collect_kv
         )
         if new_kv is not None:

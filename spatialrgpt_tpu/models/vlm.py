@@ -152,6 +152,7 @@ def forward(
     cfg: SpatialRGPTConfig,
     inputs: VLMInputs,
     attn_impl: str = "xla",
+    remat: bool = False,
 ) -> jax.Array:
     """Full multimodal forward -> logits (B, S, V)."""
     embeds = prepare_embeds(params, cfg, inputs)
@@ -162,6 +163,7 @@ def forward(
         position_ids=inputs.position_ids,
         segment_ids=inputs.segment_ids,
         attn_impl=attn_impl,
+        remat=remat,
     )
     return llama.logits(params["llm"], h, cfg.llm)
 
@@ -171,10 +173,11 @@ def loss_fn(
     cfg: SpatialRGPTConfig,
     inputs: VLMInputs,
     attn_impl: str = "xla",
+    remat: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Next-token cross entropy with IGNORE_INDEX masking, mean over valid
     target tokens (HF CausalLM shift-loss semantics)."""
-    logits = forward(params, cfg, inputs, attn_impl=attn_impl)
+    logits = forward(params, cfg, inputs, attn_impl=attn_impl, remat=remat)
     # shift: predict token t+1 from position t; never across segment ends
     tgt = inputs.labels[:, 1:]
     seg_ok = inputs.segment_ids[:, 1:] == inputs.segment_ids[:, :-1]

@@ -53,6 +53,7 @@ class TrainingArguments:
     save_total_limit: int = 1
     logging_steps: int = 1
     seed: int = 42
+    gradient_checkpointing: bool = True
     # module tuning flags (reference args.py:70-73)
     tune_language_model: bool = True
     tune_vision_tower: bool = False

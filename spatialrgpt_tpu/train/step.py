@@ -74,13 +74,16 @@ def make_train_step(
     cfg: SpatialRGPTConfig,
     optimizer: optax.GradientTransformation,
     attn_impl: str = "xla",
+    remat: bool = False,
 ):
     """Build the jitted train step.  Shardings come from the arrays
     themselves (jit propagates NamedShardings), so the same step works on
-    1 device or a full mesh."""
+    1 device or a full mesh.  ``remat`` enables per-layer gradient
+    checkpointing; gradient accumulation wraps the optimizer with
+    optax.MultiSteps (see train/train.py)."""
 
     def loss_fn(params, batch: vlm.VLMInputs):
-        loss, metrics = vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl)
+        loss, metrics = vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl, remat=remat)
         return loss, metrics
 
     @jax.jit

@@ -139,10 +139,16 @@ def main(argv=None):
         tune_region_extractor=targs.tune_region_extractor,
     )
     optimizer = build_optimizer(params, ocfg)
+    if targs.gradient_accumulation_steps > 1:
+        import optax
+
+        optimizer = optax.MultiSteps(optimizer, targs.gradient_accumulation_steps)
 
     with mesh:
         state = shard_state(create_train_state(params, optimizer), mesh)
-        step_fn = make_train_step(cfg, optimizer, attn_impl=attn_impl)
+        step_fn = make_train_step(
+            cfg, optimizer, attn_impl=attn_impl, remat=targs.gradient_checkpointing
+        )
 
         batches = make_batches(
             dataset, collator, sampler, targs.per_device_train_batch_size, cfg, dtype

@@ -145,3 +145,22 @@ def test_sampler_deterministic_and_mixed():
     # different ranks disjoint
     s3 = DistributedMixtureSampler([100, 40], num_replicas=4, rank=2, batch_size=2, seed=5)
     assert set(l1).isdisjoint(set(s3))
+
+
+def test_remat_gradients_match():
+    import jax.numpy as jnp
+
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(5), cfg)
+    batch = graft._tiny_batch(cfg, B=2, S=64, seed=9)
+
+    def loss_plain(p):
+        return vlm.loss_fn(p, cfg, batch, remat=False)[0]
+
+    def loss_remat(p):
+        return vlm.loss_fn(p, cfg, batch, remat=True)[0]
+
+    g1 = jax.grad(loss_plain)(params)
+    g2 = jax.grad(loss_remat)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
