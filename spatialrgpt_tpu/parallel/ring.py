@@ -126,3 +126,110 @@ def ring_attention(
     if segment_ids is not None:
         out = out * (segment_ids != 0)[:, :, None, None].astype(out.dtype)
     return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Zigzag layout (load-balanced causal ring)
+# ---------------------------------------------------------------------------
+
+
+def zigzag_permutation(seq_len: int, sp: int):
+    """Global permutation for the zigzag layout: split the sequence into
+    2*sp chunks; device i holds chunks (i, 2*sp-1-i) (the reference's
+    zigzag_ring_flash_attn schedule, ring/zigzag_ring_flash_attn.py:23-30).
+    Returns (perm, inv_perm): ``x[:, perm]`` contiguously sharded over sp
+    devices gives each device its zigzag pair.
+    """
+    import numpy as np
+
+    assert seq_len % (2 * sp) == 0
+    chunk = seq_len // (2 * sp)
+    order = []
+    for i in range(sp):
+        order.append(i)
+        order.append(2 * sp - 1 - i)
+    perm = np.concatenate([np.arange(c * chunk, (c + 1) * chunk) for c in order])
+    inv = np.argsort(perm)
+    return perm, inv
+
+
+def zigzag_ring_attention(
+    q: jax.Array,  # (B, S_local, Hq, D): local zigzag pair (chunks i, 2P-1-i)
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    axis_name: str = "sp",
+) -> jax.Array:
+    """Causal ring attention with zigzag load balancing: every device owns
+    one early and one late chunk, so the causal triangle's work is even
+    across the ring (the contiguous layout leaves early devices idle).
+
+    Each ring step decomposes into the four (q-half, kv-half) chunk pairs;
+    pair modes (skip / causal / full) come from the global chunk ids.
+    """
+    sp = jax.lax.axis_size(axis_name)
+    if sp == 1:
+        from spatialrgpt_tpu.ops.attention import causal_attention
+
+        return causal_attention(q, k, v, segment_ids=segment_ids)
+
+    my = jax.lax.axis_index(axis_name)
+    b, s, hq, d = q.shape
+    half = s // 2
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    # chunk ids: local q halves
+    q_ids = (my, 2 * sp - 1 - my)
+
+    m_acc = jnp.full((b, hq, s, 1), NEG_INF, jnp.float32)
+    l_acc = jnp.zeros((b, hq, s, 1), jnp.float32)
+    o_acc = jnp.zeros((b, s, hq, d), jnp.float32)
+
+    def halves(x):
+        return x[:, :half], x[:, half:]
+
+    kc, vc, seg_c = k, v, segment_ids
+    for t in range(sp):
+        src = (my - t) % sp
+        k_ids = (src, 2 * sp - 1 - src)
+        k_halves = halves(kc)
+        v_halves = halves(vc)
+        seg_halves = halves(seg_c) if seg_c is not None else (None, None)
+        q_halves = halves(q)
+        qseg_halves = halves(segment_ids) if segment_ids is not None else (None, None)
+
+        for qi_half in range(2):
+            # merge the two kv halves into this q half's accumulators
+            for ki_half in range(2):
+                mode = jnp.where(
+                    k_ids[ki_half] == q_ids[qi_half],
+                    1,
+                    jnp.where(k_ids[ki_half] < q_ids[qi_half], 2, 0),
+                )
+                m_b, l_b, o_b = _block_attn(
+                    q_halves[qi_half],
+                    k_halves[ki_half],
+                    v_halves[ki_half],
+                    mode,
+                    qseg_halves[qi_half],
+                    seg_halves[ki_half],
+                )
+                sl = slice(qi_half * half, (qi_half + 1) * half)
+                m_new, l_new, o_new = _merge(
+                    m_acc[:, :, sl], l_acc[:, :, sl], o_acc[:, sl],
+                    m_b, l_b, o_b,
+                )
+                m_acc = m_acc.at[:, :, sl].set(m_new)
+                l_acc = l_acc.at[:, :, sl].set(l_new)
+                o_acc = o_acc.at[:, sl].set(o_new)
+        if t < sp - 1:
+            kc = jax.lax.ppermute(kc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
+            if seg_c is not None:
+                seg_c = jax.lax.ppermute(seg_c, axis_name, perm)
+
+    l_safe = jnp.where(l_acc == 0.0, 1.0, l_acc)
+    out = o_acc / jnp.transpose(l_safe, (0, 2, 1, 3))
+    if segment_ids is not None:
+        out = out * (segment_ids != 0)[:, :, None, None].astype(out.dtype)
+    return out.astype(q.dtype)

@@ -110,3 +110,27 @@ def test_hybrid_matches_global():
     got = fn(q, k, v, seg)
     exp = causal_attention(q, k, v, segment_ids=seg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_zigzag_ring_matches_global(sp):
+    from spatialrgpt_tpu.parallel.ring import zigzag_permutation, zigzag_ring_attention
+
+    rng = np.random.default_rng(4)
+    q, k, v, seg = _data(rng, S=64)
+    mesh = _mesh(sp)
+    perm, inv = zigzag_permutation(64, sp)
+
+    def fn(q, k, v, s):
+        return zigzag_ring_attention(q, k, v, s, axis_name="sp")
+
+    sharded = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+    )
+    # apply zigzag permutation globally, run, invert
+    got = sharded(q[:, perm], k[:, perm], v[:, perm], seg[:, perm])[:, inv]
+    exp = causal_attention(q, k, v, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5, rtol=1e-4)
