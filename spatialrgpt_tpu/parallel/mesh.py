@@ -40,6 +40,26 @@ def make_mesh(
     return Mesh(arr, AXES)
 
 
+def make_hybrid_mesh(
+    dp: int = 1,
+    fsdp: int = 1,
+    sp_ulysses: int = 1,
+    sp_ring: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Mesh for 2D hybrid sequence parallelism: the sp factor splits into
+    separate ulysses and ring axes (the reference's
+    --seq_parallel_size x --seq_parallel_ring_size, globals.py:62-115).
+    Sequence arrays shard ring-major: PartitionSpec(None, ("sp_r", "sp_u"))
+    (see parallel/hybrid.py's layout contract)."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = dp * fsdp * sp_ulysses * sp_ring
+    if need > len(devices):
+        raise ValueError(f"hybrid mesh needs {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(dp, fsdp, sp_ulysses, sp_ring)
+    return Mesh(arr, ("dp", "fsdp", "sp_u", "sp_r"))
+
+
 def single_device_mesh() -> Mesh:
     return make_mesh(1, 1, 1, 1)
 
@@ -80,8 +100,11 @@ def param_sharding_tree(params, mesh: Mesh):
     return _tree_map_with_path(_spec, params)
 
 
-def batch_spec() -> P:
-    """Activations: batch over (dp, fsdp) combined, sequence over sp."""
+def batch_spec(mesh: Optional[Mesh] = None) -> P:
+    """Activations: batch over (dp, fsdp) combined, sequence over the sp
+    axis/axes present in the mesh (ring-major for hybrid)."""
+    if mesh is not None and "sp_u" in mesh.shape:
+        return P(("dp", "fsdp"), ("sp_r", "sp_u"))
     return P(("dp", "fsdp"), "sp")
 
 

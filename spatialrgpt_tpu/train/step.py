@@ -49,7 +49,8 @@ def create_train_state(params, optimizer) -> TrainState:
 def batch_shardings(mesh: Mesh, inputs: vlm.VLMInputs) -> vlm.VLMInputs:
     """NamedShardings for a VLMInputs batch: (B, S) arrays over
     (dp, sp); image tensors over dp on their leading axis."""
-    bs = NamedSharding(mesh, P(("dp", "fsdp"), "sp"))
+    seq_axes = ("sp_r", "sp_u") if "sp_u" in mesh.shape else "sp"
+    bs = NamedSharding(mesh, P(("dp", "fsdp"), seq_axes))
     b_only = NamedSharding(mesh, P(("dp", "fsdp")))
     rep = NamedSharding(mesh, P())
 

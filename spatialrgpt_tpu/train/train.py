@@ -66,16 +66,22 @@ def main(argv=None):
 
     # ---- mesh & SP context ----
     sp = targs.seq_parallel_size * targs.seq_parallel_ring_size
-    mesh = mesh_lib.make_mesh(dp=targs.dp_size, fsdp=targs.fsdp_size, sp=sp)
     attn_impl = targs.attn_impl
-    if sp > 1:
-        if targs.seq_parallel_ring_size > 1 and targs.seq_parallel_size > 1:
-            attn_impl = "hybrid"
-            set_sp_context(SPContext(mesh=mesh, ulysses_axis="sp", ring_axis="sp"))
-        elif targs.seq_parallel_ring_size > 1:
+    if targs.seq_parallel_ring_size > 1 and targs.seq_parallel_size > 1:
+        mesh = mesh_lib.make_hybrid_mesh(
+            dp=targs.dp_size,
+            fsdp=targs.fsdp_size,
+            sp_ulysses=targs.seq_parallel_size,
+            sp_ring=targs.seq_parallel_ring_size,
+        )
+        attn_impl = "hybrid"
+        set_sp_context(SPContext(mesh=mesh, ulysses_axis="sp_u", ring_axis="sp_r"))
+    else:
+        mesh = mesh_lib.make_mesh(dp=targs.dp_size, fsdp=targs.fsdp_size, sp=sp)
+        if targs.seq_parallel_ring_size > 1:
             attn_impl = "ring"
             set_sp_context(SPContext(mesh=mesh, ring_axis="sp"))
-        else:
+        elif targs.seq_parallel_size > 1:
             attn_impl = "ulysses"
             set_sp_context(SPContext(mesh=mesh, ulysses_axis="sp"))
 
