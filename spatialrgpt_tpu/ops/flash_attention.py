@@ -23,7 +23,6 @@ another accumulates dQ over kv blocks.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -243,11 +242,6 @@ def _fwd(
 
 def _drop_seg_fwd(kernel, q_ref, k_ref, v_ref, out_ref, lse_ref, *scratch, **kw):
     return kernel(q_ref, k_ref, v_ref, None, None, out_ref, lse_ref, *scratch, **kw)
-
-
-# Block refs arrive with leading singleton dims (1, 1, bq, D); index them away.
-def _squeeze2(ref):
-    return ref.at[0, 0]
 
 
 # ---------------------------------------------------------------------------

@@ -92,8 +92,8 @@ def ring_attention(
     """Causal ring attention; call inside shard_map over ``axis_name``.
 
     Shard i holds global positions [i*S_local, (i+1)*S_local): contiguous
-    sharding, like the reference's default ring layout (zigzag balancing
-    is a planned optimization).
+    sharding, the reference's default ring layout; see
+    ``zigzag_ring_attention`` below for the load-balanced variant.
     """
     sp = jax.lax.axis_size(axis_name)
     if sp == 1:
