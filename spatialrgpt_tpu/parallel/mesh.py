@@ -115,3 +115,37 @@ def _tree_map_with_path(fn, tree):
         path_str = "/".join(str(p) for p in path)
         out.append(fn(path_str, leaf))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (the torchrun + NCCL rendezvous
+    equivalent, reference scripts/srgpt/*/1_mm_align.sh:3-22 +
+    globals.py:138).  On Cloud TPU pods jax.distributed discovers the
+    topology from the metadata/env; explicit args cover SLURM-style
+    launches (SLURM_* env fallbacks applied)."""
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and "SLURM_NTASKS" in os.environ:
+        num_processes = int(os.environ["SLURM_NTASKS"])
+    if process_id is None and "SLURM_PROCID" in os.environ:
+        process_id = int(os.environ["SLURM_PROCID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def data_parallel_rank(mesh: Mesh) -> int:
+    """This process's data-parallel rank for the sampler (multi-host)."""
+    return jax.process_index()
+
+
+def data_parallel_world(mesh: Mesh) -> int:
+    return jax.process_count()
