@@ -104,3 +104,106 @@ def coco_annotation_to_items(coco_json: Dict) -> List[Dict]:
             }
         )
     return items
+
+
+def run_region_cls(
+    model,
+    items: List[Dict],
+    image_folder: str,
+    answers_file: str = "region_cls.jsonl",
+    conv_mode: str = "llama_3",
+    batch_size: int = 16,
+    max_new_tokens: int = 32,
+    prompt_bucket: int = 512,
+    crop: bool = True,
+    seed: int = 0,
+) -> str:
+    """Run region classification (eval_region_cls.py eval_model loop):
+    per item, square-crop around the region, build a random paraphrase
+    ``<mask>`` prompt, batched greedy decode, write jsonl records with
+    pred + gt_category for score_region_predictions."""
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from spatialrgpt_tpu.constants import NUM_TOKENS_PER_IMAGE
+    from spatialrgpt_tpu.conversation import conv_templates
+    from spatialrgpt_tpu.data import preprocess as pp
+    from spatialrgpt_tpu.data.splice import expand_rows
+    from spatialrgpt_tpu.data.tokenize import tokenizer_image_token
+    from spatialrgpt_tpu.models import vlm
+    from spatialrgpt_tpu.serving.generate import generate
+
+    tokenizer, params, cfg, processor = model
+    rng = np.random.default_rng(seed)
+    out = open(answers_file, "w")
+
+    for start in range(0, len(items), batch_size):
+        chunk = items[start : start + batch_size]
+        rows, images, mask_stacks, valids, metas = [], [], [], [], []
+        for item in chunk:
+            info = item["image_info"]
+            img = Image.open(os.path.join(image_folder, item["file_name"])).convert("RGB")
+            mask = np.zeros((info["height"], info["width"]), np.uint8)
+            x1, y1, x2, y2 = (int(v) for v in item["bbox"])
+            mask[y1:y2, x1:x2] = 1
+            if crop:
+                cb = get_crop_box([item["bbox"]], info)
+                img = img.crop(tuple(cb))
+                mask = mask[cb[1] : cb[3], cb[0] : cb[2]]
+            image = pp.process_image(img, processor, cfg.image_aspect_ratio)
+            proc_masks = pp.process_masks([mask], processor, cfg.image_aspect_ratio)
+            m, v = pp.pad_masks_to_slots(proc_masks, 1, processor.size)
+
+            prompt_text = PROMPTS[int(rng.integers(len(PROMPTS)))]
+            prompt_text = prompt_text.replace("<mask>", "<mask> <depth>")
+            conv = conv_templates[conv_mode].copy()
+            conv.append_message(conv.roles[0], DEFAULT_IMAGE_TOKEN + "\n" + prompt_text)
+            conv.append_message(conv.roles[1], None)
+            rows.append(np.asarray(tokenizer_image_token(conv.get_prompt(), tokenizer), np.int64))
+            images.append(image)
+            mask_stacks.append(m)
+            valids.append(v)
+            metas.append(item)
+
+        sb = expand_rows(
+            rows, None,
+            max_len=cfg.model_max_length,
+            tokens_per_image=NUM_TOKENS_PER_IMAGE,
+            mask_token_id=cfg.mask_token_id,
+            depth_token_id=cfg.depth_token_id,
+            regions_per_image=1,
+            pad_to=prompt_bucket,
+        )
+        imgs = jnp.asarray(np.stack(images), jnp.bfloat16)
+        inputs = vlm.VLMInputs(
+            input_ids=jnp.asarray(sb.input_ids),
+            is_image=jnp.asarray(sb.is_image),
+            image_gather_idx=jnp.asarray(sb.image_gather_idx),
+            position_ids=jnp.asarray(sb.position_ids),
+            segment_ids=jnp.asarray(sb.segment_ids),
+            labels=None,
+            mask_slot=jnp.asarray(sb.mask_slot),
+            is_mask=jnp.asarray(sb.is_mask),
+            depth_slot=jnp.asarray(sb.depth_slot),
+            is_depth=jnp.asarray(sb.is_depth),
+            images=imgs,
+            depths=imgs,
+            masks=jnp.asarray(np.stack(mask_stacks), jnp.bfloat16),
+            mask_valid=jnp.asarray(np.stack(valids)),
+        )
+        result = generate(
+            params, cfg, inputs,
+            jnp.asarray(sb.segment_ids.sum(axis=1), jnp.int32),
+            max_new_tokens=max_new_tokens, temperature=0.0,
+        )
+        toks = np.asarray(result.tokens)
+        for i, item in enumerate(metas):
+            ids = toks[i].tolist()
+            if cfg.llm.eos_token_id in ids:
+                ids = ids[: ids.index(cfg.llm.eos_token_id)]
+            text = tokenizer.decode(ids, skip_special_tokens=True).strip()
+            out.write(json.dumps({"pred": text, "gt_category": item["category"],
+                                  "file_name": item["file_name"]}) + "\n")
+    out.close()
+    return answers_file

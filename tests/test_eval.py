@@ -126,3 +126,46 @@ def test_bench_runner_end_to_end(tmp_path):
     assert lines[0]["gt"] == "1.0 meters"
     assert lines[0]["qa_info"]["category"] == "width_data"
     assert isinstance(lines[0]["pred"], str)
+
+
+def test_region_cls_runner(tmp_path):
+    import jax
+
+    from spatialrgpt_tpu.data.preprocess import SiglipProcessor
+    from spatialrgpt_tpu.eval.region_cls import run_region_cls, score_region_predictions
+    from spatialrgpt_tpu.models import vlm
+    import __graft_entry__ as graft
+    from test_templates import FakeTokenizer
+
+    cfg = graft._tiny_cfg().replace(mask_token_id=1009, depth_token_id=1010, model_max_length=512)
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTokenizer()
+    tok.model_max_length = 512
+    processor = SiglipProcessor(size=cfg.vision.image_size)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (80, 100, 3), np.uint8)).save(img_dir / "z.jpg")
+    items = [
+        {
+            "file_name": "z.jpg",
+            "image_info": {"height": 80, "width": 100},
+            "bbox": [10, 10, 40, 50],
+            "category": "dog",
+        }
+    ]
+    out = run_region_cls(
+        (tok, params, cfg, processor),
+        items,
+        str(img_dir),
+        answers_file=str(tmp_path / "rc.jsonl"),
+        conv_mode="v1",
+        batch_size=2,
+        max_new_tokens=3,
+        prompt_bucket=384,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 1 and recs[0]["gt_category"] == "dog"
+    res = score_region_predictions(recs)
+    assert "accuracy" in res
