@@ -191,3 +191,28 @@ def forward_full(
     for li in range(cfg.num_hidden_layers):
         x = _encoder_layer(x, params["layers"][li], cfg)
     return layer_norm(x, params["post_ln"], eps=cfg.layer_norm_eps)
+
+
+def resize_pos_embeds(params: Params, cfg: SiglipVisionConfig, new_resolution: int) -> "tuple[Params, SiglipVisionConfig]":
+    """Resolution elevation (reference vision_encoder.py:36-113): linearly
+    interpolate the learned position table from the checkpoint resolution
+    to ``new_resolution`` using the reference's exact index mapping
+    (pid = arange(N) / (N-1) * (M-1); new = frac*ceil + (1-frac)*floor).
+    Returns updated (params, config)."""
+    import dataclasses
+
+    if new_resolution in (cfg.image_size, -1):
+        return params, cfg
+    num_new = (new_resolution // cfg.patch_size) ** 2
+    old = params["pos_embed"]
+    old_n = old.shape[0]
+    mapped = jnp.arange(num_new, dtype=jnp.float32) / (num_new - 1) * (old_n - 1)
+    floor = jnp.clip(jnp.floor(mapped).astype(jnp.int32), 0, old_n - 1)
+    ceil = jnp.clip(jnp.ceil(mapped).astype(jnp.int32), 0, old_n - 1)
+    frac = (mapped - floor.astype(jnp.float32))[:, None]
+    ceil_frac = (ceil.astype(jnp.float32) - mapped)[:, None]
+    new_table = frac * old[ceil].astype(jnp.float32) + ceil_frac * old[floor].astype(jnp.float32)
+    new_params = dict(params)
+    new_params["pos_embed"] = new_table.astype(old.dtype)
+    new_cfg = dataclasses.replace(cfg, image_size=new_resolution)
+    return new_params, new_cfg

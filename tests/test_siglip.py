@@ -89,3 +89,29 @@ def test_patch_select_drops_first_token():
     pix = jnp.zeros((1, 28, 28, 3))
     out = siglip.forward_features(params, pix, cfg)
     assert out.shape == (1, cfg.num_patches - 1, 32)
+
+
+def test_resolution_elevation_pos_embed_resize():
+    import torch
+
+    cfg = SiglipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14,
+    )
+    params = siglip.init_params(jax.random.PRNGKey(0), cfg)
+    new_params, new_cfg = siglip.resize_pos_embeds(params, cfg, 56)
+    assert new_cfg.image_size == 56
+    assert new_params["pos_embed"].shape == (16, 32)
+
+    # reference formula oracle (vision_encoder.py:74-90)
+    old = torch.from_numpy(np.asarray(params["pos_embed"]))
+    mapped = torch.arange(16) / 15 * (old.shape[0] - 1)
+    floor = mapped.floor().long().clamp(0, old.shape[0] - 1)
+    ceil = mapped.ceil().long().clamp(0, old.shape[0] - 1)
+    expected = (mapped - floor)[:, None] * old[ceil] + (ceil - mapped)[:, None] * old[floor]
+    np.testing.assert_allclose(
+        np.asarray(new_params["pos_embed"]), expected.numpy(), atol=1e-6
+    )
+    # tower runs at the elevated resolution
+    out = siglip.forward_features(new_params, jnp.zeros((1, 56, 56, 3)), new_cfg)
+    assert out.shape == (1, 16, 32)
