@@ -37,8 +37,8 @@ from spatialrgpt_tpu.utils.timing import device_sync, time_fn
 
 A100_BASELINE_TOK_S = 700.0  # est. reference throughput (batch 32, A100, HF generate)
 
-BATCH = 32
-MAX_NEW = 64
+BATCH = int(os.environ.get("SRGPT_BENCH_BATCH", 32))
+MAX_NEW = int(os.environ.get("SRGPT_BENCH_MAX_NEW", 64))
 N_REGIONS = 2
 PROMPT_TEXT_TOKENS = 96  # text tokens around the image + region tokens
 
@@ -142,7 +142,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "region-qa tokens/sec/chip (sheared-3b, batch 32, 2 regions, RGB+depth)",
+                "metric": f"region-qa tokens/sec/chip (sheared-3b, batch {BATCH}, 2 regions, RGB+depth)",
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / A100_BASELINE_TOK_S, 3),

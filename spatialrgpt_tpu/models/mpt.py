@@ -100,9 +100,23 @@ def forward_logits(
     input_ids: jax.Array,  # (B, S)
     segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
-    B, S = input_ids.shape
-    H, D = cfg.n_heads, cfg.head_dim
     x = jnp.take(params["wte"], input_ids, axis=0)
+    h = forward_embeds(params, cfg, x, segment_ids)
+    return jnp.dot(h, params["wte"].T.astype(h.dtype), preferred_element_type=jnp.float32)
+
+
+def forward_embeds(
+    params: Params,
+    cfg: MPTConfig,
+    inputs_embeds: jax.Array,  # (B, S, D)
+    segment_ids: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Decoder stack on pre-built embeddings (the composite-VLM entry:
+    spliced multimodal embeddings go straight in; ALiBi needs no position
+    ids).  Returns final hidden states."""
+    x = inputs_embeds
+    B, S = x.shape[:2]
+    H, D = cfg.n_heads, cfg.head_dim
     bias = alibi_bias(H, S, cfg.alibi_bias_max)
 
     qi = jnp.arange(S)[:, None]
@@ -128,7 +142,7 @@ def forward_logits(
         x = x + linear(gelu_erf(linear(h, lp["up"])), lp["down"])
 
     x = _ln(x, params["norm_f"], cfg.layer_norm_eps)
-    return jnp.dot(x, params["wte"].T.astype(x.dtype), preferred_element_type=jnp.float32)
+    return x
 
 
 def convert_mpt(sd, cfg: MPTConfig, dtype=jnp.float32) -> Params:

@@ -111,7 +111,10 @@ def splice_embeds(
     text -> embedding table; <mask>/<depth> positions -> region embeds
     (in-place overwrite, llava_arch.py:470-501); image slots -> projected
     image tokens (llava_arch.py:519-539)."""
-    embeds = llama.embed_tokens(params["llm"], inputs.input_ids, cfg.llm)
+    if "wte" in params["llm"]:  # MPT decoder pytree
+        embeds = jnp.take(params["llm"]["wte"], inputs.input_ids, axis=0)
+    else:
+        embeds = llama.embed_tokens(params["llm"], inputs.input_ids, cfg.llm)
     H = embeds.shape[-1]
 
     if mask_embeds is not None:
@@ -166,6 +169,24 @@ def forward(
         remat=remat,
     )
     return llama.logits(params["llm"], h, cfg.llm)
+
+
+def forward_mpt(
+    params: Params,
+    cfg: SpatialRGPTConfig,
+    mpt_cfg,
+    inputs: VLMInputs,
+) -> jax.Array:
+    """Composite forward with an MPT decoder (the reference's LlavaMPT,
+    llava/model/language_model/llava_mpt.py): same vision encode + splice,
+    ALiBi decoder stack, tied-embedding logits."""
+    from spatialrgpt_tpu.models import mpt as mpt_lib
+
+    embeds = prepare_embeds(params, cfg, inputs)
+    h = mpt_lib.forward_embeds(params["llm"], mpt_cfg, embeds, inputs.segment_ids)
+    return jnp.dot(
+        h, params["llm"]["wte"].T.astype(h.dtype), preferred_element_type=jnp.float32
+    )
 
 
 def loss_fn(

@@ -36,3 +36,21 @@ def test_mpt_parity():
         expected = hf(torch.from_numpy(ids)).logits.numpy()
     got = np.asarray(forward_logits(params, cfg, jnp.asarray(ids, jnp.int32)))
     np.testing.assert_allclose(got, expected, atol=3e-4, rtol=2e-3)
+
+
+def test_mpt_composite_vlm_forward():
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as graft
+    from spatialrgpt_tpu.models import mpt as mpt_lib
+    from spatialrgpt_tpu.models import vlm
+
+    cfg = graft._tiny_cfg()
+    mcfg = MPTConfig(d_model=64, n_heads=4, n_layers=2, vocab_size=128, max_seq_len=512)
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    params["llm"] = mpt_lib.init_params(jax.random.PRNGKey(1), mcfg)
+    batch = graft._tiny_batch(cfg, B=2, S=64)
+    logits = vlm.forward_mpt(params, cfg, mcfg, batch)
+    assert logits.shape == (2, 64, 128)
+    assert np.isfinite(np.asarray(logits)).all()
