@@ -114,7 +114,9 @@ def _sp_attention(q, k, v, segment_ids, impl):
         from spatialrgpt_tpu.parallel.ulysses import ulysses_attention
 
         axes = ctx.ulysses_axis
-        fn = lambda q, k, v, s: ulysses_attention(q, k, v, s, axis_name=ctx.ulysses_axis)
+        fn = lambda q, k, v, s: ulysses_attention(
+            q, k, v, s, axis_name=ctx.ulysses_axis, impl=ctx.inner_impl
+        )
     else:
         from spatialrgpt_tpu.parallel.ring import ring_attention
 

@@ -22,6 +22,9 @@ class SPContext:
     mesh: Mesh
     ulysses_axis: Optional[str] = None  # e.g. "sp" or "sp_u"
     ring_axis: Optional[str] = None  # e.g. "sp_r"
+    # attention impl used INSIDE the shard_map (the local compute after
+    # resharding): "pallas" on TPU for the flash kernel, "xla" otherwise.
+    inner_impl: str = "xla"
 
     @property
     def sp_degree(self) -> int:

@@ -75,7 +75,10 @@ def main(argv=None):
             sp_ring=targs.seq_parallel_ring_size,
         )
         attn_impl = "hybrid"
-        set_sp_context(SPContext(mesh=mesh, ulysses_axis="sp_u", ring_axis="sp_r"))
+        inner = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+        set_sp_context(
+            SPContext(mesh=mesh, ulysses_axis="sp_u", ring_axis="sp_r", inner_impl=inner)
+        )
     else:
         mesh = mesh_lib.make_mesh(dp=targs.dp_size, fsdp=targs.fsdp_size, sp=sp)
         if targs.seq_parallel_ring_size > 1:
@@ -83,7 +86,8 @@ def main(argv=None):
             set_sp_context(SPContext(mesh=mesh, ring_axis="sp"))
         elif targs.seq_parallel_size > 1:
             attn_impl = "ulysses"
-            set_sp_context(SPContext(mesh=mesh, ulysses_axis="sp"))
+            inner = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+            set_sp_context(SPContext(mesh=mesh, ulysses_axis="sp", inner_impl=inner))
 
     cfg = build_config(margs, dargs, targs)
 
