@@ -37,7 +37,7 @@ from spatialrgpt_tpu.utils.timing import device_sync, time_fn
 
 A100_BASELINE_TOK_S = 700.0  # est. reference throughput (batch 32, A100, HF generate)
 
-BATCH = int(os.environ.get("SRGPT_BENCH_BATCH", 32))
+BATCH = int(os.environ.get("SRGPT_BENCH_BATCH", 48))
 MAX_NEW = int(os.environ.get("SRGPT_BENCH_MAX_NEW", 64))
 N_REGIONS = 2
 PROMPT_TEXT_TOKENS = 96  # text tokens around the image + region tokens
