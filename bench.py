@@ -94,6 +94,10 @@ def main():
     rng = np.random.default_rng(0)
     t0 = time.time()
     params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if os.environ.get("SRGPT_BENCH_INT8") == "1":
+        from spatialrgpt_tpu.ops.quant import quantize_llm
+
+        params["llm"] = quantize_llm(params["llm"], bits=8)
     device_sync(params["llm"]["final_ln"])
     init_s = time.time() - t0
 

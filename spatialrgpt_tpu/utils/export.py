@@ -16,9 +16,9 @@ import numpy as np
 
 
 def _np32(x) -> np.ndarray:
+    """To numpy, upcasting bfloat16 (not representable in safetensors'
+    consumers' torch-free path) to float32."""
     a = np.asarray(x)
-    if a.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
-        a = a.astype(np.float32)
     try:
         import ml_dtypes
 
