@@ -24,10 +24,10 @@ def linear(x: jax.Array, p) -> jax.Array:
         from spatialrgpt_tpu.ops.quant import dequantize
 
         qw = p["kernel_q"]
-        if qw["bits"] == 8 and qw["axis"] == 0:
+        if "orig_dim0" not in qw:  # int8: scale folds into the accumulator
             y = jnp.dot(x, qw["q"].astype(x.dtype), preferred_element_type=jnp.float32)
             y = y * qw["scale"].astype(jnp.float32)
-        else:
+        else:  # packed int4: dequantize then matmul (XLA fuses)
             y = jnp.dot(
                 x, dequantize(qw, x.dtype), preferred_element_type=jnp.float32
             )

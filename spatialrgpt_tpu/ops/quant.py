@@ -15,6 +15,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def quantize_int8(w: jax.Array, axis: int = 0) -> Dict:
@@ -23,7 +24,10 @@ def quantize_int8(w: jax.Array, axis: int = 0) -> Dict:
     scale = jnp.max(jnp.abs(wf), axis=axis, keepdims=True) / 127.0
     scale = jnp.maximum(scale, 1e-12)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return {"q": q, "scale": scale.astype(jnp.float32), "bits": 8, "axis": axis}
+    # NOTE: no python-int metadata in the dict -- ints would become traced
+    # pytree leaves under jit; int4 is distinguished by the packed
+    # "orig_dim0" entry's presence (shape metadata is static).
+    return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
 def quantize_int4(w: jax.Array, axis: int = 0) -> Dict:
@@ -40,20 +44,18 @@ def quantize_int4(w: jax.Array, axis: int = 0) -> Dict:
     return {
         "q": packed,
         "scale": scale.astype(jnp.float32),
-        "bits": 4,
-        "axis": axis,
-        "orig_dim0": w.shape[0],
+        "orig_dim0": np.zeros((w.shape[0],), np.bool_),  # static length marker
     }
 
 
 def dequantize(qw: Dict, dtype=jnp.bfloat16) -> jax.Array:
-    if qw["bits"] == 8:
+    if "orig_dim0" not in qw:  # int8
         return (qw["q"].astype(jnp.float32) * qw["scale"]).astype(dtype)
     packed = qw["q"]
     lo = (packed << 4).astype(jnp.int8) >> 4  # sign-extend low nibble
     hi = packed >> 4  # arithmetic shift sign-extends high nibble
     q = jnp.stack([lo, hi], axis=1).reshape((-1,) + packed.shape[1:])
-    q = q[: qw["orig_dim0"]]
+    q = q[: qw["orig_dim0"].shape[0]]
     return (q.astype(jnp.float32) * qw["scale"]).astype(dtype)
 
 
