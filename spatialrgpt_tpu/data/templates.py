@@ -12,7 +12,6 @@ All outputs are numpy int64 arrays — no torch.
 
 from __future__ import annotations
 
-import copy
 from typing import Dict, List, Sequence
 
 import numpy as np

@@ -25,7 +25,6 @@ from typing import Dict, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from spatialrgpt_tpu.config import SpatialRGPTConfig
 from spatialrgpt_tpu.constants import NUM_TOKENS_PER_IMAGE
 from spatialrgpt_tpu.conversation import SeparatorStyle, conv_templates
 from spatialrgpt_tpu.data import preprocess as pp

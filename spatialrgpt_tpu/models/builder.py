@@ -63,8 +63,6 @@ def load_pretrained_model(
     vocab_rows = params["llm"]["embed_tokens"].shape[0]
     need = len(tokenizer)
     if need > vocab_rows:
-        import jax
-
         pad = jnp.zeros((need - vocab_rows, params["llm"]["embed_tokens"].shape[1]), dtype)
         mean = params["llm"]["embed_tokens"].mean(axis=0, keepdims=True).astype(dtype)
         params["llm"]["embed_tokens"] = jnp.concatenate(

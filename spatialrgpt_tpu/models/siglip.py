@@ -16,7 +16,6 @@ layers, no post-layernorm, all 729 tokens.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

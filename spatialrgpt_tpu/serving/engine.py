@@ -19,7 +19,6 @@ from __future__ import annotations
 import collections
 import itertools
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -28,7 +27,6 @@ import numpy as np
 
 from spatialrgpt_tpu.config import SpatialRGPTConfig
 from spatialrgpt_tpu.models import llama, vlm
-from spatialrgpt_tpu.serving.generate import _cached_attention, _sample_token
 
 
 @dataclass

@@ -9,7 +9,6 @@ reference model, with the policy's multimodal forward reused as-is.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, NamedTuple, Tuple
 
 import jax

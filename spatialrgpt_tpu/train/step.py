@@ -19,7 +19,6 @@ weight by valid tokens, not by rank) without any manual resharding.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

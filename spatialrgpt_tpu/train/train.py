@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spatialrgpt_tpu.config import LLAMA_PRESETS, SpatialRGPTConfig, preset
+from spatialrgpt_tpu.config import SpatialRGPTConfig, preset
 from spatialrgpt_tpu.data.dataset import Collator, CollatorConfig, build_datasets, to_vlm_inputs
 from spatialrgpt_tpu.data.sampler import DistributedMixtureSampler
 from spatialrgpt_tpu.models import vlm

@@ -11,7 +11,6 @@ the hot path — tensors arrive as numpy arrays.
 
 from __future__ import annotations
 
-import json
 import os
 import pickle
 from typing import Callable, Dict, Mapping

@@ -8,7 +8,6 @@ so checkpoints trained here load in the PyTorch reference and vice versa.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Dict
 

@@ -8,7 +8,6 @@ and a memory report."""
 from __future__ import annotations
 
 import contextlib
-import json
 import os
 import time
 from typing import Dict, Optional
