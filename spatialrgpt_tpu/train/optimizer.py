@@ -38,6 +38,9 @@ class OptimizerConfig:
     tune_vision_tower: bool = False
     tune_mm_projector: bool = True
     tune_region_extractor: bool = True
+    # skip updates whose grads contain non-finite values (bf16 training
+    # guard; replaces DeepSpeed's loss-scale skip behavior)
+    skip_nonfinite_updates: int = 0  # 0 = off; else max consecutive skips
 
 
 def _schedule(ocfg: OptimizerConfig, peak_lr: float) -> optax.Schedule:
@@ -90,4 +93,7 @@ def build_optimizer(params, ocfg: OptimizerConfig) -> optax.GradientTransformati
     }
     labels = param_labels(params)
     present = {k: v for k, v in tx_map.items() if k in params}
-    return optax.multi_transform(present, labels)
+    tx = optax.multi_transform(present, labels)
+    if ocfg.skip_nonfinite_updates > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=ocfg.skip_nonfinite_updates)
+    return tx

@@ -164,3 +164,28 @@ def test_remat_gradients_match():
     g2 = jax.grad(loss_remat)(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_nonfinite_grad_guard():
+    """apply_if_finite: a NaN batch must not poison the params."""
+    import jax.numpy as jnp
+
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ocfg = OptimizerConfig(
+        learning_rate=1e-3, total_steps=10, warmup_ratio=0.0, skip_nonfinite_updates=4
+    )
+    optimizer = build_optimizer(params, ocfg)
+    state = create_train_state(params, optimizer)
+    step_fn = make_train_step(cfg, optimizer)
+
+    bad = graft._tiny_batch(cfg, B=2, S=64, seed=1)
+    bad = bad._replace(images=bad.images * jnp.nan)
+    before = np.asarray(state.params["llm"]["embed_tokens"]).copy()
+    state, metrics = step_fn(state, bad)
+    after = np.asarray(state.params["llm"]["embed_tokens"])
+    np.testing.assert_array_equal(before, after)  # update skipped
+
+    good = graft._tiny_batch(cfg, B=2, S=64, seed=2)
+    state, metrics = step_fn(state, good)
+    assert not np.allclose(np.asarray(state.params["llm"]["embed_tokens"]), before)
