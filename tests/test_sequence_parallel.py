@@ -134,3 +134,25 @@ def test_zigzag_ring_matches_global(sp):
     got = sharded(q[:, perm], k[:, perm], v[:, perm], seg[:, perm])[:, inv]
     exp = causal_attention(q, k, v, segment_ids=seg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_params_generate():
+    """Serving with FSDP-sharded parameters (the multi-chip 8B path):
+    generate must produce identical tokens to single-device params."""
+    import __graft_entry__ as graft
+    from spatialrgpt_tpu.models import vlm
+    from spatialrgpt_tpu.parallel import mesh as mesh_lib
+    from spatialrgpt_tpu.serving.generate import generate
+
+    cfg = graft._tiny_cfg()
+    params = vlm.init_params(jax.random.PRNGKey(2), cfg)
+    batch = graft._tiny_batch(cfg, B=2, S=64)
+    plens = jnp.asarray(np.asarray(batch.segment_ids).sum(axis=1), jnp.int32)
+
+    ref = generate(params, cfg, batch, plens, max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+
+    mesh = mesh_lib.make_mesh(dp=1, fsdp=4, sp=1)
+    with mesh:
+        sharded = mesh_lib.shard_params(params, mesh)
+        got = generate(sharded, cfg, batch, plens, max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
