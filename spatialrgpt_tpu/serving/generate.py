@@ -51,7 +51,9 @@ def _sample_token(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "temperature", "top_p", "attn_impl"),
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "top_p", "attn_impl", "stop_token_ids"
+    ),
 )
 def generate(
     params: Dict,
@@ -63,6 +65,9 @@ def generate(
     temperature: float = 0.0,
     top_p: float = 1.0,
     eos_token_id: Optional[int] = None,
+    stop_token_ids: tuple = (),  # extra stop ids (KeywordsStoppingCriteria
+    # equivalent, mm_utils.py:586-617, for single-token stop strings like
+    # <|eot_id|>); multi-token stop strings are stripped by the caller
     rng: Optional[jax.Array] = None,
     attn_impl: str = "xla",
 ) -> GenerateResult:
@@ -71,6 +76,10 @@ def generate(
     prefill."""
     B, S = inputs.input_ids.shape
     eos = cfg.llm.eos_token_id if eos_token_id is None else eos_token_id
+    stops = jnp.asarray((eos,) + tuple(stop_token_ids), jnp.int32)
+
+    def _is_stop(tok):
+        return (tok[:, None] == stops[None, :]).any(axis=-1)
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
@@ -107,7 +116,7 @@ def generate(
 
     tokens0 = jnp.full((B, max_new_tokens), eos, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(tok0)
-    done0 = tok0 == eos
+    done0 = _is_stop(tok0)
 
     # per-row decode positions: row b's t-th new token sits at global
     # position prompt_lengths[b] + t; its KV lives at cache slot S + t
@@ -123,7 +132,7 @@ def generate(
         tok = _sample_token(logits, step_rng, temperature, top_p)
         tok = jnp.where(done, eos, tok)
         tokens = tokens.at[:, t].set(tok)
-        done = done | (tok == eos)
+        done = done | _is_stop(tok)
         return t + 1, tokens, done, cache, rng
 
     def cond(state):

@@ -112,3 +112,25 @@ def test_generate_matches_naive_greedy_batched_padded():
         oracle = _naive_greedy(params, inputs, row, int(prompt_lengths[row]), 6)
         got = list(toks[row][: len(oracle)])
         assert got == oracle, f"row {row}: {got} vs {oracle}"
+
+
+def test_stop_token_ids():
+    """Extra stop ids end a row's generation like EOS."""
+    params = vlm.init_params(jax.random.PRNGKey(7), TINY)
+    p1 = np.array([5, IMAGE_TOKEN_INDEX, 60, 61, 8], np.int64)
+    sb, inputs = _inputs_for([p1], n_images=1, pad_to=10)
+    plens = jnp.asarray(sb.segment_ids.sum(axis=1), jnp.int32)
+
+    base = generate(params, TINY, inputs, plens, max_new_tokens=6, temperature=0.0, eos_token_id=-1)
+    toks = list(np.asarray(base.tokens)[0])
+    # pick a stop id that first appears mid-sequence
+    stop_id = next(t for t in toks if t != toks[0])
+    first = toks.index(stop_id)
+    stopped = generate(
+        params, TINY, inputs, plens, max_new_tokens=6, temperature=0.0,
+        eos_token_id=-1, stop_token_ids=(int(stop_id),),
+    )
+    got = list(np.asarray(stopped.tokens)[0])
+    # identical up to and including the stop token; padding (-1) after
+    assert got[: first + 1] == toks[: first + 1]
+    assert all(t == -1 for t in got[first + 1 :])
