@@ -107,3 +107,18 @@ def test_full_loss_from_dataset():
     loss, metrics = vlm.loss_fn(params, TINY, inputs)
     assert np.isfinite(float(loss))
     assert int(metrics["num_tokens"]) > 0
+
+
+def test_collator_pad_batch_to_fixed_rows():
+    tok = SpatialFakeTokenizer()
+    ds = DummyDataset(tok, None, size=2, image_size=56, conv_template="v1")
+    coll = Collator(
+        CollatorConfig(
+            max_len=384, pack=False, tokens_per_image=4,
+            mask_token_id=TINY.mask_token_id, depth_token_id=TINY.depth_token_id,
+            regions_per_image=2, image_size=56, pad_batch_to=4,
+        )
+    )
+    batch, *_ = coll([ds[0], ds[1]])
+    assert batch.input_ids.shape[0] == 4
+    assert (batch.segment_ids[2:] == 0).all()  # pad rows fully masked

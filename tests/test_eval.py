@@ -169,3 +169,17 @@ def test_region_cls_runner(tmp_path):
     assert len(recs) == 1 and recs[0]["gt_category"] == "dog"
     res = score_region_predictions(recs)
     assert "accuracy" in res
+
+
+def test_bench_to_judge_pipeline(tmp_path):
+    """answers.jsonl -> score_file -> score.json (the srgpt_bench.sh flow)."""
+    from spatialrgpt_tpu.eval.judge import score_file
+
+    answers = tmp_path / "answers.jsonl"
+    with open(answers, "w") as f:
+        f.write(json.dumps(_rec("quantitative", "width_data", "2 meters", "2.1 meters")) + "\n")
+        f.write(json.dumps(_rec("qualitative", "left_predicate", "It is left.", "on the left")) + "\n")
+    res = score_file(str(answers))
+    assert os.path.exists(tmp_path / "score.json")
+    assert res["Quan_width_acc"] == 100.0
+    assert res["Qual_left/right_acc"] == 100.0

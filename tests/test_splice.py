@@ -182,3 +182,23 @@ def test_vlm_loss_runs_and_is_finite():
     loss, metrics = vlm.loss_fn(params, TINY, inputs)
     assert np.isfinite(float(loss))
     assert int(metrics["num_tokens"]) == 3
+
+
+def test_expand_rows_text_only_row_mixed_with_image_rows():
+    """No-image rows coexist with image rows (reference llava_arch.py
+    num_images == 0 branch)."""
+    img_row = np.array([5, IMAGE_TOKEN_INDEX, 7], np.int64)
+    text_row = np.array([11, 12, 13, 14], np.int64)
+    sb = expand_rows([img_row, text_row], None, max_len=16, tokens_per_image=3)
+    assert sb.is_image[0].sum() == 3
+    assert sb.is_image[1].sum() == 0
+    np.testing.assert_array_equal(sb.input_ids[1, :4], [11, 12, 13, 14])
+    assert sb.segment_ids[1, :4].tolist() == [1, 1, 1, 1]
+
+
+def test_expand_rows_multiple_images_one_row():
+    row = np.array([IMAGE_TOKEN_INDEX, 5, IMAGE_TOKEN_INDEX], np.int64)
+    sb = expand_rows([row], None, max_len=16, tokens_per_image=2)
+    # two images -> gather indices 0..1 then 2..3
+    idx = sb.image_gather_idx[0][sb.is_image[0]]
+    np.testing.assert_array_equal(idx, [0, 1, 2, 3])
