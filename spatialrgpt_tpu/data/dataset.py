@@ -74,6 +74,45 @@ add_dataset(
         description="Open Spatial Dataset SFT mixture (reference datasets_mixture.py:57-66)",
     )
 )
+add_dataset(
+    DatasetSpec(
+        name="llava_1_5_mm_align",
+        dataset_type="vqa",
+        data_path="data/llava_1_5/mm_align.json",
+        image_path="data/llava_1_5/images",
+        description="alignment-stage caption data (reference mixture name)",
+    )
+)
+add_dataset(
+    DatasetSpec(
+        name="mmc4core",
+        dataset_type="mmc4",
+        data_path="data/mmc4core/shards.jsonl",
+        image_path="data/mmc4core/images",
+        description="interleaved web documents (LazyMMC4Dataset equivalent)",
+    )
+)
+add_dataset(
+    DatasetSpec(
+        name="coyo_25m",
+        dataset_type="coyo",
+        data_path="data/coyo/shards.jsonl",
+        image_path="data/coyo/images",
+        description="caption pairs (LazyCoyoDataset equivalent)",
+    )
+)
+add_dataset(
+    DatasetSpec(
+        name="vflan",
+        dataset_type="vflan",
+        data_path="data/vflan/shards.jsonl",
+        image_path="data/vflan/images",
+        description="instruction data (LazyVFlanDataset equivalent)",
+    )
+)
+add_dataset(
+    DatasetSpec(name="dummy", dataset_type="dummy", description="synthetic smoke data")
+)
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +475,18 @@ def build_datasets(
             )
         elif spec.dataset_type == "dummy":
             parts.append(DummyDataset(tokenizer, processor, conv_template=conv_template))
+        elif spec.dataset_type in ("mmc4", "coyo", "vflan"):
+            from spatialrgpt_tpu.data import interleaved
+
+            cls = {
+                "mmc4": interleaved.MMC4Dataset,
+                "coyo": interleaved.CoyoDataset,
+                "vflan": interleaved.VFlanDataset,
+            }[spec.dataset_type]
+            extra = {"conv_template": conv_template} if spec.dataset_type == "vflan" else {}
+            parts.append(
+                cls(spec.data_path, tokenizer, processor, image_folder=spec.image_path, **extra)
+            )
         else:
             parts.append(
                 SupervisedDataset(
