@@ -37,7 +37,7 @@ from spatialrgpt_tpu.utils.timing import device_sync, time_fn
 
 A100_BASELINE_TOK_S = 700.0  # est. reference throughput (batch 32, A100, HF generate)
 
-BATCH = int(os.environ.get("SRGPT_BENCH_BATCH", 48))
+BATCH = int(os.environ.get("SRGPT_BENCH_BATCH", 64))
 MAX_NEW = int(os.environ.get("SRGPT_BENCH_MAX_NEW", 64))
 N_REGIONS = 2
 PROMPT_TEXT_TOKENS = 96  # text tokens around the image + region tokens
@@ -103,6 +103,7 @@ def main():
 
     inputs, prompt_lengths = build_batch(cfg, rng)
 
+    kv_quant = os.environ.get("SRGPT_BENCH_KV_INT8", "1") == "1"
     run = lambda: generate(
         params,
         cfg,
@@ -112,6 +113,7 @@ def main():
         temperature=0.0,
         eos_token_id=-1,  # force full-length decode for stable throughput
         attn_impl="pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla",
+        kv_quant=kv_quant,
     )
 
     t0 = time.time()
@@ -132,6 +134,7 @@ def main():
         params, cfg, inputs, prompt_lengths, max_new_tokens=1, temperature=0.0,
         eos_token_id=-1,
         attn_impl="pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla",
+        kv_quant=kv_quant,
     )
     r = run1()
     device_sync(r.tokens)  # compile

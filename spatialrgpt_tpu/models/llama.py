@@ -259,6 +259,9 @@ def forward(
     cache: Optional[KVCache] = None,
     attn_impl: str = "xla",
     collect_kv: bool = False,
+    kv_quant: bool = False,  # quantize collected K/V to int8 at collection
+    # time (per layer, so the bf16 tensors die immediately — keeps prefill
+    # peak memory at int8 scale for quantized-cache serving)
     remat: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden_states, updated cache).
@@ -283,8 +286,14 @@ def forward(
             x, lp, cfg, position_ids, segment_ids, li, cache, attn_impl, collect_kv
         )
         if new_kv is not None:
-            new_ks.append(new_kv[0])
-            new_vs.append(new_kv[1])
+            if kv_quant and cache is None:
+                from spatialrgpt_tpu.ops.quant import quantize_kv
+
+                new_ks.append(quantize_kv(new_kv[0]))  # (int8, f32 scale)
+                new_vs.append(quantize_kv(new_kv[1]))
+            else:
+                new_ks.append(new_kv[0])
+                new_vs.append(new_kv[1])
     x = _norm(x, params["final_ln"], cfg)
     new_cache = None
     if cache is not None:

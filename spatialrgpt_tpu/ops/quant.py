@@ -59,6 +59,24 @@ def dequantize(qw: Dict, dtype=jnp.bfloat16) -> jax.Array:
     return (q.astype(jnp.float32) * qw["scale"]).astype(dtype)
 
 
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-position-per-head symmetric int8 over the head dim.
+
+    KV-cache quantization for the memory-bound decode: the cache read is
+    the dominant HBM stream per step (BASELINE.md decomposition), and
+    int8+scales halves it. x: (..., D) -> (int8 same shape, f32 scale (...)).
+    """
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.round(xf / s[..., None]).astype(jnp.int8)
+    return q, s
+
+
+def dequantize_kv(q: jax.Array, s: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return (q.astype(jnp.float32) * s[..., None]).astype(dtype)
+
+
 def quantize_llm(params: Dict, bits: int = 8) -> Dict:
     """Quantize every 2D kernel in an llm pytree; norms/embeds stay bf16
     (matching the reference's skip_modules behavior)."""

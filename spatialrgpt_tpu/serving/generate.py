@@ -28,6 +28,21 @@ class GenerateResult(NamedTuple):
     num_generated: jax.Array  # (B,) int32
 
 
+class QuantKVCache(NamedTuple):
+    """int8 KV cache with per-position-per-head f32 scales (serving only).
+
+    Decode is HBM-bound on the cache read (BASELINE.md); int8 halves that
+    stream and the cache's HBM footprint (enabling larger serving batches).
+    Scales add 4/(2*D) relative traffic — ~1.6% at D=128.
+    """
+
+    k_q: Tuple[jax.Array, ...]  # per layer (B, C, Hk, D) int8
+    k_s: Tuple[jax.Array, ...]  # per layer (B, C, Hk) f32
+    v_q: Tuple[jax.Array, ...]
+    v_s: Tuple[jax.Array, ...]
+    length: jax.Array  # () int32
+
+
 def _sample_token(
     logits: jax.Array,  # (B, V) fp32
     rng: jax.Array,
@@ -52,7 +67,8 @@ def _sample_token(
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "temperature", "top_p", "attn_impl", "stop_token_ids"
+        "cfg", "max_new_tokens", "temperature", "top_p", "attn_impl",
+        "stop_token_ids", "kv_quant",
     ),
 )
 def generate(
@@ -70,6 +86,7 @@ def generate(
     # <|eot_id|>); multi-token stop strings are stripped by the caller
     rng: Optional[jax.Array] = None,
     attn_impl: str = "xla",
+    kv_quant: bool = False,  # int8 KV cache (QuantKVCache) for decode
 ) -> GenerateResult:
     """Multimodal generate.  ``inputs`` is a right-padded prompt batch
     (data/splice.py layout); image/region features are computed once in
@@ -100,13 +117,28 @@ def generate(
         segment_ids=inputs.segment_ids,
         attn_impl=attn_impl,
         collect_kv=True,
+        kv_quant=kv_quant,
     )
     pad_tail = capacity - S
-    cache = llama.KVCache(
-        tuple(jnp.pad(k, ((0, 0), (0, pad_tail), (0, 0), (0, 0))) for k in kv.k),
-        tuple(jnp.pad(v, ((0, 0), (0, pad_tail), (0, 0), (0, 0))) for v in kv.v),
-        jnp.asarray(S, jnp.int32),
-    )
+
+    def _pad(t):
+        return jnp.pad(t, ((0, 0), (0, pad_tail)) + ((0, 0),) * (t.ndim - 2))
+
+    if kv_quant:
+        # kv entries are (int8, f32 scale) pairs (quantized at collection)
+        cache = QuantKVCache(
+            tuple(_pad(a) for a, _ in kv.k),
+            tuple(_pad(s) for _, s in kv.k),
+            tuple(_pad(a) for a, _ in kv.v),
+            tuple(_pad(s) for _, s in kv.v),
+            jnp.asarray(S, jnp.int32),
+        )
+    else:
+        cache = llama.KVCache(
+            tuple(_pad(k) for k in kv.k),
+            tuple(_pad(v) for v in kv.v),
+            jnp.asarray(S, jnp.int32),
+        )
     last_idx = jnp.maximum(prompt_lengths - 1, 0)  # (B,)
     last_h = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]  # (B, H)
     first_logits = llama.logits(params["llm"], last_h[:, None], cfg.llm)[:, 0]
@@ -159,8 +191,8 @@ def _decode_step(params, cfg, x, pos, cache, prompt_lengths, prompt_pad_len, ste
     """
     B = x.shape[0]
     h = x
-    new_ks, new_vs = [], []
-    capacity = cache.k[0].shape[1]
+    quant = isinstance(cache, QuantKVCache)
+    capacity = (cache.k_q if quant else cache.k)[0].shape[1]
     slot = prompt_pad_len + step_idx
     slot_ids = jnp.arange(capacity)
     # (B, C) validity: prompt region limited per row; generated region by step
@@ -169,9 +201,18 @@ def _decode_step(params, cfg, x, pos, cache, prompt_lengths, prompt_pad_len, ste
         slot_ids[None, :] < prompt_lengths[:, None],
         slot_ids[None, :] <= slot,
     )
+    new_parts = []
     for li, lp in enumerate(params["llm"]["layers"]):
         hn = llama._norm(h, lp["input_ln"], cfg.llm)
-        attn_out, (ck, cv) = _cached_attention(hn, lp["attn"], cfg.llm, pos, cache, li, slot, valid)
+        if quant:
+            layer_cache = (cache.k_q[li], cache.k_s[li], cache.v_q[li], cache.v_s[li])
+            attn_out, parts = _cached_attention_quant(
+                hn, lp["attn"], cfg.llm, pos, layer_cache, slot, valid
+            )
+        else:
+            attn_out, parts = _cached_attention(
+                hn, lp["attn"], cfg.llm, pos, cache, li, slot, valid
+            )
         h = h + attn_out
         hn = llama._norm(h, lp["post_ln"], cfg.llm)
         if cfg.llm.is_moe:
@@ -179,10 +220,21 @@ def _decode_step(params, cfg, x, pos, cache, prompt_lengths, prompt_pad_len, ste
             h = h + moe_out
         else:
             h = h + llama._mlp_block(hn, lp["mlp"], cfg.llm.hidden_act)
-        new_ks.append(ck)
-        new_vs.append(cv)
+        new_parts.append(parts)
     h = llama._norm(h, params["llm"]["final_ln"], cfg.llm)
-    return h, llama.KVCache(tuple(new_ks), tuple(new_vs), cache.length)
+    if quant:
+        new_cache = QuantKVCache(
+            tuple(p[0] for p in new_parts),
+            tuple(p[1] for p in new_parts),
+            tuple(p[2] for p in new_parts),
+            tuple(p[3] for p in new_parts),
+            cache.length,
+        )
+    else:
+        new_cache = llama.KVCache(
+            tuple(p[0] for p in new_parts), tuple(p[1] for p in new_parts), cache.length
+        )
+    return h, new_cache
 
 
 def _rms(x, scale, eps):
@@ -213,3 +265,47 @@ def _cached_attention(x, p, cfg, pos, cache, layer_idx, slot, valid):
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(vv.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, vv).reshape(B, S, Hq * D)
     return linear(out, p["wo"]), (ck, cv)
+
+
+def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid):
+    """Decode attention against an int8 KV cache (QuantKVCache, one layer).
+
+    The per-position scales are folded into the score/prob tensors (small,
+    (B,H,1,C)) rather than dequantizing the (B,C,H,D) cache into bf16 —
+    the cache is only ever touched as int8, so the HBM stream stays int8.
+    """
+    from spatialrgpt_tpu.ops.attention import NEG_INF, _repeat_kv
+    from spatialrgpt_tpu.ops.layers import linear
+    from spatialrgpt_tpu.ops.quant import quantize_kv
+
+    k_q, k_s, v_q, v_s = layer_cache
+    B, S, H = x.shape  # S == 1
+    Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = linear(x, p["wq"]).reshape(B, S, Hq, D)
+    k = linear(x, p["wk"]).reshape(B, S, Hk, D)
+    v = linear(x, p["wv"]).reshape(B, S, Hk, D)
+    q, k = llama.apply_rope(q, k, pos, cfg)
+
+    nk_q, nk_s = quantize_kv(k)
+    nv_q, nv_s = quantize_kv(v)
+    ck_q = jax.lax.dynamic_update_slice_in_dim(k_q, nk_q, slot, axis=1)
+    ck_s = jax.lax.dynamic_update_slice_in_dim(k_s, nk_s, slot, axis=1)
+    cv_q = jax.lax.dynamic_update_slice_in_dim(v_q, nv_q, slot, axis=1)
+    cv_s = jax.lax.dynamic_update_slice_in_dim(v_s, nv_s, slot, axis=1)
+
+    n_rep = Hq // Hk
+    kk = _repeat_kv(ck_q, n_rep)  # (B, C, Hq, D) int8
+    vv = _repeat_kv(cv_q, n_rep)
+    kks = _repeat_kv(ck_s[..., None], n_rep)[..., 0]  # (B, C, Hq)
+    vvs = _repeat_kv(cv_s[..., None], n_rep)[..., 0]
+
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, kk.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    scores = scores * kks.transpose(0, 2, 1)[:, :, None, :] * (D**-0.5)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # fold V scales into the (small) probs tensor, keep the cache read int8
+    probs = (probs * vvs.transpose(0, 2, 1)[:, :, None, :]).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vv.astype(q.dtype)).reshape(B, S, Hq * D)
+    return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)

@@ -114,6 +114,38 @@ def test_generate_matches_naive_greedy_batched_padded():
         assert got == oracle, f"row {row}: {got} vs {oracle}"
 
 
+def test_kv_quant_generate_matches_bf16():
+    """int8 KV cache decode: same greedy tokens as the exact cache on a
+    tiny model (params fp32 so logit gaps dominate the ~0.4% quant noise)."""
+    p1 = np.array([5, IMAGE_TOKEN_INDEX, 60, 61, 8], np.int64)
+    p2 = np.array([IMAGE_TOKEN_INDEX, 7], np.int64)
+    sb, inputs = _inputs_for([p1, p2], n_images=2, pad_to=10)
+    params = vlm.init_params(jax.random.PRNGKey(7), TINY)
+    plens = jnp.asarray(sb.segment_ids.sum(axis=1), jnp.int32)
+
+    exact = generate(params, TINY, inputs, plens, max_new_tokens=8, temperature=0.0, eos_token_id=-1)
+    quant = generate(
+        params, TINY, inputs, plens, max_new_tokens=8, temperature=0.0,
+        eos_token_id=-1, kv_quant=True,
+    )
+    mismatch = int((np.asarray(exact.tokens) != np.asarray(quant.tokens)).sum())
+    assert mismatch == 0, (np.asarray(exact.tokens), np.asarray(quant.tokens))
+
+
+def test_kv_quant_attention_numerics():
+    """Quantized cached attention ~= exact attention on random K/V."""
+    from spatialrgpt_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    rng = np.random.default_rng(3)
+    B, C, Hk, D = 2, 16, 2, 8
+    k = jnp.asarray(rng.standard_normal((B, C, Hk, D)), jnp.float32)
+    kq, ks = quantize_kv(k)
+    back = dequantize_kv(kq, ks, jnp.float32)
+    err = float(jnp.max(jnp.abs(back - k)))
+    scale = float(jnp.max(jnp.abs(k)))
+    assert err <= scale / 127.0 + 1e-6
+
+
 def test_stop_token_ids():
     """Extra stop ids end a row's generation like EOS."""
     params = vlm.init_params(jax.random.PRNGKey(7), TINY)
