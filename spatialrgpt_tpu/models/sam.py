@@ -5,8 +5,10 @@ TPU port of the mask-proposal model the reference demo uses
 ViT-det image encoder (windowed attention + decomposed relative
 positions), Fourier prompt encoder (points / boxes / masks), and the
 two-way-transformer mask decoder.  Weight layout converts 1:1 from HF
-``SamModel`` (facebook/sam-vit-*); SAM-HQ checkpoints load the same
-encoder/decoder with the HQ token ignored (quality parity with base SAM).
+``SamModel`` (facebook/sam-vit-*) via ``convert_sam`` and from HF
+``SamHQModel`` via ``convert_sam_hq`` — the HQ refinement head
+(``decode_masks_hq``: extra HQ output token + high-frequency feature map
+from early ViT features) is implemented with full HF parity.
 
 TPU-first notes: window partitioning is pure reshape/transpose (no
 padding needed at the canonical 64x64 grid with window 14 -> padded to
@@ -141,8 +143,15 @@ def _channels_ln(x: jax.Array, p, eps=1e-6) -> jax.Array:
     return layer_norm(x, p, eps=eps)
 
 
-def encode_image(params: Params, pixel_values: jax.Array, cfg: SamVisionConfig) -> jax.Array:
-    """(B, H, W, 3) -> (B, g, g, output_channels) image embedding."""
+def encode_image(
+    params: Params, pixel_values: jax.Array, cfg: SamVisionConfig, return_interm: bool = False
+):
+    """(B, H, W, 3) -> (B, g, g, output_channels) image embedding.
+
+    With ``return_interm`` also returns the hidden states after the first
+    global-attention block (B, g, g, hidden) — the SAM-HQ ``vit_features``
+    (modeling_sam_hq SamHQVisionEncoder collects outputs of window_size==0
+    layers; the HQ decoder consumes intermediate_embeddings[0])."""
     k = params["patch_embed"]["kernel"]
     x = jax.lax.conv_general_dilated(
         pixel_values.astype(k.dtype),
@@ -152,9 +161,12 @@ def encode_image(params: Params, pixel_values: jax.Array, cfg: SamVisionConfig) 
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + params["patch_embed"]["bias"]
     x = x + params["pos_embed"].astype(x.dtype)
+    interm = None
     for li, lp in enumerate(params["layers"]):
         w = 0 if li in cfg.global_attn_indexes else cfg.window_size
         x = _vision_layer(x, lp, cfg, w)
+        if interm is None and w == 0:
+            interm = x
     # neck: 1x1 conv -> LN -> 3x3 conv -> LN (no bias convs)
     x = jnp.einsum("bhwc,cd->bhwd", x, params["neck"]["conv1"].astype(x.dtype))
     x = _channels_ln(x, params["neck"]["ln1"])
@@ -166,6 +178,8 @@ def encode_image(params: Params, pixel_values: jax.Array, cfg: SamVisionConfig) 
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     x = _channels_ln(x, params["neck"]["ln2"])
+    if return_interm:
+        return x, interm
     return x
 
 
@@ -314,6 +328,125 @@ def decode_masks(
     if multimask:
         return masks[:, 1:], iou_pred[:, 1:]
     return masks[:, :1], iou_pred[:, :1]
+
+
+def _conv3(x, p):
+    """3x3 SAME conv, NHWC; kernel (3, 3, Ci, Co)."""
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["bias"].astype(x.dtype)
+
+
+def decode_masks_hq(
+    params: Params,
+    cfg: SamConfig,
+    image_embeddings: jax.Array,  # (B, g, g, C)
+    sparse_prompts: jax.Array,  # (B, N, C)
+    dense_prompts: Optional[jax.Array],
+    vit_features: jax.Array,  # (B, g, g, vit_dim) first global-attn block out
+    multimask: bool = True,
+    hq_token_only: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """SAM-HQ mask decode (modeling_sam_hq SamHQMaskDecoder.forward):
+    an extra HQ output token whose hypernetwork reads a high-frequency
+    feature map (4x-upscaled image embedding + compressed early ViT
+    features).  Returns (masks (B, M, 4g, 4g), iou (B, M)); multimask
+    output is sorted by predicted IoU descending (HF behavior) and the
+    HQ mask is added to the SAM masks unless ``hq_token_only``."""
+    B, g, _, C = image_embeddings.shape
+    dp = params["decoder"]
+    hq = params["hq"]
+    n_sam_tokens = cfg.num_multimask_outputs + 1
+
+    # hq_features = embedding_encoder(img_emb) + compress_vit(vit_features)
+    enc = _deconv2(image_embeddings, hq["encoder_conv1"])
+    enc = gelu_erf(_channels_ln(enc, hq["encoder_norm"]))
+    enc = _deconv2(enc, hq["encoder_conv2"])  # (B, 4g, 4g, C/8)
+    cv = _deconv2(vit_features, hq["compress_vit_conv1"])
+    cv = gelu_erf(_channels_ln(cv, hq["compress_vit_norm"]))
+    cv = _deconv2(cv, hq["compress_vit_conv2"])
+    hq_features = enc + cv
+
+    out_tokens = jnp.concatenate([dp["iou_token"], dp["mask_tokens"], hq["hq_token"]], axis=0)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(out_tokens[None], (B, out_tokens.shape[0], C)), sparse_prompts], axis=1
+    )
+
+    img = image_embeddings
+    if dense_prompts is not None:
+        img = img + dense_prompts
+    keys = img.reshape(B, g * g, C)
+    kpe = jnp.broadcast_to(
+        image_positional_embedding(params, cfg).reshape(1, g * g, C), (B, g * g, C)
+    ).astype(keys.dtype)
+
+    queries = tokens
+    for i, bp in enumerate(dp["layers"]):
+        queries, keys = _two_way_block(queries, keys, tokens, kpe, bp, cfg, skip_first_pe=(i == 0))
+    q = queries + tokens
+    k = keys + kpe
+    queries = queries + _attn(q, k, keys, dp["final_t2i"], cfg.decoder_num_heads)
+    queries = layer_norm(queries, dp["final_ln"], eps=1e-5)
+
+    iou_out = queries[:, 0]
+    mask_tokens_out = queries[:, 1 : 1 + n_sam_tokens + 1]  # incl. HQ token
+
+    grid = keys.reshape(B, g, g, C)
+    up = _deconv2(grid, dp["up1"])
+    up = gelu_erf(_channels_ln(up, dp["up_ln"]))
+    up = gelu_erf(_deconv2(up, dp["up2"]))  # (B, 4g, 4g, C/8)
+
+    up_hq = _conv3(up, hq["mask_conv1"])
+    up_hq = gelu_erf(_channels_ln(up_hq, hq["mask_norm"]))
+    up_hq = _conv3(up_hq, hq["mask_conv2"]) + hq_features
+
+    hyper_sam = jnp.stack(
+        [_ffn(mask_tokens_out[:, i], dp["hyper"][i]) for i in range(n_sam_tokens)], axis=1
+    )  # (B, n_sam, C/8)
+    hyper_hq = _ffn(mask_tokens_out[:, n_sam_tokens], hq["hq_mask_mlp"])[:, None]  # (B, 1, C/8)
+
+    masks_sam = jnp.einsum(
+        "bmc,bhwc->bmhw", hyper_sam, up.astype(hyper_sam.dtype), preferred_element_type=jnp.float32
+    )
+    masks_hq = jnp.einsum(
+        "bmc,bhwc->bmhw", hyper_hq, up_hq.astype(hyper_hq.dtype), preferred_element_type=jnp.float32
+    )
+    iou_pred = _ffn(iou_out, dp["iou_head"])
+
+    if multimask:
+        iou_sel = iou_pred[:, 1:n_sam_tokens]
+        order = jnp.argsort(-iou_sel, axis=1)
+        iou_sel = jnp.take_along_axis(iou_sel, order, axis=1)
+        m = jnp.take_along_axis(masks_sam[:, 1:n_sam_tokens], order[..., None, None], axis=1)
+    else:
+        iou_sel = iou_pred[:, :1]
+        m = masks_sam[:, :1]
+    masks = masks_hq if hq_token_only else m + masks_hq
+    return masks, iou_sel
+
+
+def predict_boxes_hq(
+    params: Params,
+    cfg: SamConfig,
+    pixel_values: jax.Array,
+    boxes: jax.Array,
+    hq_token_only: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """SAM-HQ box-prompted prediction: image + (B, N, 4) boxes -> one
+    HQ-refined mask per box ((B*N, 4g, 4g) logits, (B*N,) iou)."""
+    emb, interm = encode_image(params["vision"], pixel_values, cfg.vision, return_interm=True)
+    B, N = boxes.shape[0], boxes.shape[1]
+    sparse = embed_boxes(params, boxes, cfg).reshape(B * N, 2, -1)
+    emb_rep = jnp.repeat(emb, N, axis=0)
+    interm_rep = jnp.repeat(interm, N, axis=0)
+    dense = no_mask_dense_embedding(params, cfg, B * N).astype(emb_rep.dtype)
+    masks, iou = decode_masks_hq(
+        params, cfg, emb_rep, sparse, dense, interm_rep, multimask=False,
+        hq_token_only=hq_token_only,
+    )
+    return masks[:, 0], iou[:, 0]
 
 
 def _deconv2(x, p):
@@ -474,3 +607,53 @@ def convert_sam(sd, cfg: SamConfig, dtype=jnp.float32) -> Params:
         "no_mask_embed": jnp.asarray(_np(sd["prompt_encoder.no_mask_embed.weight"])[0], dtype),
         "input_image_size": jnp.asarray(float(cfg.vision.image_size), jnp.float32),
     }
+
+
+def convert_sam_hq(sd, cfg: SamConfig, dtype=jnp.float32) -> Params:
+    """HF ``SamHQModel`` state dict -> param pytree (base SAM layout via
+    convert_sam + the HQ head group: hq_token, hq hypernetwork MLP,
+    embedding encoder / compressed-ViT deconvs, mask-feature convs)."""
+    from spatialrgpt_tpu.utils.checkpoint import _dense, _ln, _np
+
+    params = convert_sam(sd, cfg, dtype)
+
+    def deconv(name):
+        return {
+            "kernel": jnp.asarray(_np(sd[name + ".weight"]).transpose(2, 3, 0, 1), dtype),
+            "bias": jnp.asarray(_np(sd[name + ".bias"]), dtype),
+        }
+
+    def conv(name):
+        return {
+            "kernel": jnp.asarray(_np(sd[name + ".weight"]).transpose(2, 3, 1, 0), dtype),
+            "bias": jnp.asarray(_np(sd[name + ".bias"]), dtype),
+        }
+
+    def ffn(prefix):
+        p = {
+            "proj_in": _dense(sd, prefix + "proj_in", dtype),
+            "proj_out": _dense(sd, prefix + "proj_out", dtype),
+        }
+        mids = []
+        i = 0
+        while f"{prefix}layers.{i}.weight" in sd:
+            mids.append(_dense(sd, f"{prefix}layers.{i}", dtype))
+            i += 1
+        if mids:
+            p["layers"] = mids
+        return p
+
+    params["hq"] = {
+        "hq_token": jnp.asarray(_np(sd["mask_decoder.hq_token.weight"]), dtype),
+        "hq_mask_mlp": ffn("mask_decoder.hq_mask_mlp."),
+        "encoder_conv1": deconv("mask_decoder.encoder_conv1"),
+        "encoder_norm": _ln(sd, "mask_decoder.encoder_norm", dtype),
+        "encoder_conv2": deconv("mask_decoder.encoder_conv2"),
+        "compress_vit_conv1": deconv("mask_decoder.compress_vit_conv1"),
+        "compress_vit_norm": _ln(sd, "mask_decoder.compress_vit_norm", dtype),
+        "compress_vit_conv2": deconv("mask_decoder.compress_vit_conv2"),
+        "mask_conv1": conv("mask_decoder.mask_conv1"),
+        "mask_norm": _ln(sd, "mask_decoder.mask_norm", dtype),
+        "mask_conv2": conv("mask_decoder.mask_conv2"),
+    }
+    return params

@@ -107,3 +107,62 @@ def test_full_box_prediction_parity(hf_sam):
     got_masks = np.asarray(masks).reshape(1, 2, *masks.shape[-2:])
     np.testing.assert_allclose(got_masks, expected_masks[:, :, 0], atol=5e-3, rtol=5e-2)
     np.testing.assert_allclose(np.asarray(iou).reshape(1, 2), expected_iou[:, :, 0], atol=1e-3, rtol=1e-2)
+
+
+@pytest.fixture(scope="module")
+def hf_sam_hq():
+    import torch
+    from transformers import SamHQConfig, SamHQModel
+
+    torch.manual_seed(0)
+    cfg = SamHQConfig(
+        vision_config=dict(
+            hidden_size=64, num_hidden_layers=4, num_attention_heads=4, image_size=64,
+            patch_size=16, intermediate_size=128, output_channels=32,
+            global_attn_indexes=[1, 3], window_size=2, num_pos_feats=16,
+            attn_implementation="eager",
+        ),
+        prompt_encoder_config=dict(
+            hidden_size=32, image_embedding_size=4, image_size=64, patch_size=16,
+            mask_input_channels=4,
+        ),
+        mask_decoder_config=dict(
+            hidden_size=32, num_attention_heads=2, mlp_dim=64, num_hidden_layers=2,
+            iou_head_depth=2, iou_head_hidden_dim=32, vit_dim=64,
+        ),
+        attn_implementation="eager",
+    )
+    return SamHQModel(cfg).eval()
+
+
+@pytest.mark.parametrize("hq_token_only", [False, True])
+def test_sam_hq_box_prediction_parity(hf_sam_hq, hq_token_only):
+    """HQ head: refined mask (SAM + HQ residual, or HQ-only) matches HF
+    SamHQModel for box prompts."""
+    import torch
+
+    from spatialrgpt_tpu.models.sam import convert_sam_hq, predict_boxes_hq
+
+    params = convert_sam_hq(hf_sam_hq.state_dict(), TINY)
+    rng = np.random.default_rng(3)
+    pix = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    boxes = np.array([[[8.0, 8.0, 40.0, 48.0], [4.0, 16.0, 30.0, 30.0]]], np.float32)
+
+    with torch.no_grad():
+        out = hf_sam_hq(
+            pixel_values=torch.from_numpy(pix.transpose(0, 3, 1, 2)),
+            input_boxes=torch.from_numpy(boxes),
+            multimask_output=False,
+            hq_token_only=hq_token_only,
+        )
+    expected = out.pred_masks.numpy()  # (1, n_boxes, 1, 4g, 4g)
+    expected_iou = out.iou_scores.numpy()
+
+    masks, iou = predict_boxes_hq(
+        params, TINY, jnp.asarray(pix), jnp.asarray(boxes), hq_token_only=hq_token_only
+    )
+    got = np.asarray(masks).reshape(1, 2, *masks.shape[-2:])
+    np.testing.assert_allclose(got, expected[:, :, 0], atol=5e-3, rtol=5e-2)
+    np.testing.assert_allclose(
+        np.asarray(iou).reshape(1, 2), expected_iou[:, :, 0], atol=1e-3, rtol=1e-2
+    )
