@@ -175,11 +175,9 @@ class GPT4Extractor:
         return int(out["answer_direction"]), int(out["response_direction"])
 
     def judge_qualitative(self, question, answer, response, category):
-        content = (
-            "Mark the response against the correct answer: output JSON "
-            '{"your_mark": 1} if the response matches the answer, {"your_mark": 0} otherwise.\n'
-            f"Question: {question}\nAnswer: {answer}\nResponse: {response}"
-        )
+        from spatialrgpt_tpu.eval.judge_prompts import build_qualitative_prompt
+
+        content = build_qualitative_prompt(question, answer, response, category)
         return int(self._ask(content)["your_mark"])
 
 

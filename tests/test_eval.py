@@ -183,3 +183,33 @@ def test_bench_to_judge_pipeline(tmp_path):
     assert os.path.exists(tmp_path / "score.json")
     assert res["Quan_width_acc"] == 100.0
     assert res["Qual_left/right_acc"] == 100.0
+
+
+def test_judge_prompt_bank_covers_all_categories():
+    """Few-shot bank: 12 predicate categories + choice, each with agree /
+    disagree / double-negation examples; the assembled prompt carries the
+    item under judgment and the JSON mark contract."""
+    from spatialrgpt_tpu.eval.judge_prompts import build_qualitative_prompt, qualitative_examples
+
+    bank = qualitative_examples()
+    stems = ["left", "right", "above", "below", "behind", "front",
+             "big", "small", "tall", "short", "wide", "thin"]
+    assert set(bank) == {f"{s}_predicate" for s in stems} | {"choice"}
+    for key, block in bank.items():
+        assert '"your_mark": 1' in block and '"your_mark": 0' in block
+        if key != "choice":
+            assert "{question}" in block
+
+    p = build_qualitative_prompt(
+        "Is Region [0] to the left of Region [1]?",
+        "Yes, Region [0] is to the left of Region [1].",
+        "Region [0] is on the left.",
+        "left_predicate",
+    )
+    assert "Is Region [0] to the left of Region [1]?" in p
+    assert "Your Turn:" in p and '"your_mark"' in p
+    assert "{question}" not in p  # placeholder fully substituted
+
+    # choice categories route to the choice block
+    pc = build_qualitative_prompt("Which is taller?", "Region [0].", "Region [1].", "tall_choice")
+    assert "Which one is taller, Region [0] or Region [1]?" in pc
