@@ -104,6 +104,11 @@ def main():
     inputs, prompt_lengths = build_batch(cfg, rng)
 
     kv_quant = os.environ.get("SRGPT_BENCH_KV_INT8", "1") == "1"
+    # At the 384-token serving bucket XLA attention beats the Pallas flash
+    # kernel end-to-end (1314 vs 1252 tok/s measured, BASELINE.md) -- the
+    # S^2 savings that make flash win (2.4x at S=2048 microbench) don't
+    # materialize at short prefills.  Long-context serving should flip this.
+    attn = os.environ.get("SRGPT_BENCH_ATTN", "xla")
     run = lambda: generate(
         params,
         cfg,
@@ -112,7 +117,7 @@ def main():
         max_new_tokens=MAX_NEW,
         temperature=0.0,
         eos_token_id=-1,  # force full-length decode for stable throughput
-        attn_impl="pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla",
+        attn_impl=attn,
         kv_quant=kv_quant,
     )
 
@@ -133,7 +138,7 @@ def main():
     run1 = lambda: generate(
         params, cfg, inputs, prompt_lengths, max_new_tokens=1, temperature=0.0,
         eos_token_id=-1,
-        attn_impl="pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla",
+        attn_impl=attn,
         kv_quant=kv_quant,
     )
     r = run1()

@@ -34,6 +34,13 @@ class QuantKVCache(NamedTuple):
     Decode is HBM-bound on the cache read (BASELINE.md); int8 halves that
     stream and the cache's HBM footprint (enabling larger serving batches).
     Scales add 4/(2*D) relative traffic — ~1.6% at D=128.
+
+    Layout is token-major (B, C, Hk, D) — measured fastest for the XLA
+    decode path (BASELINE.md: token-major 0.38 ms/layer vs head-major
+    0.52 ms/layer at b64; head-major breaks XLA's stream overlap).  At
+    batch 64 the decode step sits at the combined weights+KV HBM floor,
+    so this path is terminal; the standalone Pallas flash-decode kernel
+    (ops/decode_attention.py) is kept as an opt-in experiment.
     """
 
     k_q: Tuple[jax.Array, ...]  # per layer (B, C, Hk, D) int8
@@ -158,7 +165,9 @@ def generate(
         prev_tok = tokens[:, t - 1]
         x = llama.embed_tokens(params["llm"], prev_tok[:, None], cfg.llm)
         pos = (prompt_lengths + t - 1)[:, None]
-        h, cache = _decode_step(params, cfg, x, pos, cache, prompt_lengths, S, t - 1)
+        h, cache = _decode_step(
+            params, cfg, x, pos, cache, prompt_lengths, S, t - 1, attn_impl
+        )
         logits = llama.logits(params["llm"], h, cfg.llm)[:, 0].astype(jnp.float32)
         rng, step_rng = jax.random.split(rng)
         tok = _sample_token(logits, step_rng, temperature, top_p)
@@ -182,7 +191,7 @@ def generate(
     return GenerateResult(tokens=tokens, num_generated=num)
 
 
-def _decode_step(params, cfg, x, pos, cache, prompt_lengths, prompt_pad_len, step_idx):
+def _decode_step(params, cfg, x, pos, cache, prompt_lengths, prompt_pad_len, step_idx, attn_impl="xla"):
     """One decode step with a per-row validity mask over the padded prompt.
 
     Cache layout: [0, prompt_pad_len) = padded prompt, then one slot per
@@ -207,7 +216,7 @@ def _decode_step(params, cfg, x, pos, cache, prompt_lengths, prompt_pad_len, ste
         if quant:
             layer_cache = (cache.k_q[li], cache.k_s[li], cache.v_q[li], cache.v_s[li])
             attn_out, parts = _cached_attention_quant(
-                hn, lp["attn"], cfg.llm, pos, layer_cache, slot, valid
+                hn, lp["attn"], cfg.llm, pos, layer_cache, slot, valid, attn_impl
             )
         else:
             attn_out, parts = _cached_attention(
@@ -267,12 +276,17 @@ def _cached_attention(x, p, cfg, pos, cache, layer_idx, slot, valid):
     return linear(out, p["wo"]), (ck, cv)
 
 
-def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid):
-    """Decode attention against an int8 KV cache (QuantKVCache, one layer).
+def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl="xla"):
+    """Decode attention against an int8 KV cache (QuantKVCache, one layer,
+    token-major (B, C, Hk, D)).
 
     The per-position scales are folded into the score/prob tensors (small,
-    (B,H,1,C)) rather than dequantizing the (B,C,H,D) cache into bf16 —
-    the cache is only ever touched as int8, so the HBM stream stays int8.
+    (B,H,1,C)) rather than dequantizing the cache into bf16 — the cache is
+    only ever read as int8, so the HBM stream stays int8.  This XLA path
+    measures at the combined weights+KV HBM floor in the decode loop
+    (BASELINE.md); ``attn_impl`` is accepted for interface symmetry but
+    the fused Pallas decode kernel (ops/decode_attention.py) is opt-in
+    only — it loses XLA's overlap with the weight streams.
     """
     from spatialrgpt_tpu.ops.attention import NEG_INF, _repeat_kv
     from spatialrgpt_tpu.ops.layers import linear

@@ -132,6 +132,39 @@ def test_kv_quant_generate_matches_bf16():
     assert mismatch == 0, (np.asarray(exact.tokens), np.asarray(quant.tokens))
 
 
+def test_pallas_decode_kernel_matches_xla():
+    """Fused int8 flash-decode kernel (interpret mode on CPU) == the XLA
+    fold-scale reference, including GQA head grouping and masked rows."""
+    from spatialrgpt_tpu.ops.decode_attention import decode_attention_int8
+    from spatialrgpt_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(5)
+    B, C, Hq, Hk, D = 3, 16, 4, 2, 8
+    n_rep = Hq // Hk
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, C, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hk, C, D)), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    valid = jnp.asarray(rng.random((B, C)) > 0.3)
+    valid = valid.at[:, 0].set(True)  # every row attends to something
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+
+    got = decode_attention_int8(q, kq, ks, vq, vs, bias, interpret=True)
+
+    # reference: dequantize fully, exact softmax per query head
+    kf = kq.astype(jnp.float32) * ks[..., None]
+    vf = vq.astype(jnp.float32) * vs[..., None]
+    kf = jnp.repeat(kf, n_rep, axis=1)
+    vf = jnp.repeat(vf, n_rep, axis=1)
+    s = jnp.einsum("bhd,bhkd->bhk", q, kf) * (D**-0.5)
+    s = jnp.where(valid[:, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bhk,bhkd->bhd", p, vf)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
 def test_kv_quant_attention_numerics():
     """Quantized cached attention ~= exact attention on random K/V."""
     from spatialrgpt_tpu.ops.quant import dequantize_kv, quantize_kv
