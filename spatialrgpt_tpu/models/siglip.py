@@ -106,8 +106,10 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
     from spatialrgpt_tpu.ops.flash_attention import _on_tpu, flash_attention
 
     if _on_tpu() and S >= 256:
-        # whole-sequence blocks: best measured config for S=729/D=72
-        # (head-blocked variants measured slower or VMEM-bound)
+        # best measured config for S=729/D=72 at batch 64: q-block 384,
+        # whole-seq k-block, 4 heads per program (6.6 ms/layer vs 7.3 for
+        # whole-seq q and 9.0 for XLA materialized -- BASELINE.md; the
+        # VPU softmax exp count is the floor at these shapes)
         block = 768 if S <= 768 else 384
         S_pad = ((S + block - 1) // block) * block
         pad = S_pad - S
@@ -120,9 +122,11 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
         seg = jnp.concatenate(
             [jnp.ones((B, S), jnp.int32), jnp.zeros((B, pad), jnp.int32)], axis=1
         )
+        block_h = 4 if num_heads % 4 == 0 else 1
         out = flash_attention(
             qp, kp, vp, segment_ids=seg, causal=False,
-            block_q=min(block, S_pad), block_k=min(block, S_pad),
+            block_q=min(block // 2, S_pad), block_k=min(block, S_pad),
+            block_h=block_h,
         )[:, :S]
     else:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
