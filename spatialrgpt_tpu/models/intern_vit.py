@@ -10,9 +10,11 @@ the flash-attn qkv-packed wrapper): a class-token ViT with
   - LayerScale (ls1/ls2) residual scaling,
   - gelu MLP,
 
-and feature_select like the other towers.  No public HF torch twin exists
-for a parity oracle in this environment, so tests pin structure +
-numerics against a hand-built torch replica of the vendored block math.
+and feature_select like the other towers.  Weight layout converts from
+HF ``InternVLVisionModel`` (the released InternViT checkpoint layout)
+via ``convert_intern_vit`` — parity in
+tests/test_towers_extra.py::test_intern_vit_hf_parity; the hand-built
+replica tests additionally pin the vendored reference's block math.
 """
 
 from __future__ import annotations
@@ -133,3 +135,65 @@ def forward_features(params: Params, pixel_values: jax.Array, cfg: InternVisionC
     if cfg.select_feature == "patch":
         x = x[:, 1:]
     return x
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+def convert_intern_vit(sd, cfg: InternVisionConfig, dtype=jnp.float32) -> Params:
+    """HF ``InternVLVisionModel`` state dict -> param pytree.
+
+    The released InternViT checkpoints (OpenGVLab/InternViT-*) ship in
+    this layout on the hub; HF's separate q/k/v projections concatenate
+    into our fused qkv (column blocks [q|k|v], matching the vendored
+    reference's packed qkv at modeling_intern_vit.py).  Biasless
+    projections (attention_bias=False) simply omit the bias entry.
+    """
+    import numpy as np
+
+    def dense(name, bias=True):
+        p = {"kernel": jnp.asarray(_np(sd[name + ".weight"]).T, dtype)}
+        if bias and name + ".bias" in sd:
+            p["bias"] = jnp.asarray(_np(sd[name + ".bias"]), dtype)
+        return p
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        b = f"encoder.layer.{i}."
+        qkv_w = np.concatenate(
+            [_np(sd[b + f"attention.{n}_proj.weight"]).T for n in ("q", "k", "v")], axis=1
+        )
+        qkv = {"kernel": jnp.asarray(qkv_w, dtype)}
+        if b + "attention.q_proj.bias" in sd:
+            qkv["bias"] = jnp.asarray(
+                np.concatenate(
+                    [_np(sd[b + f"attention.{n}_proj.bias"]) for n in ("q", "k", "v")]
+                ),
+                dtype,
+            )
+        layer = {
+            "norm1": jnp.asarray(_np(sd[b + "layernorm_before.weight"]), dtype),
+            "norm2": jnp.asarray(_np(sd[b + "layernorm_after.weight"]), dtype),
+            "qkv": qkv,
+            "proj": dense(b + "attention.projection_layer"),
+            "mlp": {"fc1": dense(b + "mlp.fc1"), "fc2": dense(b + "mlp.fc2")},
+            "ls1": jnp.asarray(_np(sd[b + "lambda_1"]), dtype),
+            "ls2": jnp.asarray(_np(sd[b + "lambda_2"]), dtype),
+        }
+        if cfg.qk_normalization:
+            layer["q_norm"] = jnp.asarray(_np(sd[b + "attention.q_norm.weight"]), dtype)
+            layer["k_norm"] = jnp.asarray(_np(sd[b + "attention.k_norm.weight"]), dtype)
+        layers.append(layer)
+    return {
+        "class_embed": jnp.asarray(_np(sd["embeddings.cls_token"])[0, 0], dtype),
+        "patch_embed": {
+            "kernel": jnp.asarray(
+                _np(sd["embeddings.patch_embeddings.projection.weight"]).transpose(2, 3, 1, 0),
+                dtype,
+            ),
+            "bias": jnp.asarray(_np(sd["embeddings.patch_embeddings.projection.bias"]), dtype),
+        },
+        "pos_embed": jnp.asarray(_np(sd["embeddings.position_embeddings"])[0], dtype),
+        "layers": layers,
+    }

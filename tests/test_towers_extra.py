@@ -85,3 +85,45 @@ def test_tower_builder_dispatch():
     assert t.family == "intern" and t.mm_hidden_size == 3200
     t = build_vision_tower("radio:432:radio_v2:")
     assert t.family == "radio" and t.config.resolution == 432
+
+
+def test_intern_vit_hf_parity():
+    """InternViT vs HF InternVLVisionModel (the released checkpoint
+    layout): full-stack hidden-state parity incl. qk-norm + LayerScale."""
+    import torch
+    from transformers import InternVLVisionConfig as HFCfg
+    from transformers import InternVLVisionModel
+
+    from spatialrgpt_tpu.models.intern_vit import (
+        InternVisionConfig,
+        convert_intern_vit,
+        forward_features,
+    )
+
+    torch.manual_seed(0)
+    hf_cfg = HFCfg(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, image_size=28, patch_size=14,
+        use_qk_norm=True, norm_type="rms_norm", layer_scale_init_value=0.1,
+        use_absolute_position_embeddings=True, use_mask_token=False,
+        use_mean_pooling=False, hidden_act="gelu", attention_bias=False,
+        attn_implementation="eager",
+    )
+    model = InternVLVisionModel(hf_cfg).eval()
+
+    cfg = InternVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        qk_normalization=True, select_layer=-1, select_feature="cls_patch",
+    )
+    params = convert_intern_vit(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 28, 28)).astype(np.float32)
+    # compare the encoder output before the final layernorm (the tower's
+    # select_layer semantics) -- neutralize HF's final norm
+    model.layernorm = torch.nn.Identity()
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).last_hidden_state.numpy()
+    got = np.asarray(forward_features(params, jnp.asarray(x.transpose(0, 2, 3, 1)), cfg))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-4)
