@@ -14,8 +14,15 @@ on (m, l, o) accumulators):
 Causal step-skipping (ring/ring_flash_attn.py:35): with contiguous
 sequence sharding, q-chunk i only needs kv-chunks j <= i: j == i causal,
 j < i full, j > i skipped (zero contribution, mode computed arithmetically
-so the loop stays SPMD-uniform).  JAX autodiff derives the backward
-through ppermute and the per-step attention.
+so the loop stays SPMD-uniform).
+
+``ring_attention`` carries a fused flash-style custom VJP: the forward
+saves only (out, lse) — never the (Sq, Sk) score blocks autodiff would
+keep per ring step — and the backward re-rotates KV around the ring,
+recomputing each block's probabilities from lse and accumulating dK/dV
+on buffers that travel WITH their chunks (sp rotations return them to
+their owners), the TPU equivalent of the reference's
+ring_flash_attn_backward (ring/ring_flash_attn.py:62-100).
 """
 
 from __future__ import annotations
@@ -82,25 +89,9 @@ def _merge(m_a, l_a, o_a, m_b, l_b, o_b):
     return m_new, l_new, o_new
 
 
-def ring_attention(
-    q: jax.Array,  # (B, S_local, Hq, D) contiguous sequence shard
-    k: jax.Array,  # (B, S_local, Hk, D)
-    v: jax.Array,
-    segment_ids: Optional[jax.Array] = None,  # (B, S_local)
-    axis_name: str = "sp",
-) -> jax.Array:
-    """Causal ring attention; call inside shard_map over ``axis_name``.
-
-    Shard i holds global positions [i*S_local, (i+1)*S_local): contiguous
-    sharding, the reference's default ring layout; see
-    ``zigzag_ring_attention`` below for the load-balanced variant.
-    """
+def _ring_forward(q, k, v, segment_ids, axis_name):
+    """Ring loop; returns (out, lse (B,Hq,S,1) f32)."""
     sp = jax.lax.axis_size(axis_name)
-    if sp == 1:
-        from spatialrgpt_tpu.ops.attention import causal_attention
-
-        return causal_attention(q, k, v, segment_ids=segment_ids)
-
     my = jax.lax.axis_index(axis_name)
     b, s, hq, d = q.shape
     perm = [(i, (i + 1) % sp) for i in range(sp)]
@@ -125,7 +116,121 @@ def ring_attention(
     out = o_acc / jnp.transpose(l_safe, (0, 2, 1, 3))
     if segment_ids is not None:
         out = out * (segment_ids != 0)[:, :, None, None].astype(out.dtype)
-    return out.astype(q.dtype)
+    lse = jnp.where(l_acc > 0.0, m_acc + jnp.log(l_safe), NEG_INF)
+    return out.astype(q.dtype), lse
+
+
+def _block_bwd(q, kc, vc, g32, lse, delta, mode, q_seg, kv_seg):
+    """Recompute one block's probabilities from lse and return partial
+    (dq, dk_chunk, dv_chunk), all fp32.  Standard flash backward:
+    p = exp(s - lse); ds = p * (g v^T - delta); dq += ds k; dk += ds^T q;
+    dv += p^T g."""
+    b, sq, hq, d = q.shape
+    hk = kc.shape[2]
+    n_rep = hq // hk
+    k = jnp.repeat(kc, n_rep, axis=2) if n_rep > 1 else kc
+    v = jnp.repeat(vc, n_rep, axis=2) if n_rep > 1 else vc
+    scale = d**-0.5
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    qi = jnp.arange(sq)[:, None]
+    ki = jnp.arange(k.shape[1])[None, :]
+    mask = jnp.where(mode == 1, qi >= ki, mode == 2)[None, None, :, :]
+    if q_seg is not None:
+        seg = (q_seg[:, :, None] == kv_seg[:, None, :]) & (q_seg != 0)[:, :, None]
+        mask = mask & seg[:, None, :, :]
+    lse_safe = jnp.where(lse == NEG_INF, 0.0, lse)
+    p = jnp.where(mask, jnp.exp(s - lse_safe), 0.0)  # (B,H,Sq,Sk)
+
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - delta)  # delta (B,H,Sq,1)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * scale
+    if n_rep > 1:
+        sk = kc.shape[1]
+        dk = dk.reshape(b, sk, hk, n_rep, d).sum(axis=3)
+        dv = dv.reshape(b, sk, hk, n_rep, d).sum(axis=3)
+    return dq, dk, dv
+
+
+def _make_ring_core(axis_name: str):
+    """custom_vjp ring attention bound to a mesh axis name."""
+
+    @jax.custom_vjp
+    def core(q, k, v, segment_ids):
+        out, _ = _ring_forward(q, k, v, segment_ids, axis_name)
+        return out
+
+    def fwd(q, k, v, segment_ids):
+        out, lse = _ring_forward(q, k, v, segment_ids, axis_name)
+        return out, (q, k, v, segment_ids, out, lse)
+
+    def bwd(res, g):
+        q, k, v, segment_ids, out, lse = res
+        sp = jax.lax.axis_size(axis_name)
+        my = jax.lax.axis_index(axis_name)
+        perm = [(i, (i + 1) % sp) for i in range(sp)]
+        g32 = g.astype(jnp.float32)
+        # delta_i = rowsum(g * out) (B,S,H) -> (B,H,S,1)
+        delta = jnp.einsum("bshd,bshd->bsh", g32, out.astype(jnp.float32))
+        delta = jnp.transpose(delta, (0, 2, 1))[..., None]
+
+        dq = jnp.zeros(q.shape, jnp.float32)
+        # dk/dv accumulators travel WITH their kv chunks: after sp
+        # rotations each returns to its owner carrying every device's
+        # contribution.
+        kc, vc, seg_c = k, v, segment_ids
+        dk = jnp.zeros(k.shape, jnp.float32)
+        dv = jnp.zeros(v.shape, jnp.float32)
+        for t in range(sp):
+            src = (my - t) % sp
+            mode = jnp.where(src == my, 1, jnp.where(src < my, 2, 0))
+            dq_p, dk_p, dv_p = _block_bwd(
+                q, kc, vc, g32, lse, delta, mode, segment_ids, seg_c
+            )
+            dq = dq + dq_p
+            dk = dk + dk_p
+            dv = dv + dv_p
+            # rotate every step (sp total) so accumulators end up home
+            kc = jax.lax.ppermute(kc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
+            dk = jax.lax.ppermute(dk, axis_name, perm)
+            dv = jax.lax.ppermute(dv, axis_name, perm)
+            if seg_c is not None:
+                seg_c = jax.lax.ppermute(seg_c, axis_name, perm)
+        dseg = None
+        if segment_ids is not None:
+            import numpy as np
+
+            dseg = np.zeros(segment_ids.shape, jax.dtypes.float0)
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dseg
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def ring_attention(
+    q: jax.Array,  # (B, S_local, Hq, D) contiguous sequence shard
+    k: jax.Array,  # (B, S_local, Hk, D)
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,  # (B, S_local)
+    axis_name: str = "sp",
+) -> jax.Array:
+    """Causal ring attention; call inside shard_map over ``axis_name``.
+
+    Shard i holds global positions [i*S_local, (i+1)*S_local): contiguous
+    sharding, the reference's default ring layout; see
+    ``zigzag_ring_attention`` below for the load-balanced variant.
+    Differentiation uses the fused flash-style ring backward (module
+    docstring) instead of autodiff through the forward loop.
+    """
+    sp = jax.lax.axis_size(axis_name)
+    if sp == 1:
+        from spatialrgpt_tpu.ops.attention import causal_attention
+
+        return causal_attention(q, k, v, segment_ids=segment_ids)
+    return _make_ring_core(axis_name)(q, k, v, segment_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -153,26 +258,8 @@ def zigzag_permutation(seq_len: int, sp: int):
     return perm, inv
 
 
-def zigzag_ring_attention(
-    q: jax.Array,  # (B, S_local, Hq, D): local zigzag pair (chunks i, 2P-1-i)
-    k: jax.Array,
-    v: jax.Array,
-    segment_ids: Optional[jax.Array] = None,
-    axis_name: str = "sp",
-) -> jax.Array:
-    """Causal ring attention with zigzag load balancing: every device owns
-    one early and one late chunk, so the causal triangle's work is even
-    across the ring (the contiguous layout leaves early devices idle).
-
-    Each ring step decomposes into the four (q-half, kv-half) chunk pairs;
-    pair modes (skip / causal / full) come from the global chunk ids.
-    """
+def _zigzag_forward(q, k, v, segment_ids, axis_name):
     sp = jax.lax.axis_size(axis_name)
-    if sp == 1:
-        from spatialrgpt_tpu.ops.attention import causal_attention
-
-        return causal_attention(q, k, v, segment_ids=segment_ids)
-
     my = jax.lax.axis_index(axis_name)
     b, s, hq, d = q.shape
     half = s // 2
@@ -232,4 +319,111 @@ def zigzag_ring_attention(
     out = o_acc / jnp.transpose(l_safe, (0, 2, 1, 3))
     if segment_ids is not None:
         out = out * (segment_ids != 0)[:, :, None, None].astype(out.dtype)
-    return out.astype(q.dtype)
+    lse = jnp.where(l_acc > 0.0, m_acc + jnp.log(l_safe), NEG_INF)
+    return out.astype(q.dtype), lse
+
+
+def _make_zigzag_core(axis_name: str):
+    """custom_vjp zigzag ring attention (same accumulator-rotation
+    backward as _make_ring_core, over the four half-pairs)."""
+
+    @jax.custom_vjp
+    def core(q, k, v, segment_ids):
+        out, _ = _zigzag_forward(q, k, v, segment_ids, axis_name)
+        return out
+
+    def fwd(q, k, v, segment_ids):
+        out, lse = _zigzag_forward(q, k, v, segment_ids, axis_name)
+        return out, (q, k, v, segment_ids, out, lse)
+
+    def bwd(res, g):
+        q, k, v, segment_ids, out, lse = res
+        sp = jax.lax.axis_size(axis_name)
+        my = jax.lax.axis_index(axis_name)
+        b, s, hq, d = q.shape
+        half = s // 2
+        perm = [(i, (i + 1) % sp) for i in range(sp)]
+        q_ids = (my, 2 * sp - 1 - my)
+        g32 = g.astype(jnp.float32)
+        delta = jnp.einsum("bshd,bshd->bsh", g32, out.astype(jnp.float32))
+        delta = jnp.transpose(delta, (0, 2, 1))[..., None]
+
+        def halves(x):
+            return x[:, :half], x[:, half:]
+
+        dq = jnp.zeros(q.shape, jnp.float32)
+        kc, vc, seg_c = k, v, segment_ids
+        dk = jnp.zeros(k.shape, jnp.float32)
+        dv = jnp.zeros(v.shape, jnp.float32)
+        q_halves = halves(q)
+        qseg_halves = halves(segment_ids) if segment_ids is not None else (None, None)
+        g_halves = halves(g32)
+        for t in range(sp):
+            src = (my - t) % sp
+            k_ids = (src, 2 * sp - 1 - src)
+            k_halves = halves(kc)
+            v_halves = halves(vc)
+            seg_halves = halves(seg_c) if seg_c is not None else (None, None)
+            for qi_half in range(2):
+                qsl = slice(qi_half * half, (qi_half + 1) * half)
+                for ki_half in range(2):
+                    mode = jnp.where(
+                        k_ids[ki_half] == q_ids[qi_half],
+                        1,
+                        jnp.where(k_ids[ki_half] < q_ids[qi_half], 2, 0),
+                    )
+                    dq_p, dk_p, dv_p = _block_bwd(
+                        q_halves[qi_half],
+                        k_halves[ki_half],
+                        v_halves[ki_half],
+                        g_halves[qi_half],
+                        lse[:, :, qsl],
+                        delta[:, :, qsl],
+                        mode,
+                        qseg_halves[qi_half],
+                        seg_halves[ki_half],
+                    )
+                    dq = dq.at[:, qsl].add(dq_p)
+                    ksl = slice(ki_half * half, (ki_half + 1) * half)
+                    dk = dk.at[:, ksl].add(dk_p)
+                    dv = dv.at[:, ksl].add(dv_p)
+            # rotate every step (sp total): dk/dv return to their owners
+            kc = jax.lax.ppermute(kc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
+            dk = jax.lax.ppermute(dk, axis_name, perm)
+            dv = jax.lax.ppermute(dv, axis_name, perm)
+            if seg_c is not None:
+                seg_c = jax.lax.ppermute(seg_c, axis_name, perm)
+        dseg = None
+        if segment_ids is not None:
+            import numpy as np
+
+            dseg = np.zeros(segment_ids.shape, jax.dtypes.float0)
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dseg
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def zigzag_ring_attention(
+    q: jax.Array,  # (B, S_local, Hq, D): local zigzag pair (chunks i, 2P-1-i)
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    axis_name: str = "sp",
+) -> jax.Array:
+    """Causal ring attention with zigzag load balancing: every device owns
+    one early and one late chunk, so the causal triangle's work is even
+    across the ring (the contiguous layout leaves early devices idle).
+
+    Each ring step decomposes into the four (q-half, kv-half) chunk pairs;
+    pair modes (skip / causal / full) come from the global chunk ids.
+    Differentiation uses the fused flash-style ring backward (module
+    docstring).
+    """
+    sp = jax.lax.axis_size(axis_name)
+    if sp == 1:
+        from spatialrgpt_tpu.ops.attention import causal_attention
+
+        return causal_attention(q, k, v, segment_ids=segment_ids)
+    return _make_zigzag_core(axis_name)(q, k, v, segment_ids)
