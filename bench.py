@@ -37,6 +37,7 @@ from spatialrgpt_tpu.utils.timing import device_sync, time_fn
 
 A100_BASELINE_TOK_S = 700.0  # est. reference throughput (batch 32, A100, HF generate)
 
+MODEL = os.environ.get("SRGPT_BENCH_MODEL", "sheared-3b")
 BATCH = int(os.environ.get("SRGPT_BENCH_BATCH", 64))
 MAX_NEW = int(os.environ.get("SRGPT_BENCH_MAX_NEW", 64))
 N_REGIONS = 2
@@ -88,16 +89,37 @@ def build_batch(cfg, rng):
 
 
 def main():
-    cfg = preset("sheared-3b").replace(
-        mask_token_id=32000, depth_token_id=32001, num_extra_tokens=8
+    cfg = preset(MODEL)
+    cfg = cfg.replace(
+        mask_token_id=cfg.llm.vocab_size, depth_token_id=cfg.llm.vocab_size + 1,
+        num_extra_tokens=8,
     )
     rng = np.random.default_rng(0)
     t0 = time.time()
-    params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if os.environ.get("SRGPT_BENCH_INT8") == "1":
+        # int8 weight serving (large models): init + quantize on host so
+        # the bf16 weights never occupy HBM, then ship int8 to the chip.
+        # Host init uses numpy per leaf (jax PRNG on CPU is minutes for 8B
+        # params; throughput doesn't depend on the values).
         from spatialrgpt_tpu.ops.quant import quantize_llm
 
-        params["llm"] = quantize_llm(params["llm"], bits=8)
+        shapes = jax.eval_shape(
+            lambda: vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        )
+        host_rng = np.random.default_rng(0)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = jax.tree_util.tree_map(
+                lambda sd: jnp.asarray(
+                    host_rng.standard_normal(sd.shape, dtype=np.float32)
+                    * (sd.shape[0] ** -0.5 if sd.ndim == 2 else 0.02),
+                    sd.dtype,
+                ),
+                shapes,
+            )
+            params["llm"] = quantize_llm(params["llm"], bits=8)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     device_sync(params["llm"]["final_ln"])
     init_s = time.time() - t0
 
@@ -154,7 +176,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"region-qa tokens/sec/chip (sheared-3b, batch {BATCH}, 2 regions, RGB+depth)",
+                "metric": f"region-qa tokens/sec/chip ({MODEL}, batch {BATCH}, 2 regions, RGB+depth)",
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / A100_BASELINE_TOK_S, 3),

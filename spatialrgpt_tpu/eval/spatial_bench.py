@@ -50,6 +50,8 @@ class BenchConfig:
     chunk_idx: int = 0
     temperature: float = 0.0
     regions_per_image: int = 8
+    kv_quant: bool = False  # int8 KV cache (BASELINE.md: lossless greedy
+    # tokens on the test model, halves decode HBM traffic + cache memory)
 
 
 def get_chunk(lst: List, n: int, k: int) -> List:
@@ -194,6 +196,7 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
             prompt_lengths,
             max_new_tokens=bcfg.max_new_tokens,
             temperature=bcfg.temperature,
+            kv_quant=bcfg.kv_quant,
         )
         toks = np.asarray(result.tokens)
 
