@@ -96,6 +96,14 @@ def main():
     )
     rng = np.random.default_rng(0)
     t0 = time.time()
+    # W8A8 (default on): int8 weights + dynamic int8 activations on the
+    # MXU for the compute-bound stages (ViT encode + prefill); decode
+    # stays at the weights+KV HBM floor either way. Composable with
+    # SRGPT_BENCH_INT8 (which additionally does host-side init for big
+    # models). Accuracy gate: greedy tokens match bf16 exactly on the
+    # test model (tests/test_generate.py::test_w8a8_generate_matches_bf16).
+    # Measured: 1491 vs 1327 tok/s at batch 64 (BASELINE.md).
+    w8a8 = os.environ.get("SRGPT_BENCH_W8A8", "1") == "1"
     if os.environ.get("SRGPT_BENCH_INT8") == "1":
         # int8 weight serving (large models): init + quantize on host so
         # the bf16 weights never occupy HBM, then ship int8 to the chip.
@@ -116,10 +124,17 @@ def main():
                 ),
                 shapes,
             )
-            params["llm"] = quantize_llm(params["llm"], bits=8)
+            params["llm"] = quantize_llm(params["llm"], bits=8, act_quant=w8a8)
+            if w8a8:
+                params["vision"] = quantize_llm(params["vision"], bits=8, act_quant=True)
         params = jax.device_put(params, jax.devices()[0])
     else:
         params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        if w8a8:
+            from spatialrgpt_tpu.ops.quant import quantize_llm
+
+            params["llm"] = quantize_llm(params["llm"], bits=8, act_quant=True)
+            params["vision"] = quantize_llm(params["vision"], bits=8, act_quant=True)
     device_sync(params["llm"]["final_ln"])
     init_s = time.time() - t0
 

@@ -64,6 +64,62 @@ def init_params(rng: jax.Array, cfg: SpatialRGPTConfig, dtype=jnp.float32) -> Pa
 # ---------------------------------------------------------------------------
 
 
+REGION_CHUNK = 16  # images per refinement chunk (see _refine_and_pool)
+
+
+def _refine_and_pool(
+    region_params,
+    cfg: SpatialRGPTConfig,
+    tower: jax.Array,  # (N, HW, C)
+    depth_feats: Optional[jax.Array],  # (N, HW, C) | None
+    masks: Optional[jax.Array],  # (N, R, Hm, Wm) | None
+):
+    """Deconv refinement + region pooling, chunked over images.
+
+    The 4x-upsampled hres grid (N, 108, 108, C) and its f32 GELU temp are
+    the HBM peak of the whole serving graph at large batches (2.4 + 4.8 GB
+    at batch 96), but pooling immediately reduces each image to (R, C) —
+    so run refinement+pooling per chunk under lax.map and never hold more
+    than REGION_CHUNK images' hres at once. Numerically identical (the
+    per-image einsums don't cross images)."""
+
+    def one(tower_c, depth_c, masks_c):
+        hres, lres = region_extractor.feature_refinement(region_params, tower_c, cfg.region)
+        if masks_c is None:
+            return lres, None, None
+        m, d = region_extractor.extract_regions(
+            region_params, hres, depth_c, masks_c, cfg.region
+        )
+        return lres, m, d
+
+    n = tower.shape[0]
+    chunk = next((c for c in (REGION_CHUNK, 12, 8, 6, 4, 2) if n % c == 0), None)
+    if n <= REGION_CHUNK or chunk is None:
+        return one(tower, depth_feats, masks)
+
+    nc = n // chunk
+
+    def split(x):
+        return None if x is None else x.reshape(nc, chunk, *x.shape[1:])
+
+    def merge(x):
+        return None if x is None else x.reshape(n, *x.shape[2:])
+
+    if masks is None:
+        lres = jax.lax.map(lambda t: one(t, None, None)[0], split(tower))
+        return merge(lres), None, None
+    if depth_feats is None:
+        lres, m = jax.lax.map(
+            lambda args: one(args[0], None, args[1])[:2],
+            (split(tower), split(masks)),
+        )
+        return merge(lres), merge(m), None
+    lres, m, d = jax.lax.map(
+        lambda args: one(*args), (split(tower), split(depth_feats), split(masks))
+    )
+    return merge(lres), merge(m), merge(d)
+
+
 def encode_images(
     params: Params,
     cfg: SpatialRGPTConfig,
@@ -77,16 +133,12 @@ def encode_images(
 
     mask_embeds = depth_embeds = None
     if cfg.enable_region:
-        hres, lres = region_extractor.feature_refinement(
-            params["region"], tower, cfg.region
-        )
         depth_feats = None
         if cfg.enable_depth and depths is not None:
             depth_feats = siglip.forward_features(params["vision"], depths, cfg.vision)
-        if masks is not None:
-            mask_embeds, depth_embeds = region_extractor.extract_regions(
-                params["region"], hres, depth_feats, masks, cfg.region
-            )
+        lres, mask_embeds, depth_embeds = _refine_and_pool(
+            params["region"], cfg, tower, depth_feats, masks
+        )
     else:
         lres = tower
 

@@ -24,7 +24,21 @@ def linear(x: jax.Array, p) -> jax.Array:
         from spatialrgpt_tpu.ops.quant import dequantize
 
         qw = p["kernel_q"]
-        if "orig_dim0" not in qw:  # int8: scale folds into the accumulator
+        if "a8" in qw:  # W8A8: dynamic per-token int8 activations, int8 MXU
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            ascale = jnp.maximum(amax / 127.0, 1e-12)
+            # XLA CSEs this quantization across sibling matmuls that share
+            # the same input (QKV, gate/up), so it's paid once per layer.
+            xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq,
+                qw["q"],
+                (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (ascale * qw["scale"].astype(jnp.float32))
+        elif "orig_dim0" not in qw:  # int8: scale folds into the accumulator
             y = jnp.dot(x, qw["q"].astype(x.dtype), preferred_element_type=jnp.float32)
             y = y * qw["scale"].astype(jnp.float32)
         else:  # packed int4: dequantize then matmul (XLA fuses)

@@ -18,16 +18,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def quantize_int8(w: jax.Array, axis: int = 0) -> Dict:
-    """Symmetric per-channel int8: scale = absmax / 127 along ``axis``."""
+def quantize_int8(w: jax.Array, axis: int = 0, act_quant: bool = False) -> Dict:
+    """Symmetric per-channel int8: scale = absmax / 127 along ``axis``.
+
+    ``act_quant=True`` marks the weight for the W8A8 compute path: the
+    consuming ``ops.layers.linear`` dynamically quantizes activations
+    per-token and runs an int8xint8->int32 MXU matmul (2x peak over bf16
+    on v5e; measured 1.3-1.5x net of the activation-quant overhead on
+    prefill/ViT shapes — BASELINE.md)."""
     wf = w.astype(jnp.float32)
     scale = jnp.max(jnp.abs(wf), axis=axis, keepdims=True) / 127.0
     scale = jnp.maximum(scale, 1e-12)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     # NOTE: no python-int metadata in the dict -- ints would become traced
     # pytree leaves under jit; int4 is distinguished by the packed
-    # "orig_dim0" entry's presence (shape metadata is static).
-    return {"q": q, "scale": scale.astype(jnp.float32)}
+    # "orig_dim0" entry's presence (shape metadata is static), W8A8 by the
+    # presence of the "a8" marker.
+    out = {"q": q, "scale": scale.astype(jnp.float32)}
+    if act_quant:
+        out["a8"] = np.zeros((), np.bool_)  # static presence marker
+    return out
 
 
 def quantize_int4(w: jax.Array, axis: int = 0) -> Dict:
@@ -77,10 +87,21 @@ def dequantize_kv(q: jax.Array, s: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return (q.astype(jnp.float32) * s[..., None]).astype(dtype)
 
 
-def quantize_llm(params: Dict, bits: int = 8) -> Dict:
+def quantize_llm(params: Dict, bits: int = 8, act_quant: bool = False) -> Dict:
     """Quantize every 2D kernel in an llm pytree; norms/embeds stay bf16
-    (matching the reference's skip_modules behavior)."""
-    fn = quantize_int8 if bits == 8 else quantize_int4
+    (matching the reference's skip_modules behavior).
+
+    ``act_quant=True`` additionally marks non-contracting-heavy kernels
+    (in_features <= out_features: QKV/out/gate/up but not the MLP
+    down-projections) for the W8A8 MXU path — the down-projection's
+    activation-quant cost exceeds its int8 matmul win (BASELINE.md
+    microbench: 0.93x there vs 1.3-1.5x elsewhere)."""
+
+    def fn(w):
+        if bits != 8:
+            return quantize_int4(w)
+        a8 = act_quant and w.shape[0] <= w.shape[1]
+        return quantize_int8(w, act_quant=a8)
 
     def visit(node):
         if isinstance(node, dict):

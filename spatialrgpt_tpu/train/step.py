@@ -75,6 +75,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     attn_impl: str = "xla",
     remat: bool = False,
+    frozen: Tuple[str, ...] = (),
 ):
     """Build the jitted train step.  Shardings come from the arrays
     themselves (jit propagates NamedShardings), so the same step works on
@@ -83,6 +84,17 @@ def make_train_step(
     optax.MultiSteps (see train/train.py)."""
 
     def loss_fn(params, batch: vlm.VLMInputs):
+        # stop_gradient on frozen submodules (the optimizer already
+        # set_to_zero's them): XLA then dead-code-eliminates their weight
+        # gradients entirely — the reference freezes by requires_grad
+        # (train.py:609-629), this is the compile-time equivalent. Saves
+        # both the dW matmuls and the grad buffers of frozen modules
+        # (5.4 GB for a frozen 3B llm in the stage-1 align).
+        if frozen:
+            params = {
+                k: (jax.lax.stop_gradient(v) if k in frozen else v)
+                for k, v in params.items()
+            }
         loss, metrics = vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl, remat=remat)
         return loss, metrics
 

@@ -156,8 +156,22 @@ def main(argv=None):
 
     with mesh:
         state = shard_state(create_train_state(params, optimizer), mesh)
+        frozen = tuple(
+            name
+            for name, tuned in [
+                ("llm", targs.tune_language_model),
+                ("vision", targs.tune_vision_tower),
+                ("projector", targs.tune_mm_projector),
+                ("region", targs.tune_region_extractor),
+            ]
+            if not tuned and name in params
+        )
         step_fn = make_train_step(
-            cfg, optimizer, attn_impl=attn_impl, remat=targs.gradient_checkpointing
+            cfg,
+            optimizer,
+            attn_impl=attn_impl,
+            remat=targs.gradient_checkpointing,
+            frozen=frozen,
         )
 
         batches = make_batches(

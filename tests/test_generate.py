@@ -199,3 +199,27 @@ def test_stop_token_ids():
     # identical up to and including the stop token; padding (-1) after
     assert got[: first + 1] == toks[: first + 1]
     assert all(t == -1 for t in got[first + 1 :])
+
+
+def test_w8a8_generate_matches_bf16():
+    """W8A8 quantized serving (int8 weights x dynamic int8 activations on
+    llm + vision, int8 KV): same greedy tokens as the exact model on the
+    tiny config — the accuracy gate for the bench's default serving mode."""
+    from spatialrgpt_tpu.ops.quant import quantize_llm
+
+    p1 = np.array([5, IMAGE_TOKEN_INDEX, 60, 61, 8], np.int64)
+    p2 = np.array([IMAGE_TOKEN_INDEX, 7], np.int64)
+    sb, inputs = _inputs_for([p1, p2], n_images=2, pad_to=10)
+    params = vlm.init_params(jax.random.PRNGKey(7), TINY)
+    plens = jnp.asarray(sb.segment_ids.sum(axis=1), jnp.int32)
+
+    exact = generate(params, TINY, inputs, plens, max_new_tokens=8, temperature=0.0, eos_token_id=-1)
+    qparams = dict(params)
+    qparams["llm"] = quantize_llm(params["llm"], bits=8, act_quant=True)
+    qparams["vision"] = quantize_llm(params["vision"], bits=8, act_quant=True)
+    quant = generate(
+        qparams, TINY, inputs, plens, max_new_tokens=8, temperature=0.0,
+        eos_token_id=-1, kv_quant=True,
+    )
+    mismatch = int((np.asarray(exact.tokens) != np.asarray(quant.tokens)).sum())
+    assert mismatch == 0, (np.asarray(exact.tokens), np.asarray(quant.tokens))

@@ -47,6 +47,61 @@ def test_quantize_llm_preserves_quality():
     assert (jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean() > 0.9
 
 
+def test_w8a8_linear_matches_bf16():
+    """W8A8 path (a8-marked kernel): int8 activations x int8 weights on the
+    MXU stays within quant tolerance of the fp32 matmul, for 2D and 3D x."""
+    from spatialrgpt_tpu.ops.layers import linear
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((48,)), jnp.float32)
+    for shape in [(16, 32), (4, 8, 32)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        ref = linear(x, {"kernel": w, "bias": b})
+        qp = {"kernel_q": quantize_int8(w, act_quant=True), "bias": b}
+        got = linear(x, qp)
+        assert got.shape == ref.shape
+        err = np.abs(np.asarray(got - ref)).max() / np.abs(np.asarray(ref)).max()
+        assert err < 0.05, err
+
+
+def test_quantize_llm_act_quant_marks_expanding_kernels_only():
+    """act_quant='auto' rule: W8A8 marker on kernels with
+    in_features <= out_features (QKV/gate/up), not on down-projections."""
+    from spatialrgpt_tpu.config import LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_llm(params, bits=8, act_quant=True)
+    marked, unmarked = [], []
+
+    def visit(node, path=""):
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                (marked if "a8" in node["kernel_q"] else unmarked).append(
+                    (path, node["kernel_q"]["q"].shape)
+                )
+            for k, v in node.items():
+                visit(v, f"{path}/{k}")
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                visit(v, f"{path}[{i}]")
+
+    visit(qp)
+    assert all(s[0] <= s[1] for _, s in marked)
+    assert all(s[0] > s[1] for _, s in unmarked)
+    assert marked and unmarked  # both classes exist (gate/up vs down)
+    # greedy argmax quality holds through the W8A8 forward
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (1, 8)), jnp.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+    a = llama.forward_logits(params, cfg, input_ids=ids, position_ids=pos)
+    b = llama.forward_logits(qp, cfg, input_ids=ids, position_ids=pos)
+    assert (jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean() > 0.9
+
+
 def test_dpo_loss_prefers_chosen():
     from spatialrgpt_tpu.train.dpo import dpo_loss
 

@@ -186,3 +186,36 @@ def test_extract_regions_shapes_and_projectors():
         pooled = oracle.mask_pool(torch.from_numpy(hres[0]), torch.from_numpy(masks[0]))
         expected = oracle.rgb_projector(pooled).numpy()
     np.testing.assert_allclose(np.asarray(mask_embeds[0]), expected, atol=1e-4, rtol=1e-3)
+
+
+def test_refine_and_pool_chunked_matches_unchunked():
+    """vlm._refine_and_pool chunks refinement over images at large N (the
+    serving HBM-peak fix); results must be identical to the direct path."""
+    import spatialrgpt_tpu.models.vlm as vlm_mod
+    from spatialrgpt_tpu.models import region_extractor as re_mod
+
+    cfg_r = RegionExtractorConfig(mm_hidden_size=16, hidden_size=24, ada_pool_size=3)
+
+    class _Cfg:  # minimal cfg shim with .region
+        region = cfg_r
+
+    params = re_mod.init_params(jax.random.PRNGKey(0), cfg_r, jnp.float32)
+    rng = np.random.default_rng(7)
+    N = 32  # > REGION_CHUNK -> 2 chunks of 16
+    tower = jnp.asarray(rng.standard_normal((N, 36, 16)), jnp.float32)
+    depth = jnp.asarray(rng.standard_normal((N, 36, 16)), jnp.float32)
+    masks = jnp.asarray((rng.random((N, 2, 48, 48)) > 0.6), jnp.float32)
+
+    def direct(tower, depth, masks):
+        hres, lres = re_mod.feature_refinement(params, tower, cfg_r)
+        m, d = re_mod.extract_regions(params, hres, depth, masks, cfg_r)
+        return lres, m, d
+
+    want = direct(tower, depth, masks)
+    for args in [(tower, depth, masks), (tower, None, masks), (tower, None, None)]:
+        got = vlm_mod._refine_and_pool(params, _Cfg, *args)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=1e-6)
+        if args[2] is not None:
+            np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]), atol=1e-6)
+        if args[1] is not None:
+            np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]), atol=1e-6)

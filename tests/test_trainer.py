@@ -74,6 +74,44 @@ def test_frozen_modules_do_not_move():
     assert not np.allclose(np.asarray(llm_before), np.asarray(state.params["llm"]["embed_tokens"]))
 
 
+def test_frozen_stop_gradient_step_matches_optimizer_freezing():
+    """make_train_step(frozen=...) (compile-time grad DCE) must produce the
+    same parameter update as optimizer-only freezing; tuned modules move
+    identically, frozen ones not at all."""
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ocfg = OptimizerConfig(
+        learning_rate=1e-2, total_steps=10, warmup_ratio=0.0,
+        tune_language_model=False, tune_vision_tower=False,
+    )
+    optimizer = build_optimizer(params, ocfg)
+    batch = graft._tiny_batch(cfg, B=2, S=64, seed=3)
+
+    s_opt = create_train_state(params, optimizer)
+    s_opt, m_opt = make_train_step(cfg, optimizer)(s_opt, batch)
+    s_sg = create_train_state(params, optimizer)
+    s_sg, m_sg = make_train_step(cfg, optimizer, frozen=("llm", "vision"))(s_sg, batch)
+
+    np.testing.assert_allclose(float(m_opt["loss"]), float(m_sg["loss"]), rtol=1e-6)
+    for mod in ("projector", "region"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_opt.params[mod]),
+            jax.tree_util.tree_leaves(s_sg.params[mod]),
+        ):
+            # two distinct jitted programs: allow compile-level fp
+            # reassociation noise (grads/updates match exactly un-jitted)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for mod in ("llm", "vision"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params[mod]),
+            jax.tree_util.tree_leaves(s_sg.params[mod]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # grad_norm under frozen= counts only trainable grads (HF semantics:
+    # requires_grad=False params are excluded from the clip norm)
+    assert float(m_sg["grad_norm"]) <= float(m_opt["grad_norm"]) + 1e-6
+
+
 def test_trainer_checkpoint_resume(tmp_path):
     cfg = TINY
     params = vlm.init_params(jax.random.PRNGKey(0), cfg)
