@@ -1,0 +1,205 @@
+"""Training-step throughput benchmark (single chip).
+
+Measures the stage-1-style alignment step of the reference recipe
+(scripts/srgpt/sheared_3b/1_mm_align.sh: frozen LLM + frozen vision tower,
+tuned mm_projector + region extractor, bf16, grad checkpointing,
+model_max_length 4096) on region-QA-shaped packed data: rows of
+model_max_length tokens, each packing SAMPLES_PER_ROW samples of
+1 image (196 tokens) + 2 box regions (<mask><depth>) + text, RGB and
+depth both encoded by the tower.
+
+The full-SFT (all-modules AdamW) step needs the optimizer state sharded
+over an fsdp mesh axis (run via train/train.py on a pod slice; validated
+by __graft_entry__.dryrun_multichip) — AdamW moments for a 2.7B model
+alone exceed one v5e chip's HBM, so the single-chip benchmark is the
+align stage, which is also the reference's single-node-friendly config.
+
+Prints ONE JSON line: {"metric": ..., "value": tokens/sec/chip, ...}.
+
+Env knobs: SRGPT_TRAIN_BENCH_MODEL (sheared-3b), SRGPT_TRAIN_BENCH_BATCH
+(rows), SRGPT_TRAIN_BENCH_SEQ (tokens/row), SRGPT_TRAIN_BENCH_REMAT (1).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatialrgpt_tpu.config import preset
+from spatialrgpt_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX, NUM_TOKENS_PER_IMAGE
+from spatialrgpt_tpu.data.splice import expand_rows, pack_rows
+from spatialrgpt_tpu.models import vlm
+from spatialrgpt_tpu.train.optimizer import OptimizerConfig, build_optimizer
+from spatialrgpt_tpu.train.step import create_train_state, make_train_step
+from spatialrgpt_tpu.utils.timing import device_sync, time_fn
+
+MODEL = os.environ.get("SRGPT_TRAIN_BENCH_MODEL", "sheared-3b")
+STAGE = os.environ.get("SRGPT_TRAIN_BENCH_STAGE", "align")  # align | qlora
+BATCH = int(os.environ.get("SRGPT_TRAIN_BENCH_BATCH", 4))
+SEQ = int(os.environ.get("SRGPT_TRAIN_BENCH_SEQ", 4096))
+REMAT = os.environ.get("SRGPT_TRAIN_BENCH_REMAT", "1") == "1"
+N_REGIONS = 2
+SAMPLES_PER_ROW = 4
+
+
+def build_batch(cfg, rng):
+    """BATCH packed rows of <= SEQ tokens, SAMPLES_PER_ROW samples each."""
+    text_len = SEQ // SAMPLES_PER_ROW - NUM_TOKENS_PER_IMAGE - 2 * N_REGIONS - 8
+    singles = []
+    for _ in range(BATCH * SAMPLES_PER_ROW):
+        ids = (
+            [1, IMAGE_TOKEN_INDEX]
+            + [cfg.mask_token_id, cfg.depth_token_id] * N_REGIONS
+            + list(rng.integers(10, 1000, text_len))
+        )
+        labs = [IGNORE_INDEX] * (2 + 2 * N_REGIONS) + list(ids[2 + 2 * N_REGIONS :])
+        sb = expand_rows(
+            [np.asarray(ids, np.int64)],
+            [np.asarray(labs, np.int64)],
+            max_len=SEQ,
+            tokens_per_image=NUM_TOKENS_PER_IMAGE,
+            mask_token_id=cfg.mask_token_id,
+            depth_token_id=cfg.depth_token_id,
+            regions_per_image=N_REGIONS,
+        )
+        singles.append(sb)
+    sb = pack_rows(singles, max_len=SEQ)
+    assert sb.input_ids.shape[0] == BATCH, sb.input_ids.shape
+
+    n_images = BATCH * SAMPLES_PER_ROW
+    size = cfg.vision.image_size
+    dtype = jnp.bfloat16
+    return vlm.VLMInputs(
+        input_ids=jnp.asarray(sb.input_ids),
+        is_image=jnp.asarray(sb.is_image),
+        image_gather_idx=jnp.asarray(sb.image_gather_idx),
+        position_ids=jnp.asarray(sb.position_ids),
+        segment_ids=jnp.asarray(sb.segment_ids),
+        labels=jnp.asarray(sb.labels),
+        mask_slot=jnp.asarray(sb.mask_slot),
+        is_mask=jnp.asarray(sb.is_mask),
+        depth_slot=jnp.asarray(sb.depth_slot),
+        is_depth=jnp.asarray(sb.is_depth),
+        images=jnp.asarray(rng.standard_normal((n_images, size, size, 3)), dtype),
+        depths=jnp.asarray(rng.standard_normal((n_images, size, size, 3)), dtype),
+        masks=jnp.asarray((rng.random((n_images, N_REGIONS, size, size)) > 0.5), dtype),
+        mask_valid=jnp.ones((n_images, N_REGIONS), bool),
+    )
+
+
+def main():
+    cfg = preset(MODEL)
+    cfg = cfg.replace(
+        mask_token_id=cfg.llm.vocab_size,
+        depth_token_id=cfg.llm.vocab_size + 1,
+        num_extra_tokens=8,
+        model_max_length=max(SEQ, cfg.model_max_length),
+    )
+    rng = np.random.default_rng(0)
+
+    t0 = time.time()
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    device_sync(params["llm"]["final_ln"])
+    init_s = time.time() - t0
+
+    # Pallas flash attention (fwd+bwd): the XLA path materializes the
+    # (B, H, S, S) score matrices in the backward — 2x 5 GB at S=4096 —
+    # while flash streams KV blocks (this is where its S^2 win applies,
+    # unlike the 384-token serving prefill where XLA wins, BASELINE.md).
+    attn = os.environ.get("SRGPT_TRAIN_BENCH_ATTN", "pallas")
+
+    if STAGE == "qlora":
+        # QLoRA SFT (reference train.py:401-421 + 550-589): int8 base,
+        # LoRA adapters on all decoder projections + co-trained
+        # projector/region — the single-chip way to *finetune through the
+        # decoder* (full-SFT AdamW moments alone exceed one chip's HBM).
+        from spatialrgpt_tpu.ops.quant import quantize_llm
+        from spatialrgpt_tpu.train.lora import LoraConfig, init_lora
+        from spatialrgpt_tpu.train.step import make_lora_train_step
+
+        lcfg = LoraConfig(r=64, alpha=16.0)
+        base = dict(params)
+        base["llm"] = quantize_llm(base["llm"], bits=8)
+        adapters = init_lora(jax.random.PRNGKey(1), base["llm"], lcfg, dtype=jnp.float32)
+        trainable = {
+            "adapters": adapters,
+            "projector": base.pop("projector"),
+            "region": base.pop("region"),
+        }
+        ocfg = OptimizerConfig(learning_rate=2e-5, total_steps=100)
+        optimizer = build_optimizer(trainable, ocfg)
+        state = create_train_state(trainable, optimizer)
+        lora_step = make_lora_train_step(cfg, optimizer, lcfg, attn_impl=attn, remat=REMAT)
+        step_fn = lambda s, b: lora_step(s, base, b)
+    else:
+        # stage-1 align: freeze llm + vision tower, tune projector (+ region), lr 1e-3
+        ocfg = OptimizerConfig(
+            learning_rate=1e-3,
+            tune_language_model=False,
+            tune_vision_tower=False,
+            tune_mm_projector=True,
+            tune_region_extractor=True,
+            total_steps=100,
+        )
+        optimizer = build_optimizer(params, ocfg)
+        state = create_train_state(params, optimizer)
+        step_fn = make_train_step(
+            cfg, optimizer, attn_impl=attn, remat=REMAT, frozen=("llm", "vision"),
+            donate=True,
+        )
+    batch = build_batch(cfg, rng)
+
+    t0 = time.time()
+    state, metrics = step_fn(state, batch)
+    device_sync(metrics["loss"])
+    compile_s = time.time() - t0
+
+    def run(state):
+        state, m = step_fn(state, batch)
+        return state
+
+    # timed: dispatch N steps back-to-back, sync once
+    iters = 8
+    for _ in range(2):
+        state = run(state)
+    device_sync(state.params["projector"])
+    t0 = time.time()
+    for _ in range(iters):
+        state = run(state)
+    device_sync(state.params["projector"])
+    step_s = (time.time() - t0) / iters
+
+    tokens = BATCH * SEQ
+    tok_s = tokens / step_s
+    # MFU estimate: frozen-llm step ~= fwd(2NT) + activation-bwd(2NT) on
+    # the decoder + ViT fwd x2 towers (backward into frozen towers is DCEd)
+    n_llm = 2.7e9 if "3b" in MODEL else 8.0e9
+    flops = 4 * n_llm * tokens + 2 * 0.43e9 * 768 * BATCH * SAMPLES_PER_ROW * 2
+    mfu = flops / step_s / 197e12
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{STAGE}-step tokens/sec/chip ({MODEL}, batch {BATCH}x{SEQ}, "
+                f"{SAMPLES_PER_ROW} samples/row, RGB+depth, 2 regions)",
+                "value": round(tok_s, 1),
+                "unit": "tok/s",
+                "step_s": round(step_s, 4),
+                "mfu_est": round(mfu, 3),
+                "loss": float(metrics["loss"]),
+                "compile_s": round(compile_s, 1),
+                "init_s": round(init_s, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,9 @@ class BenchConfig:
     regions_per_image: int = 8
     kv_quant: bool = False  # int8 KV cache (BASELINE.md: lossless greedy
     # tokens on the test model, halves decode HBM traffic + cache memory)
+    w8a8: bool = False  # quantize llm+vision to int8 weights with dynamic
+    # int8 activations on expanding kernels (the bench.py serving default;
+    # greedy-lossless on the test model — test_w8a8_generate_matches_bf16)
 
 
 def get_chunk(lst: List, n: int, k: int) -> List:
@@ -108,6 +111,12 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
 
         model = load_pretrained_model(bcfg.model_path)
     tokenizer, params, cfg, processor = model
+    if bcfg.w8a8:
+        from spatialrgpt_tpu.ops.quant import quantize_llm
+
+        params = dict(params)
+        params["llm"] = quantize_llm(params["llm"], bits=8, act_quant=True)
+        params["vision"] = quantize_llm(params["vision"], bits=8, act_quant=True)
 
     with open(bcfg.annotation_file) as f:
         questions = json.load(f)

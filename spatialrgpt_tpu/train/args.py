@@ -69,6 +69,10 @@ class TrainingArguments:
     lora_enable: bool = False
     lora_r: int = 64
     lora_alpha: float = 16.0
+    use_dora: bool = False
+    # base-weight quantization for QLoRA (reference train.py:401-421
+    # BitsAndBytesConfig bits): 16 = bf16 base, 8/4 = int8/int4 base
+    bits: int = 16
     # wall-clock budget (reference slurm_utils args)
     total_time_limit: int = -1  # minutes
     pre_terminate_time: int = 10  # minutes

@@ -42,55 +42,104 @@ def _is_target(path: str, targets) -> bool:
     return any(t in parts for t in targets) and parts[-1] == "kernel"
 
 
+def _walk_kernels(node, path=""):
+    """Yield (kernel_path, node_dict) for every {kernel} or {kernel_q}
+    weight node in a (possibly int8/int4-quantized, ops/quant.py) tree.
+    kernel_path uses the plain '/kernel' suffix either way, so adapters
+    trained against a bf16 base apply to a quantized one and vice versa
+    (the QLoRA contract, reference train.py:401-421)."""
+    if isinstance(node, dict):
+        if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
+            yield f"{path}/kernel" if path else "kernel", node
+            return
+        if "kernel_q" in node:
+            yield f"{path}/kernel" if path else "kernel", node
+            return
+        for k, v in node.items():
+            yield from _walk_kernels(v, f"{path}/{k}" if path else str(k))
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            yield from _walk_kernels(v, f"{path}/{i}" if path else str(i))
+
+
+def _node_weight(node, dtype=jnp.float32) -> jax.Array:
+    if "kernel" in node:
+        return node["kernel"].astype(dtype)
+    from spatialrgpt_tpu.ops.quant import dequantize
+
+    return dequantize(node["kernel_q"], dtype)
+
+
+def _node_shape(node):
+    if "kernel" in node:
+        return tuple(node["kernel"].shape)
+    qw = node["kernel_q"]
+    if "orig_dim0" not in qw:  # int8
+        return tuple(qw["q"].shape)
+    return (qw["orig_dim0"].shape[0],) + tuple(qw["q"].shape[1:])  # int4
+
+
 def init_lora(rng: jax.Array, llm_params: Dict, lcfg: LoraConfig, dtype=jnp.float32) -> Dict:
     """Adapter pytree: for each targeted kernel (fi, fo) -> {a (fi, r),
-    b (r, fo)}; a ~ N(0, 1/fi), b = 0 (standard init)."""
-    flat, treedef = jax.tree_util.tree_flatten_with_path(llm_params)
+    b (r, fo)}; a ~ N(0, 1/fi), b = 0 (standard init).  Accepts bf16 or
+    quantized (kernel_q) base trees — the QLoRA path."""
+    targets = list(_walk_kernels(llm_params))
     adapters = {}
-    keys = jax.random.split(rng, len(flat))
-    for (path, leaf), key in zip(flat, keys):
-        path_str = "/".join(_key_name(p) for p in path)
-        if _is_target(path_str, lcfg.targets) and leaf.ndim == 2:
-            fi, fo = leaf.shape
-            adapters[path_str] = {
-                "a": jax.random.normal(key, (fi, lcfg.r), dtype) * (fi**-0.5),
-                "b": jnp.zeros((lcfg.r, fo), dtype),
-            }
-            if lcfg.use_dora:
-                # DoRA: learned magnitude per output column
-                mag = jnp.linalg.norm(leaf.astype(jnp.float32), axis=0)
-                adapters[path_str]["m"] = mag.astype(dtype)
+    keys = jax.random.split(rng, max(len(targets), 1))
+    for (path_str, node), key in zip(targets, keys):
+        if not _is_target(path_str, lcfg.targets):
+            continue
+        fi, fo = _node_shape(node)
+        adapters[path_str] = {
+            "a": jax.random.normal(key, (fi, lcfg.r), dtype) * (fi**-0.5),
+            "b": jnp.zeros((lcfg.r, fo), dtype),
+        }
+        if lcfg.use_dora:
+            # DoRA: learned magnitude per output column
+            mag = jnp.linalg.norm(_node_weight(node), axis=0)
+            adapters[path_str]["m"] = mag.astype(dtype)
     return adapters
 
 
-def _key_name(p) -> str:
-    if hasattr(p, "key"):
-        return str(p.key)
-    if hasattr(p, "idx"):
-        return str(p.idx)
-    return str(p)
-
-
-def apply_lora(llm_params: Dict, adapters: Dict, lcfg: LoraConfig) -> Dict:
+def apply_lora(llm_params: Dict, adapters: Dict, lcfg: LoraConfig, dtype=None) -> Dict:
     """Base params with adapters merged: W' = W + a @ b * scale (LoRA) or
-    the DoRA magnitude-renormalized variant."""
-    flat, treedef = jax.tree_util.tree_flatten_with_path(llm_params)
-    out = []
-    for path, leaf in flat:
-        path_str = "/".join(_key_name(p) for p in path)
-        ad = adapters.get(path_str)
-        if ad is None:
-            out.append(leaf)
-            continue
-        delta = jnp.dot(
-            ad["a"].astype(jnp.float32), ad["b"].astype(jnp.float32)
-        ) * lcfg.scale
-        w = leaf.astype(jnp.float32) + delta
-        if lcfg.use_dora and "m" in ad:
-            norm = jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-6
-            w = w / norm * ad["m"].astype(jnp.float32)[None, :]
-        out.append(w.astype(leaf.dtype))
-    return jax.tree_util.tree_unflatten(treedef, out)
+    the DoRA magnitude-renormalized variant.
+
+    Quantized (kernel_q) target nodes are dequantized at the merge — each
+    merged kernel is a transient per-layer temp under jit, so the bf16
+    tree never materializes whole (the QLoRA memory contract: int8 base
+    at rest, bf16 per-kernel in flight)."""
+
+    def visit(node, path=""):
+        if isinstance(node, dict):
+            is_weight = ("kernel" in node and getattr(node["kernel"], "ndim", 0) == 2) or (
+                "kernel_q" in node
+            )
+            if is_weight:
+                kpath = f"{path}/kernel" if path else "kernel"
+                ad = adapters.get(kpath)
+                if ad is None:
+                    return node
+                w = _node_weight(node)
+                out_dtype = dtype or (
+                    node["kernel"].dtype if "kernel" in node else jnp.bfloat16
+                )
+                delta = jnp.dot(
+                    ad["a"].astype(jnp.float32), ad["b"].astype(jnp.float32)
+                ) * lcfg.scale
+                w = w + delta
+                if lcfg.use_dora and "m" in ad:
+                    norm = jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-6
+                    w = w / norm * ad["m"].astype(jnp.float32)[None, :]
+                out = {k: v for k, v in node.items() if k not in ("kernel", "kernel_q")}
+                out["kernel"] = w.astype(out_dtype)
+                return out
+            return {k: visit(v, f"{path}/{k}" if path else str(k)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [visit(v, f"{path}/{i}" if path else str(i)) for i, v in enumerate(node)]
+        return node
+
+    return visit(llm_params)
 
 
 def merge_lora(llm_params: Dict, adapters: Dict, lcfg: LoraConfig) -> Dict:

@@ -90,6 +90,8 @@ def build_optimizer(params, ocfg: OptimizerConfig) -> optax.GradientTransformati
         "vision": adamw(ocfg.learning_rate) if ocfg.tune_vision_tower else optax.set_to_zero(),
         "projector": adamw(proj_lr) if ocfg.tune_mm_projector else optax.set_to_zero(),
         "region": adamw(ocfg.learning_rate) if ocfg.tune_region_extractor else optax.set_to_zero(),
+        # LoRA/QLoRA trainable tree: adapters always train at the base lr
+        "adapters": adamw(ocfg.learning_rate),
     }
     labels = param_labels(params)
     present = {k: v for k, v in tx_map.items() if k in params}

@@ -19,6 +19,7 @@ weight by valid tokens, not by rank) without any manual resharding.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -76,6 +77,7 @@ def make_train_step(
     attn_impl: str = "xla",
     remat: bool = False,
     frozen: Tuple[str, ...] = (),
+    donate: bool = False,
 ):
     """Build the jitted train step.  Shardings come from the arrays
     themselves (jit propagates NamedShardings), so the same step works on
@@ -98,7 +100,13 @@ def make_train_step(
         loss, metrics = vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl, remat=remat)
         return loss, metrics
 
-    @jax.jit
+    # donate=True: old params/opt-state buffers are reused for the update
+    # output, halving train-step parameter memory (without this a 2.7B
+    # single-chip align step holds params twice and OOMs). Opt-in because
+    # a donated state must never be reused by the caller — the production
+    # loops (train/train.py CLI, bench_train.py) rebind
+    # `state = step_fn(state, batch)` and enable it.
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: vlm.VLMInputs) -> Tuple[TrainState, Dict]:
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
@@ -108,6 +116,47 @@ def make_train_step(
         gnorm = optax.global_norm(grads)
         metrics = dict(metrics)
         metrics["grad_norm"] = gnorm
+        return TrainState(state.step + 1, new_params, new_opt), metrics
+
+    return train_step
+
+
+def make_lora_train_step(
+    cfg: SpatialRGPTConfig,
+    optimizer: optax.GradientTransformation,
+    lcfg,
+    attn_impl: str = "xla",
+    remat: bool = False,
+    donate: bool = True,
+):
+    """LoRA/QLoRA step (reference train.py:550-589 lora_enable / :401-421
+    4/8-bit): ``state.params`` holds the trainable tree ({"adapters": ...}
+    plus any co-trained modules, e.g. projector/region — the reference's
+    ``non_lora_trainables``); ``frozen`` holds the untouched base
+    ({"llm": <bf16 or int8/int4-quantized>, "vision": ..., ...}).  The
+    adapters merge into the base inside the loss (per-kernel transient
+    under jit), so gradients flow only to the trainable tree.
+
+    Signature: train_step(state, frozen, batch) -> (state, metrics).
+    """
+    from spatialrgpt_tpu.train.lora import apply_lora
+
+    def loss_fn(trainable, frozen, batch: vlm.VLMInputs):
+        frozen = jax.lax.stop_gradient(frozen)
+        params = {k: v for k, v in frozen.items() if k != "llm"}
+        params.update({k: v for k, v in trainable.items() if k != "adapters"})
+        params["llm"] = apply_lora(frozen["llm"], trainable["adapters"], lcfg)
+        return vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl, remat=remat)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, frozen, batch: vlm.VLMInputs):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen, batch
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(state.step + 1, new_params, new_opt), metrics
 
     return train_step

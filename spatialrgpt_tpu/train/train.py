@@ -27,6 +27,7 @@ from spatialrgpt_tpu.train.optimizer import OptimizerConfig, build_optimizer
 from spatialrgpt_tpu.train.step import (
     batch_shardings,
     create_train_state,
+    make_lora_train_step,
     make_train_step,
     shard_state,
 )
@@ -154,25 +155,82 @@ def main(argv=None):
 
         optimizer = optax.MultiSteps(optimizer, targs.gradient_accumulation_steps)
 
+    save_final_fn = None
     with mesh:
-        state = shard_state(create_train_state(params, optimizer), mesh)
-        frozen = tuple(
-            name
+        if targs.lora_enable:
+            # LoRA / QLoRA (reference train.py:550-589, :401-421): adapters
+            # + co-trained modules train; the (optionally int8/int4) base
+            # stays frozen outside the optimizer entirely.
+            from spatialrgpt_tpu.train.lora import LoraConfig, init_lora, save_adapters
+
+            lcfg = LoraConfig(
+                r=targs.lora_r, alpha=targs.lora_alpha, use_dora=targs.use_dora
+            )
+            base = dict(params)
+            if targs.bits in (4, 8):
+                from spatialrgpt_tpu.ops.quant import quantize_llm
+
+                base["llm"] = quantize_llm(base["llm"], bits=targs.bits)
+            adapters = init_lora(
+                jax.random.PRNGKey(targs.seed + 1), base["llm"], lcfg, dtype=jnp.float32
+            )
+            trainable = {"adapters": adapters}
             for name, tuned in [
-                ("llm", targs.tune_language_model),
                 ("vision", targs.tune_vision_tower),
                 ("projector", targs.tune_mm_projector),
                 ("region", targs.tune_region_extractor),
-            ]
-            if not tuned and name in params
-        )
-        step_fn = make_train_step(
-            cfg,
-            optimizer,
-            attn_impl=attn_impl,
-            remat=targs.gradient_checkpointing,
-            frozen=frozen,
-        )
+            ]:
+                if tuned and name in base:
+                    trainable[name] = base.pop(name)
+            # frozen tree stays in base; replicate it over the mesh
+            base = jax.device_put(
+                base, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            )
+            optimizer = build_optimizer(trainable, ocfg)
+            if targs.gradient_accumulation_steps > 1:
+                import optax
+
+                optimizer = optax.MultiSteps(optimizer, targs.gradient_accumulation_steps)
+            state = shard_state(create_train_state(trainable, optimizer), mesh)
+            lora_step = make_lora_train_step(
+                cfg, optimizer, lcfg,
+                attn_impl=attn_impl, remat=targs.gradient_checkpointing,
+            )
+            step_fn = lambda s, b: lora_step(s, base, b)
+
+            def save_final_fn(output_dir, tr_state):
+                # adapters + non-LoRA trainables (reference saves
+                # adapter_model.bin + non_lora_trainables.bin)
+                os.makedirs(output_dir, exist_ok=True)
+                host = jax.tree_util.tree_map(np.asarray, tr_state.params)
+                save_adapters(os.path.join(output_dir, "adapter.npz"), host["adapters"], lcfg)
+                from spatialrgpt_tpu.utils.checkpoint import save_pytree
+
+                non_lora = {k: v for k, v in host.items() if k != "adapters"}
+                if non_lora:
+                    save_pytree(
+                        os.path.join(output_dir, "non_lora_trainables.npz"), non_lora
+                    )
+        else:
+            state = shard_state(create_train_state(params, optimizer), mesh)
+            frozen = tuple(
+                name
+                for name, tuned in [
+                    ("llm", targs.tune_language_model),
+                    ("vision", targs.tune_vision_tower),
+                    ("projector", targs.tune_mm_projector),
+                    ("region", targs.tune_region_extractor),
+                ]
+                if not tuned and name in params
+            )
+            step_fn = make_train_step(
+                cfg,
+                optimizer,
+                attn_impl=attn_impl,
+                remat=targs.gradient_checkpointing,
+                frozen=frozen,
+                donate=True,
+            )
 
         batches = make_batches(
             dataset, collator, sampler, targs.per_device_train_batch_size, cfg, dtype
@@ -188,7 +246,7 @@ def main(argv=None):
             pre_terminate_min=targs.pre_terminate_time,
             report_to=targs.report_to,
         )
-        trainer = Trainer(cfg, tcfg, step_fn, state, batches)
+        trainer = Trainer(cfg, tcfg, step_fn, state, batches, save_final_fn=save_final_fn)
         result = trainer.train()
     set_sp_context(None)
     print(result)

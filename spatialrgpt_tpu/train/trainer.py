@@ -105,6 +105,7 @@ class Trainer:
         state,
         batches: Iterable,
         autoresume_check: Optional[Callable[[], bool]] = None,
+        save_final_fn: Optional[Callable] = None,
     ):
         self.cfg = cfg
         self.tcfg = tcfg
@@ -112,6 +113,9 @@ class Trainer:
         self.state = state
         self.batches = batches
         self.autoresume_check = autoresume_check
+        # override for non-composite trainable trees (LoRA: adapters +
+        # non-LoRA trainables instead of the full split-dir composite)
+        self.save_final_fn = save_final_fn
         self.logger = MetricsLogger(tcfg)
         self.start_time = time.time()
 
@@ -194,5 +198,8 @@ class Trainer:
         return {"status": status, "step": step}
 
     def save_final(self):
+        if self.save_final_fn is not None:
+            self.save_final_fn(self.tcfg.output_dir, self.state)
+            return
         params_host = jax.device_get(self.state.params)
         save_composite(self.tcfg.output_dir, params_host, self.cfg)

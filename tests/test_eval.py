@@ -1,5 +1,6 @@
 """Judge metrics (offline extractor) and the batched bench runner."""
 
+import dataclasses
 import json
 import os
 
@@ -126,6 +127,15 @@ def test_bench_runner_end_to_end(tmp_path):
     assert lines[0]["gt"] == "1.0 meters"
     assert lines[0]["qa_info"]["category"] == "width_data"
     assert isinstance(lines[0]["pred"], str)
+
+    # quantized serving mode through the same loop (W8A8 + int8 KV)
+    bcfg2 = dataclasses.replace(
+        bcfg, answers_file=str(tmp_path / "out" / "answers_q.jsonl"),
+        w8a8=True, kv_quant=True,
+    )
+    out2 = run_bench(bcfg2, model=(tok, params, cfg, processor))
+    lines2 = [json.loads(l) for l in open(out2)]
+    assert len(lines2) == 1 and isinstance(lines2[0]["pred"], str)
 
 
 def test_region_cls_runner(tmp_path):

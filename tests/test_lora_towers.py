@@ -114,3 +114,64 @@ def test_s2_multiscale_shapes_and_crops():
     assert out.shape == (2, 16, 16)  # 4x4 grid, 8 channels x 2 scales
     assert calls[0] == (2, 56, 56, 3)  # scale 1: resized whole image
     assert calls[1] == (8, 56, 56, 3)  # scale 2: 2x2 crops stacked in batch
+
+
+def test_qlora_apply_on_quantized_base_matches_dequantized():
+    """apply_lora on an int8-quantized base == apply_lora on the
+    dequantized base (within quant round-trip noise of the base itself)."""
+    from spatialrgpt_tpu.ops.quant import dequantize_llm, quantize_llm
+
+    params = llama.init_params(jax.random.PRNGKey(0), SMALL_LLM)
+    lcfg = LoraConfig(r=4, alpha=8.0)
+    adapters = init_lora(jax.random.PRNGKey(1), params, lcfg)
+    # make deltas nonzero
+    adapters = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jnp.ones_like(x), adapters
+    )
+    qbase = quantize_llm(params, bits=8)
+    # adapter keys are identical for bf16 and quantized bases
+    assert set(init_lora(jax.random.PRNGKey(1), qbase, lcfg)) == set(adapters)
+
+    merged_q = apply_lora(qbase, adapters, lcfg)
+    merged_ref = apply_lora(dequantize_llm(qbase, jnp.float32), adapters, lcfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(merged_q), jax.tree_util.tree_leaves(merged_ref)
+    ):
+        if np.asarray(a).dtype == np.float32 and np.asarray(a).ndim == 2:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_qlora_train_step_trains_adapters_only():
+    """make_lora_train_step on an int8 base: loss decreases, adapters and
+    projector move, the quantized base is untouched (it is never part of
+    the optimizer state at all)."""
+    import __graft_entry__ as graft
+    from spatialrgpt_tpu.models import vlm
+    from spatialrgpt_tpu.ops.quant import quantize_llm
+    from spatialrgpt_tpu.train.optimizer import OptimizerConfig, build_optimizer
+    from spatialrgpt_tpu.train.step import create_train_state, make_lora_train_step
+
+    cfg = graft._tiny_cfg()
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    lcfg = LoraConfig(r=4, alpha=8.0)
+    base = dict(params)
+    base["llm"] = quantize_llm(base["llm"], bits=8)
+    adapters = init_lora(jax.random.PRNGKey(1), base["llm"], lcfg)
+    trainable = {"adapters": adapters, "projector": base.pop("projector")}
+
+    ocfg = OptimizerConfig(learning_rate=5e-3, total_steps=10, warmup_ratio=0.0)
+    optimizer = build_optimizer(trainable, ocfg)
+    state = create_train_state(trainable, optimizer)
+    step_fn = make_lora_train_step(cfg, optimizer, lcfg, donate=False)
+
+    batch = graft._tiny_batch(cfg, B=2, S=64, seed=3)
+    losses = []
+    for _ in range(6):
+        state, metrics = step_fn(state, base, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    moved = jax.tree_util.tree_leaves(state.params["adapters"])
+    orig = jax.tree_util.tree_leaves(adapters)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(o)) for a, o in zip(moved, orig)
+    )

@@ -86,10 +86,14 @@ def test_frozen_stop_gradient_step_matches_optimizer_freezing():
     )
     optimizer = build_optimizer(params, ocfg)
     batch = graft._tiny_batch(cfg, B=2, S=64, seed=3)
+    # host copies: the jitted step donates its input state, so the
+    # original param buffers are invalid after stepping
+    params_before = jax.tree_util.tree_map(np.asarray, params)
 
     s_opt = create_train_state(params, optimizer)
     s_opt, m_opt = make_train_step(cfg, optimizer)(s_opt, batch)
-    s_sg = create_train_state(params, optimizer)
+    params2 = jax.tree_util.tree_map(jnp.asarray, params_before)
+    s_sg = create_train_state(params2, optimizer)
     s_sg, m_sg = make_train_step(cfg, optimizer, frozen=("llm", "vision"))(s_sg, batch)
 
     np.testing.assert_allclose(float(m_opt["loss"]), float(m_sg["loss"]), rtol=1e-6)
@@ -103,7 +107,7 @@ def test_frozen_stop_gradient_step_matches_optimizer_freezing():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     for mod in ("llm", "vision"):
         for a, b in zip(
-            jax.tree_util.tree_leaves(params[mod]),
+            jax.tree_util.tree_leaves(params_before[mod]),
             jax.tree_util.tree_leaves(s_sg.params[mod]),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
