@@ -44,6 +44,71 @@ N_REGIONS = 2
 PROMPT_TEXT_TOKENS = 96  # text tokens around the image + region tokens
 
 
+def fast_init_quantized(cfg, w8a8: bool, seed: int = 0):
+    """On-device init directly into the quantized layout.
+
+    The bench serves random weights (throughput doesn't depend on values).
+    The original path — init bf16 on host, quantize on host, device_put —
+    spent ~30 min for llama3-8b, dominated by shipping ~10 GB through the
+    tunneled device transport (BASELINE.md).  Instead, build the
+    ops/quant.py int8 layout directly on the TPU inside one jit: 2D
+    kernels in llm/vision become {"q": randint int8, "scale": (1, out)
+    f32} (+ "a8" marker per quantize_llm's in<=out rule when w8a8),
+    everything else bf16 normals.  bf16 never occupies HBM for quantized
+    kernels, and nothing crosses the host link.
+    """
+    shapes = jax.eval_shape(
+        lambda: vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    )
+    counter = [0]
+
+    def build(base):
+        def nextkey():
+            counter[0] += 1
+            return jax.random.fold_in(base, counter[0])
+
+        def dense_leaf(sd):
+            scale = sd.shape[0] ** -0.5 if len(sd.shape) == 2 else 0.02
+            return (jax.random.normal(nextkey(), sd.shape, jnp.float32) * scale).astype(
+                sd.dtype
+            )
+
+        def visit(node, quantize):
+            if isinstance(node, dict):
+                if (
+                    quantize
+                    and "kernel" in node
+                    and getattr(node["kernel"], "ndim", 0) == 2
+                ):
+                    din, dout = node["kernel"].shape
+                    kq = {
+                        "q": jax.random.randint(
+                            nextkey(), (din, dout), -127, 128, jnp.int8
+                        ),
+                        "scale": jnp.full(
+                            (1, dout), din**-0.5 * 3.0 / 127.0, jnp.float32
+                        ),
+                    }
+                    if w8a8 and din <= dout:
+                        kq["a8"] = np.zeros((), np.bool_)
+                    out = {
+                        k: visit(v, quantize) for k, v in node.items() if k != "kernel"
+                    }
+                    out["kernel_q"] = kq
+                    return out
+                return {k: visit(v, quantize) for k, v in node.items()}
+            if isinstance(node, list):
+                return [visit(v, quantize) for v in node]
+            return dense_leaf(node)
+
+        return {
+            k: visit(v, quantize=(k == "llm" or (w8a8 and k == "vision")))
+            for k, v in shapes.items()
+        }
+
+    return jax.jit(build)(jax.random.PRNGKey(seed))
+
+
 def build_batch(cfg, rng):
     rows = []
     for b in range(BATCH):
@@ -105,28 +170,10 @@ def main():
     # Measured: 1491 vs 1327 tok/s at batch 64 (BASELINE.md).
     w8a8 = os.environ.get("SRGPT_BENCH_W8A8", "1") == "1"
     if os.environ.get("SRGPT_BENCH_INT8") == "1":
-        # int8 weight serving (large models): init + quantize on host so
-        # the bf16 weights never occupy HBM, then ship int8 to the chip.
-        # Host init uses numpy per leaf (jax PRNG on CPU is minutes for 8B
-        # params; throughput doesn't depend on the values).
-        from spatialrgpt_tpu.ops.quant import quantize_llm
-
-        shapes = jax.eval_shape(
-            lambda: vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-        )
-        host_rng = np.random.default_rng(0)
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = jax.tree_util.tree_map(
-                lambda sd: jnp.asarray(
-                    host_rng.standard_normal(sd.shape, dtype=np.float32)
-                    * (sd.shape[0] ** -0.5 if sd.ndim == 2 else 0.02),
-                    sd.dtype,
-                ),
-                shapes,
-            )
-            params["llm"] = quantize_llm(params["llm"], bits=8, act_quant=w8a8)
-            if w8a8:
-                params["vision"] = quantize_llm(params["vision"], bits=8, act_quant=True)
+        # int8 weight serving (large models): init directly into the
+        # quantized layout on host so the bf16 weights never occupy HBM
+        # (and so 8B init takes seconds, not ~30 min — BASELINE.md).
+        params = fast_init_quantized(cfg, w8a8)
         params = jax.device_put(params, jax.devices()[0])
     else:
         params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)

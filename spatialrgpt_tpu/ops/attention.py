@@ -68,12 +68,7 @@ def causal_attention(
         raise ValueError(f"unknown attention impl: {impl}")
 
     b, s, hq, d = q.shape
-    n_rep = hq // k.shape[2]
-    k = _repeat_kv(k, n_rep)
-    v = _repeat_kv(v, n_rep)
-
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores * (d**-0.5)
+    hk = k.shape[2]
     if segment_ids is None:
         mask = jnp.tril(jnp.ones((s, s), jnp.bool_))[None, None]
     else:
@@ -82,12 +77,29 @@ def causal_attention(
         qi = jnp.arange(s)[:, None]
         ki = jnp.arange(s)[None, :]
         mask = mask & ((qi - ki) < window)[None, None]
-    scores = jnp.where(mask, scores, NEG_INF)
+
+    if hq == hk:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (d**-0.5)
+        scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        # rows that attend to nothing (padding) produce uniform probs; zero them
+        if segment_ids is not None:
+            probs = probs * (segment_ids != 0)[:, None, :, None].astype(probs.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+    # GQA: grouped einsums keep the KV read at Hk heads instead of
+    # materializing the n_rep head repeat (4x HBM for llama3-8b)
+    g = hq // hk
+    qg = q.reshape(b, s, hk, g, d)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * (d**-0.5)
+    scores = jnp.where(mask[:, :, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
-    # rows that attend to nothing (padding) produce uniform probs; zero them
     if segment_ids is not None:
-        probs = probs * (segment_ids != 0)[:, None, :, None].astype(probs.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        probs = probs * (segment_ids != 0)[:, None, None, :, None].astype(probs.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(b, s, hq, d)
 
 
 def _sp_attention(q, k, v, segment_ids, impl):
@@ -149,15 +161,28 @@ def decode_attention(
     """
     b, s, hq, d = q.shape
     c = k_cache.shape[1]
-    n_rep = hq // k_cache.shape[2]
-    k = _repeat_kv(k_cache, n_rep)
-    v = _repeat_kv(v_cache, n_rep)
-
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores * (d**-0.5)
+    hk = k_cache.shape[2]
     q_pos = kv_length - s + jnp.arange(s)  # (S,)
     k_pos = jnp.arange(c)  # (C,)
     mask = (k_pos[None, :] <= q_pos[:, None])[None, None]  # (1,1,S,C)
-    scores = jnp.where(mask, scores, NEG_INF)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+    if hq == hk:
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        )
+        scores = scores * (d**-0.5)
+        scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v_cache.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache)
+
+    # GQA: grouped form — the cache streams at Hk heads, no repeat
+    g = hq // hk
+    qg = q.reshape(b, s, hk, g, d)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k_cache, preferred_element_type=jnp.float32
+    )
+    scores = scores * (d**-0.5)
+    scores = jnp.where(mask[:, :, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_cache)
+    return out.reshape(b, s, hq, d)

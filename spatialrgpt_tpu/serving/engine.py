@@ -200,7 +200,7 @@ class ServingEngine:
 def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
     """Decode attention where each slot has its own cache length; new kv is
     written at slot-specific positions via scatter on the length index."""
-    from spatialrgpt_tpu.ops.attention import NEG_INF, _repeat_kv
+    from spatialrgpt_tpu.ops.attention import NEG_INF
     from spatialrgpt_tpu.ops.layers import linear
 
     B, S, H = x.shape  # S == 1
@@ -216,11 +216,19 @@ def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
     ck = jnp.where(write, k.astype(cache.k[layer_idx].dtype), cache.k[layer_idx])
     cv = jnp.where(write, v.astype(cache.v[layer_idx].dtype), cache.v[layer_idx])
 
-    kk = _repeat_kv(ck, Hq // Hk)
-    vv = _repeat_kv(cv, Hq // Hk)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, kk, preferred_element_type=jnp.float32)
-    scores = scores * (D**-0.5)
-    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(vv.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vv).reshape(B, S, Hq * D)
+    if Hq == Hk:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, ck, preferred_element_type=jnp.float32)
+        scores = scores * (D**-0.5)
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cv.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, cv).reshape(B, S, Hq * D)
+    else:
+        # GQA: grouped einsums keep the cache read at Hk heads (no repeat)
+        G = Hq // Hk
+        qg = q.reshape(B, S, Hk, G, D)
+        scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, ck, preferred_element_type=jnp.float32)
+        scores = scores * (D**-0.5)
+        scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cv.dtype)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, cv).reshape(B, S, Hq * D)
     return linear(out, p["wo"]), (ck, cv)

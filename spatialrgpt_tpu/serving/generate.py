@@ -225,7 +225,12 @@ def _decode_step(params, cfg, x, pos, cache, prompt_lengths, prompt_pad_len, ste
         h = h + attn_out
         hn = llama._norm(h, lp["post_ln"], cfg.llm)
         if cfg.llm.is_moe:
-            moe_out, _ = llama._moe_block(hn, lp, cfg.llm)
+            moe = (
+                llama._moe_block_sparse
+                if cfg.llm.moe_impl == "sparse"
+                else llama._moe_block
+            )
+            moe_out, _ = moe(hn, lp, cfg.llm)
             h = h + moe_out
         else:
             h = h + llama._mlp_block(hn, lp["mlp"], cfg.llm.hidden_act)
@@ -253,7 +258,7 @@ def _rms(x, scale, eps):
 
 
 def _cached_attention(x, p, cfg, pos, cache, layer_idx, slot, valid):
-    from spatialrgpt_tpu.ops.attention import NEG_INF, _repeat_kv
+    from spatialrgpt_tpu.ops.attention import NEG_INF
     from spatialrgpt_tpu.ops.layers import linear
 
     B, S, H = x.shape  # S == 1
@@ -266,13 +271,25 @@ def _cached_attention(x, p, cfg, pos, cache, layer_idx, slot, valid):
     ck = jax.lax.dynamic_update_slice_in_dim(cache.k[layer_idx], k, slot, axis=1)
     cv = jax.lax.dynamic_update_slice_in_dim(cache.v[layer_idx], v, slot, axis=1)
 
-    kk = _repeat_kv(ck, Hq // Hk)
-    vv = _repeat_kv(cv, Hq // Hk)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, kk, preferred_element_type=jnp.float32)
-    scores = scores * (D**-0.5)
-    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(vv.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vv).reshape(B, S, Hq * D)
+    if Hq == Hk:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, ck, preferred_element_type=jnp.float32)
+        scores = scores * (D**-0.5)
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cv.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, cv).reshape(B, S, Hq * D)
+    else:
+        # GQA: grouped einsums — the cache read stays at Hk heads (no
+        # materialized n_rep repeat; that repeat cost llama3-8b decode
+        # ~4x its KV HBM stream)
+        G = Hq // Hk
+        qg = q.reshape(B, S, Hk, G, D)
+        scores = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qg, ck, preferred_element_type=jnp.float32
+        )
+        scores = scores * (D**-0.5)
+        scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cv.dtype)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, cv).reshape(B, S, Hq * D)
     return linear(out, p["wo"]), (ck, cv)
 
 
@@ -288,7 +305,7 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
     the fused Pallas decode kernel (ops/decode_attention.py) is opt-in
     only — it loses XLA's overlap with the weight streams.
     """
-    from spatialrgpt_tpu.ops.attention import NEG_INF, _repeat_kv
+    from spatialrgpt_tpu.ops.attention import NEG_INF
     from spatialrgpt_tpu.ops.layers import linear
     from spatialrgpt_tpu.ops.quant import quantize_kv
 
@@ -307,19 +324,32 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
     cv_q = jax.lax.dynamic_update_slice_in_dim(v_q, nv_q, slot, axis=1)
     cv_s = jax.lax.dynamic_update_slice_in_dim(v_s, nv_s, slot, axis=1)
 
-    n_rep = Hq // Hk
-    kk = _repeat_kv(ck_q, n_rep)  # (B, C, Hq, D) int8
-    vv = _repeat_kv(cv_q, n_rep)
-    kks = _repeat_kv(ck_s[..., None], n_rep)[..., 0]  # (B, C, Hq)
-    vvs = _repeat_kv(cv_s[..., None], n_rep)[..., 0]
-
-    scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, kk.astype(q.dtype), preferred_element_type=jnp.float32
-    )
-    scores = scores * kks.transpose(0, 2, 1)[:, :, None, :] * (D**-0.5)
-    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
-    # fold V scales into the (small) probs tensor, keep the cache read int8
-    probs = (probs * vvs.transpose(0, 2, 1)[:, :, None, :]).astype(q.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vv.astype(q.dtype)).reshape(B, S, Hq * D)
+    if Hq == Hk:
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, ck_q.astype(q.dtype), preferred_element_type=jnp.float32
+        )
+        scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, :] * (D**-0.5)
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        # fold V scales into the (small) probs tensor, keep the cache read int8
+        probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, :]).astype(q.dtype)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, cv_q.astype(q.dtype)
+        ).reshape(B, S, Hq * D)
+    else:
+        # GQA: grouped einsums — the int8 cache streams at Hk heads (no
+        # materialized n_rep repeat, which cost llama3-8b decode ~4x HBM)
+        G = Hq // Hk
+        qg = q.reshape(B, S, Hk, G, D)
+        scores = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qg, ck_q.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, None, :] * (D**-0.5)
+        scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, None, :]).astype(q.dtype)
+        out = jnp.einsum(
+            "bhgqk,bkhd->bqhgd", probs, cv_q.astype(q.dtype)
+        ).reshape(B, S, Hq * D)
     return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)
