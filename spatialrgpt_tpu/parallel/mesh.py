@@ -83,6 +83,74 @@ def param_spec(path: str, shape: tuple) -> P:
     return P(*(["fsdp"] + [None] * (len(shape) - 1)))
 
 
+def _path_name_tokens(path: str) -> set:
+    import re
+
+    return set(t for t in re.split(r"[^A-Za-z0-9_]+", path) if t)
+
+
+def tp_param_spec(path: str, shape: tuple) -> P:
+    """Megatron-style tensor-parallel rule for the decoder (serving).
+
+    QKV and MLP gate/up kernels shard their fan-out (head/neuron) dim over
+    'tp'; wo and down shard fan-in, so each block's output is a partial sum
+    and GSPMD inserts exactly one all-reduce per attention/MLP block — the
+    textbook 2-collectives-per-layer TP schedule, over ICI.  lm_head
+    shards the vocab (logits all-gather per step is small).  Embeddings,
+    norms, and biases replicate.  The reference has only vestigial TP
+    (SURVEY.md §2.7: HF pretraining_tp slicing, no comm groups); this is
+    the real thing, natively on the mesh.
+    """
+    toks = _path_name_tokens(path)
+    if "experts_stacked" in toks and len(shape) == 3:
+        # stacked MoE experts (E, fi, fo): shard each expert's neurons over
+        # tp (partial-sum + one all-reduce, same as the dense MLP rule) —
+        # validated to match the replicated sparse path under GSPMD
+        if toks & {"gate", "up"}:
+            return P(None, None, "tp")
+        return P(None, "tp", None)
+    if len(shape) != 2:
+        return P()
+    if toks & {"wq", "wk", "wv", "gate", "up"}:
+        return P(None, "tp")
+    if toks & {"wo", "down"}:
+        return P("tp", None)
+    if "lm_head" in toks:
+        return P(None, "tp")
+    return P()
+
+
+def tp_shard_params(params, mesh: Mesh):
+    """Place a composite VLM param tree for tensor-parallel serving: the
+    'llm' subtree shards per tp_param_spec, everything else (vision tower,
+    projector, region extractor — compute-bound, batch-parallel) replicates.
+
+    Works on quantized trees too: kernel_q entries {'q': (fi, fo) int8,
+    'scale': (1, fo)} shard like their kernel would.
+    """
+
+    def _place(path, x):
+        shape = x.shape
+        # quantized kernels: the int8 payload shards like the kernel; the
+        # (1, fo) scale follows the fan-out dim
+        if "kernel_q" in path and "scale" in path and len(shape) == 2:
+            kernel_spec = tp_param_spec(path, shape)
+            spec = P(None, kernel_spec[1] if len(kernel_spec) > 1 else None)
+        else:
+            spec = tp_param_spec(path, shape)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    placed = dict(params)
+    placed["llm"] = _tree_map_with_path(_place, params["llm"])
+    rep = NamedSharding(mesh, P())
+    for k in params:
+        if k != "llm":
+            placed[k] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params[k]
+            )
+    return placed
+
+
 def shard_params(params, mesh: Mesh):
     """Apply param_spec over a pytree and device_put with NamedSharding."""
 

@@ -187,3 +187,79 @@ def test_zigzag_gradients_match_global():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4, err_msg=f"d{n}"
         )
+
+
+def test_tp_sharded_generate():
+    """Tensor-parallel serving (Megatron-style head/neuron sharding over
+    the 'tp' mesh axis, parallel/mesh.py::tp_param_spec): generate must
+    produce identical tokens to single-device params — GSPMD inserts the
+    per-block all-reduces."""
+    import __graft_entry__ as graft
+    from spatialrgpt_tpu.models import vlm
+    from spatialrgpt_tpu.parallel import mesh as mesh_lib
+    from spatialrgpt_tpu.serving.generate import generate
+
+    cfg = graft._tiny_cfg()  # 4 q heads, 2 kv heads -> tp=2 divides both
+    params = vlm.init_params(jax.random.PRNGKey(3), cfg)
+    batch = graft._tiny_batch(cfg, B=2, S=64)
+    plens = jnp.asarray(np.asarray(batch.segment_ids).sum(axis=1), jnp.int32)
+
+    ref = generate(params, cfg, batch, plens, max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+
+    mesh = mesh_lib.make_mesh(dp=1, fsdp=1, sp=1, tp=2)
+    with mesh:
+        sharded = mesh_lib.tp_shard_params(params, mesh)
+        got = generate(sharded, cfg, batch, plens, max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+
+def test_tp_sharded_generate_quantized():
+    """TP placement of an int8-quantized llm tree (kernel_q payload+scale
+    shard like the kernel) still generates the same tokens as the
+    single-device quantized model."""
+    import __graft_entry__ as graft
+    from spatialrgpt_tpu.models import vlm
+    from spatialrgpt_tpu.ops.quant import quantize_llm
+    from spatialrgpt_tpu.parallel import mesh as mesh_lib
+    from spatialrgpt_tpu.serving.generate import generate
+
+    cfg = graft._tiny_cfg()
+    params = vlm.init_params(jax.random.PRNGKey(3), cfg)
+    params["llm"] = quantize_llm(params["llm"], bits=8)
+    batch = graft._tiny_batch(cfg, B=2, S=64)
+    plens = jnp.asarray(np.asarray(batch.segment_ids).sum(axis=1), jnp.int32)
+
+    ref = generate(params, cfg, batch, plens, max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+
+    mesh = mesh_lib.make_mesh(dp=1, fsdp=1, sp=1, tp=2)
+    with mesh:
+        sharded = mesh_lib.tp_shard_params(params, mesh)
+        got = generate(sharded, cfg, batch, plens, max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+
+def test_tp_sharded_sparse_moe():
+    """Sparse (ragged_dot) MoE under tensor-parallel sharding of the
+    stacked expert kernels: logits match the replicated run."""
+    import dataclasses
+
+    from spatialrgpt_tpu.config import LlamaConfig
+    from spatialrgpt_tpu.models import llama
+    from spatialrgpt_tpu.parallel import mesh as mesh_lib
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, num_experts=4, num_experts_per_tok=2,
+        moe_impl="sparse",
+    )
+    params = llama.stack_experts(llama.init_params(jax.random.PRNGKey(0), cfg))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 9)))
+    pos = jnp.broadcast_to(jnp.arange(9), (2, 9))
+    ref = llama.forward_logits(params, cfg, input_ids=ids, position_ids=pos)
+
+    mesh = mesh_lib.make_mesh(dp=1, fsdp=1, sp=1, tp=2)
+    with mesh:
+        sharded = mesh_lib.tp_shard_params({"llm": params}, mesh)["llm"]
+        got = llama.forward_logits(sharded, cfg, input_ids=ids, position_ids=pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4)
