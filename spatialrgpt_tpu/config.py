@@ -86,6 +86,10 @@ class LlamaConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 2
     router_aux_loss_coef: float = 0.02
+    # "dense" mirrors the reference; "sparse" routes top-k tokens through
+    # a grouped GEMM (lax.ragged_dot) at top_k/E of the dense FLOPs
+    # (models/llama.py::_moe_block_sparse; requires stacked expert params)
+    moe_impl: str = "dense"
 
     @property
     def head_dim(self) -> int:

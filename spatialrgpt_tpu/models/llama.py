@@ -216,6 +216,83 @@ def _moe_block(x: jax.Array, p: Params, cfg: LlamaConfig) -> Tuple[jax.Array, ja
     return out, aux
 
 
+def stack_experts(llm_params: Params) -> Params:
+    """Rewrite per-expert param lists into stacked (E, fi, fo) kernels for
+    the grouped-GEMM sparse MoE path (one HBM-resident copy; stacking
+    inside jit would materialize ~1 GB/layer per step on mixtral)."""
+    out = dict(llm_params)
+    layers = []
+    for layer in llm_params["layers"]:
+        if "experts" not in layer:
+            layers.append(layer)
+            continue
+        nl = {k: v for k, v in layer.items() if k != "experts"}
+        nl["experts_stacked"] = {
+            name: jnp.stack([e[name]["kernel"] for e in layer["experts"]])
+            for name in ("gate", "up", "down")
+        }
+        layers.append(nl)
+    out["layers"] = layers
+    return out
+
+
+def _moe_block_sparse(x: jax.Array, p: Params, cfg: LlamaConfig) -> Tuple[jax.Array, jax.Array]:
+    """Top-k sparse MoE via grouped GEMM (``lax.ragged_dot``).
+
+    Each token is duplicated per routing choice, the 2T copies are sorted
+    by expert id, and every expert's contiguous slice runs as one ragged
+    group — top_k/E of the dense path's FLOPs with no capacity limit and
+    no token dropping (beats the reference, which executes all experts on
+    all tokens: modeling_mixtral_long_context.py:75-140).  Numerics match
+    ``_moe_block`` (same router, same gate normalization, same aux loss).
+
+    Requires stacked expert kernels (``stack_experts``); falls back to the
+    dense block when the params still hold a per-expert list.
+    """
+    if "experts_stacked" not in p:
+        return _moe_block(x, p, cfg)
+    B, S, H = x.shape
+    E, K = cfg.num_experts, cfg.num_experts_per_tok
+    T = B * S
+    xf = x.reshape(T, H)
+
+    logits = linear(x, p["router"]).astype(jnp.float32).reshape(T, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_p, top_e = jax.lax.top_k(probs, K)  # (T, K)
+    gates = top_p / jnp.maximum(top_p.sum(-1, keepdims=True), 1e-9)
+
+    flat_e = top_e.reshape(-1)  # (T*K,)
+    order = jnp.argsort(flat_e)  # stable: preserves token order per expert
+    token_idx = order // K
+    xs = jnp.take(xf, token_idx, axis=0)  # (T*K, H) sorted by expert
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    st = p["experts_stacked"]
+    h_gate = jax.lax.ragged_dot(
+        xs, st["gate"].astype(xs.dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    h_up = jax.lax.ragged_dot(
+        xs, st["up"].astype(xs.dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    mid = (jax.nn.silu(h_gate) * h_up).astype(xs.dtype)
+    outs = jax.lax.ragged_dot(
+        mid, st["down"].astype(xs.dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )  # (T*K, H) f32
+
+    w = jnp.take(gates.reshape(-1), order)  # (T*K,) routing weight per row
+    outs = outs * w[:, None]
+    combined = jnp.zeros((T, H), jnp.float32).at[token_idx].add(outs)
+    out = combined.astype(x.dtype).reshape(B, S, H)
+
+    # aux loss identical to the dense block's
+    sel = jax.nn.one_hot(top_e, E, dtype=jnp.float32).sum(axis=1)  # (T, E)
+    aux = cfg.num_experts * jnp.sum(sel.mean(axis=0) * probs.mean(axis=0))
+    return out, aux
+
+
 def _decoder_layer(x, p, cfg, position_ids, segment_ids, layer_idx, cache, impl, collect_kv=False):
     h = _norm(x, p["input_ln"], cfg)
     attn_out, new_kv = _attention_block(
@@ -223,12 +300,14 @@ def _decoder_layer(x, p, cfg, position_ids, segment_ids, layer_idx, cache, impl,
     )
     x = x + attn_out
     h = _norm(x, p["post_ln"], cfg)
+    aux = jnp.zeros((), jnp.float32)
     if cfg.is_moe:
-        moe_out, aux = _moe_block(h, p, cfg)
+        block = _moe_block_sparse if cfg.moe_impl == "sparse" else _moe_block
+        moe_out, aux = block(h, p, cfg)
         x = x + moe_out
     else:
         x = x + _mlp_block(h, p["mlp"], cfg.hidden_act)
-    return x, new_kv
+    return x, new_kv, aux
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +342,8 @@ def forward(
     # time (per layer, so the bf16 tensors die immediately — keeps prefill
     # peak memory at int8 scale for quantized-cache serving)
     remat: bool = False,
-) -> Tuple[jax.Array, Optional[KVCache]]:
+    with_aux: bool = False,  # also return the summed MoE router aux loss
+):
     """Run the decoder stack. Returns (hidden_states, updated cache).
 
     With ``segment_ids``, attention is causal within equal-id runs and
@@ -274,6 +354,7 @@ def forward(
     """
     x = inputs_embeds
     new_ks, new_vs = [], []
+    aux_total = jnp.zeros((), jnp.float32)
     layer_fn = _decoder_layer
     if remat and cache is None:
         # gradient checkpointing (reference --gradient_checkpointing):
@@ -282,9 +363,10 @@ def forward(
             _decoder_layer, static_argnums=(2, 6, 7, 8), policy=None
         )
     for li, lp in enumerate(params["layers"]):
-        x, new_kv = layer_fn(
+        x, new_kv, aux = layer_fn(
             x, lp, cfg, position_ids, segment_ids, li, cache, attn_impl, collect_kv
         )
+        aux_total = aux_total + aux
         if new_kv is not None:
             if kv_quant and cache is None:
                 from spatialrgpt_tpu.ops.quant import quantize_kv
@@ -300,6 +382,8 @@ def forward(
         new_cache = KVCache(tuple(new_ks), tuple(new_vs), cache.length + inputs_embeds.shape[1])
     elif collect_kv:
         new_cache = KVCache(tuple(new_ks), tuple(new_vs), jnp.asarray(inputs_embeds.shape[1], jnp.int32))
+    if with_aux:
+        return x, new_cache, aux_total
     return x, new_cache
 
 

@@ -208,10 +208,12 @@ def forward(
     inputs: VLMInputs,
     attn_impl: str = "xla",
     remat: bool = False,
-) -> jax.Array:
-    """Full multimodal forward -> logits (B, S, V)."""
+    with_aux: bool = False,
+):
+    """Full multimodal forward -> logits (B, S, V) (+ MoE router aux loss
+    when ``with_aux``)."""
     embeds = prepare_embeds(params, cfg, inputs)
-    h, _ = llama.forward(
+    out = llama.forward(
         params["llm"],
         cfg.llm,
         inputs_embeds=embeds,
@@ -219,7 +221,12 @@ def forward(
         segment_ids=inputs.segment_ids,
         attn_impl=attn_impl,
         remat=remat,
+        with_aux=with_aux,
     )
+    if with_aux:
+        h, _, aux = out
+        return llama.logits(params["llm"], h, cfg.llm), aux
+    h, _ = out
     return llama.logits(params["llm"], h, cfg.llm)
 
 
@@ -249,8 +256,16 @@ def loss_fn(
     remat: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Next-token cross entropy with IGNORE_INDEX masking, mean over valid
-    target tokens (HF CausalLM shift-loss semantics)."""
-    logits = forward(params, cfg, inputs, attn_impl=attn_impl, remat=remat)
+    target tokens (HF CausalLM shift-loss semantics).  MoE decoders add
+    router_aux_loss_coef x load-balancing loss (the reference's
+    load_balancing_loss_func, modeling_mixtral_long_context.py:75-140)."""
+    aux = None
+    if cfg.llm.is_moe:
+        logits, aux = forward(
+            params, cfg, inputs, attn_impl=attn_impl, remat=remat, with_aux=True
+        )
+    else:
+        logits = forward(params, cfg, inputs, attn_impl=attn_impl, remat=remat)
     # shift: predict token t+1 from position t; never across segment ends
     tgt = inputs.labels[:, 1:]
     seg_ok = inputs.segment_ids[:, 1:] == inputs.segment_ids[:, :-1]
@@ -261,4 +276,9 @@ def loss_fn(
     tok_logp = jnp.take_along_axis(logp, tgt_safe[..., None], axis=-1)[..., 0]
     n_valid = jnp.maximum(valid.sum(), 1)
     loss = -(tok_logp * valid).sum() / n_valid
-    return loss, {"loss": loss, "num_tokens": n_valid}
+    metrics = {"loss": loss, "num_tokens": n_valid}
+    if aux is not None:
+        loss = loss + cfg.llm.router_aux_loss_coef * aux
+        metrics["router_aux_loss"] = aux
+        metrics["loss"] = loss
+    return loss, metrics
