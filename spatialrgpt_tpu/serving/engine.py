@@ -49,6 +49,8 @@ class ServingEngine:
         max_new_tokens: int = 128,
         attn_impl: str = "xla",
         dtype=jnp.bfloat16,
+        kv_quant: bool = False,  # int8 KV cache (halves the decode's
+        # dominant HBM stream; same layout as serving/generate.py)
     ):
         self.params = params
         self.cfg = cfg
@@ -58,8 +60,24 @@ class ServingEngine:
         self.max_new = max_new_tokens
         self.attn_impl = attn_impl
         self.dtype = dtype
+        self.kv_quant = kv_quant
 
-        self.cache = llama.KVCache.init(cfg.llm, self.B, self.capacity, dtype)
+        if kv_quant:
+            L = cfg.llm.num_hidden_layers
+            Hk, D = cfg.llm.num_key_value_heads, cfg.llm.head_dim
+            shape_q = (self.B, self.capacity, Hk, D)
+            shape_s = (self.B, self.capacity, Hk)
+            from spatialrgpt_tpu.serving.generate import QuantKVCache
+
+            self.cache = QuantKVCache(
+                tuple(jnp.zeros(shape_q, jnp.int8) for _ in range(L)),
+                tuple(jnp.ones(shape_s, jnp.float32) for _ in range(L)),
+                tuple(jnp.zeros(shape_q, jnp.int8) for _ in range(L)),
+                tuple(jnp.ones(shape_s, jnp.float32) for _ in range(L)),
+                jnp.asarray(0, jnp.int32),
+            )
+        else:
+            self.cache = llama.KVCache.init(cfg.llm, self.B, self.capacity, dtype)
         self.lengths = jnp.zeros((self.B,), jnp.int32)  # tokens in cache per slot
         self.last_token = jnp.zeros((self.B,), jnp.int32)
         self.active = np.zeros((self.B,), bool)  # host-side slot occupancy
@@ -73,6 +91,8 @@ class ServingEngine:
     def _build_fns(self):
         cfg = self.cfg
         attn_impl = self.attn_impl
+        kv_quant = self.kv_quant
+        from spatialrgpt_tpu.serving.generate import QuantKVCache
 
         @jax.jit
         def prefill(params, inputs: vlm.VLMInputs, prompt_len):
@@ -85,6 +105,7 @@ class ServingEngine:
                 segment_ids=inputs.segment_ids,
                 attn_impl=attn_impl,
                 collect_kv=True,
+                kv_quant=kv_quant,
             )
             last = jax.lax.dynamic_slice_in_dim(h, prompt_len - 1, 1, axis=1)  # (1,1,H)
             logits = llama.logits(params["llm"], last, cfg.llm)[:, 0]
@@ -92,52 +113,88 @@ class ServingEngine:
             return kv, tok
 
         @jax.jit
-        def insert(cache: llama.KVCache, kv: llama.KVCache, lengths, last_token, slot, prompt_len, tok):
-            pad = self.capacity - self.S
-            ks = tuple(
-                jax.lax.dynamic_update_slice_in_dim(
-                    c, jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(c.dtype), slot, axis=0
+        def insert(cache, kv, lengths, last_token, slot, prompt_len, tok):
+            def put(c, new):
+                pad_widths = ((0, 0), (0, self.capacity - self.S)) + ((0, 0),) * (
+                    new.ndim - 2
                 )
-                for c, k in zip(cache.k, kv.k)
-            )
-            vs = tuple(
-                jax.lax.dynamic_update_slice_in_dim(
-                    c, jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(c.dtype), slot, axis=0
+                return jax.lax.dynamic_update_slice_in_dim(
+                    c, jnp.pad(new, pad_widths).astype(c.dtype), slot, axis=0
                 )
-                for c, v in zip(cache.v, kv.v)
-            )
+
+            if kv_quant:
+                # collected kv entries are (int8 payload, f32 scale) pairs
+                cache = QuantKVCache(
+                    tuple(put(c, a) for c, (a, _) in zip(cache.k_q, kv.k)),
+                    tuple(put(c, s) for c, (_, s) in zip(cache.k_s, kv.k)),
+                    tuple(put(c, a) for c, (a, _) in zip(cache.v_q, kv.v)),
+                    tuple(put(c, s) for c, (_, s) in zip(cache.v_s, kv.v)),
+                    cache.length,
+                )
+            else:
+                cache = llama.KVCache(
+                    tuple(put(c, k) for c, k in zip(cache.k, kv.k)),
+                    tuple(put(c, v) for c, v in zip(cache.v, kv.v)),
+                    cache.length,
+                )
             lengths = lengths.at[slot].set(prompt_len)
             last_token = last_token.at[slot].set(tok)
-            return llama.KVCache(ks, vs, cache.length), lengths, last_token
+            return cache, lengths, last_token
 
         @jax.jit
-        def decode(params, cache: llama.KVCache, lengths, last_token, active_mask):
+        def decode(params, cache, lengths, last_token, active_mask):
             x = llama.embed_tokens(params["llm"], last_token[:, None], cfg.llm)
             pos = lengths[:, None]
             slot_ids = jnp.arange(self.capacity)
             valid = slot_ids[None, :] < (lengths + 1)[:, None]
             h = x
-            new_ks, new_vs = [], []
+            new_parts = []
             for li, lp in enumerate(params["llm"]["layers"]):
                 hn = llama._norm(h, lp["input_ln"], cfg.llm)
-                attn_out, (ck, cv) = _per_slot_attention(
-                    hn, lp["attn"], cfg.llm, pos, cache, li, lengths, valid
-                )
+                if kv_quant:
+                    layer_cache = (
+                        cache.k_q[li], cache.k_s[li], cache.v_q[li], cache.v_s[li]
+                    )
+                    attn_out, parts = _per_slot_attention_quant(
+                        hn, lp["attn"], cfg.llm, pos, layer_cache, lengths, valid
+                    )
+                else:
+                    attn_out, parts = _per_slot_attention(
+                        hn, lp["attn"], cfg.llm, pos, cache, li, lengths, valid
+                    )
                 h = h + attn_out
                 hn = llama._norm(h, lp["post_ln"], cfg.llm)
                 if cfg.llm.is_moe:
-                    moe_out, _ = llama._moe_block(hn, lp, cfg.llm)
+                    moe = (
+                        llama._moe_block_sparse
+                        if cfg.llm.moe_impl == "sparse"
+                        else llama._moe_block
+                    )
+                    moe_out, _ = moe(hn, lp, cfg.llm)
                     h = h + moe_out
                 else:
                     h = h + llama._mlp_block(hn, lp["mlp"], cfg.llm.hidden_act)
-                new_ks.append(ck)
-                new_vs.append(cv)
+                new_parts.append(parts)
             h = llama._norm(h, params["llm"]["final_ln"], cfg.llm)
             logits = llama.logits(params["llm"], h, cfg.llm)[:, 0].astype(jnp.float32)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             lengths = jnp.where(active_mask, lengths + 1, lengths)
             tok = jnp.where(active_mask, tok, last_token)
-            return llama.KVCache(tuple(new_ks), tuple(new_vs), cache.length), lengths, tok
+            if kv_quant:
+                new_cache = QuantKVCache(
+                    tuple(p[0] for p in new_parts),
+                    tuple(p[1] for p in new_parts),
+                    tuple(p[2] for p in new_parts),
+                    tuple(p[3] for p in new_parts),
+                    cache.length,
+                )
+            else:
+                new_cache = llama.KVCache(
+                    tuple(p[0] for p in new_parts),
+                    tuple(p[1] for p in new_parts),
+                    cache.length,
+                )
+            return new_cache, lengths, tok
 
         self._prefill = prefill
         self._insert = insert
@@ -232,3 +289,57 @@ def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cv.dtype)
         out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, cv).reshape(B, S, Hq * D)
     return linear(out, p["wo"]), (ck, cv)
+
+
+def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid):
+    """Per-slot decode attention against an int8 KV cache: scales fold
+    into the score/prob tensors so the cache is only ever read as int8
+    (same scheme as serving/generate.py::_cached_attention_quant, with
+    the engine's per-slot scatter write)."""
+    from spatialrgpt_tpu.ops.attention import NEG_INF
+    from spatialrgpt_tpu.ops.layers import linear
+    from spatialrgpt_tpu.ops.quant import quantize_kv
+
+    k_q, k_s, v_q, v_s = layer_cache
+    B, S, H = x.shape  # S == 1
+    Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = linear(x, p["wq"]).reshape(B, S, Hq, D)
+    k = linear(x, p["wk"]).reshape(B, S, Hk, D)
+    v = linear(x, p["wv"]).reshape(B, S, Hk, D)
+    q, k = llama.apply_rope(q, k, pos, cfg)
+
+    nk_q, nk_s = quantize_kv(k)
+    nv_q, nv_s = quantize_kv(v)
+    slot_ids = jnp.arange(k_q.shape[1])
+    write = (slot_ids[None, :] == lengths[:, None])[:, :, None]
+    ck_q = jnp.where(write[..., None], nk_q, k_q)
+    ck_s = jnp.where(write, nk_s, k_s)
+    cv_q = jnp.where(write[..., None], nv_q, v_q)
+    cv_s = jnp.where(write, nv_s, v_s)
+
+    if Hq == Hk:
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, ck_q.astype(q.dtype), preferred_element_type=jnp.float32
+        )
+        scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, :] * (D**-0.5)
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, :]).astype(q.dtype)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, cv_q.astype(q.dtype)
+        ).reshape(B, S, Hq * D)
+    else:
+        G = Hq // Hk
+        qg = q.reshape(B, S, Hk, G, D)
+        scores = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qg, ck_q.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, None, :] * (D**-0.5)
+        scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, None, :]).astype(q.dtype)
+        out = jnp.einsum(
+            "bhgqk,bkhd->bqhgd", probs, cv_q.astype(q.dtype)
+        ).reshape(B, S, Hq * D)
+    return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)

@@ -74,3 +74,32 @@ def test_continuous_batching_matches_lockstep():
     by_id = {r.request_id: r.tokens for r in done}
     for rid, exp in zip(ids, oracle):
         assert by_id[rid] == exp, (rid, by_id[rid], exp)
+
+
+def test_continuous_batching_int8_kv_matches_bf16():
+    """Engine with the int8 KV cache produces the same greedy tokens as
+    the bf16-cache engine on the tiny model (same gate as
+    test_generate.py::test_kv_quant_generate_matches_bf16, but through
+    the per-slot scatter write path)."""
+    params = vlm.init_params(jax.random.PRNGKey(0), CFG)
+    reqs = [
+        _make_request([1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, CFG.depth_token_id, 7, 9], 0),
+        _make_request([1, IMAGE_TOKEN_INDEX, 11, 12, 13], 1),
+        _make_request([1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 21], 2),
+    ]
+
+    def run(kv_quant):
+        eng = ServingEngine(
+            params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=6,
+            kv_quant=kv_quant,
+        )
+        for inputs, plen in reqs:
+            eng.submit(inputs, plen, max_new_tokens=6)
+        done = eng.run_until_drained()
+        return {r.request_id: r.tokens for r in done}
+
+    bf16 = run(False)
+    int8 = run(True)
+    assert set(bf16) == set(int8)
+    for rid in bf16:
+        assert bf16[rid] == int8[rid], (rid, bf16[rid], int8[rid])
