@@ -278,6 +278,69 @@ class SupervisedDataset:
         return Sample(input_ids=out["input_ids"][0], labels=out["labels"][0], image=image)
 
 
+class PreferenceDataset:
+    """(chosen, rejected) preference pairs for DPO training (the
+    reference's vendored-TRL DPO branch, llava/train/train.py:708-739;
+    the trl directory is absent from the snapshot so the row format
+    follows the standard DPO convention: prompt + chosen + rejected,
+    optionally an image).  __getitem__ returns a (Sample, Sample) pair
+    sharing the prompt/image."""
+
+    def __init__(
+        self,
+        data_path: str,
+        tokenizer,
+        processor: pp.SiglipProcessor,
+        image_folder: Optional[str] = None,
+        image_aspect_ratio: str = "resize",
+        conv_template: str = "llama_3",
+    ):
+        if data_path.endswith(".jsonl"):
+            with open(data_path) as f:
+                self.entries = [json.loads(l) for l in f if l.strip()]
+        else:
+            with open(data_path) as f:
+                self.entries = json.load(f)
+        self.tokenizer = tokenizer
+        self.processor = processor
+        self.image_folder = image_folder
+        self.image_aspect_ratio = image_aspect_ratio
+        self.conv_template = conv_template
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i: int):
+        entry = copy.deepcopy(self.entries[i])
+        prompt = entry.get("prompt")
+        if prompt is None:
+            prompt = entry["conversations"][0]["value"]
+        has_image = "image" in entry
+        image = None
+        if has_image:
+            if DEFAULT_IMAGE_TOKEN not in prompt:
+                prompt = DEFAULT_IMAGE_TOKEN + "\n" + prompt
+            path = (
+                os.path.join(self.image_folder, entry["image"])
+                if self.image_folder
+                else entry["image"]
+            )
+            image = pp.process_image(path, self.processor, self.image_aspect_ratio)
+        templates.set_default_template(self.conv_template)
+
+        def build(answer: str) -> Sample:
+            conv = [
+                {"from": "human", "value": prompt},
+                {"from": "gpt", "value": answer},
+            ]
+            out = templates.preprocess([conv], self.tokenizer, has_image=has_image)
+            return Sample(
+                input_ids=out["input_ids"][0], labels=out["labels"][0], image=image
+            )
+
+        return build(entry["chosen"]), build(entry["rejected"])
+
+
 class DummyDataset:
     """Synthetic prompt/answer pairs (reference DummyDataset,
     dataset.py:639-750) — the fake-data backend for tests and smoke runs."""

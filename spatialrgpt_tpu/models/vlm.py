@@ -169,23 +169,28 @@ def splice_embeds(
         embeds = llama.embed_tokens(params["llm"], inputs.input_ids, cfg.llm)
     H = embeds.shape[-1]
 
+    # NOTE mode="clip": jnp.take's default out-of-bounds mode is "fill",
+    # which fills NaN for floats — a malformed slot index (e.g. a stray
+    # token id colliding with mask_token_id on a region-less row) would
+    # poison the whole backward pass.  Clipping keeps the gather benign;
+    # the is_* masks still decide what is actually used.
     if mask_embeds is not None:
         flat = mask_embeds.reshape(-1, H)
-        gathered = jnp.take(flat, inputs.mask_slot.reshape(-1), axis=0).reshape(
-            embeds.shape
-        )
+        gathered = jnp.take(
+            flat, inputs.mask_slot.reshape(-1), axis=0, mode="clip"
+        ).reshape(embeds.shape)
         embeds = jnp.where(inputs.is_mask[..., None], gathered.astype(embeds.dtype), embeds)
     if depth_embeds is not None:
         flat = depth_embeds.reshape(-1, H)
-        gathered = jnp.take(flat, inputs.depth_slot.reshape(-1), axis=0).reshape(
-            embeds.shape
-        )
+        gathered = jnp.take(
+            flat, inputs.depth_slot.reshape(-1), axis=0, mode="clip"
+        ).reshape(embeds.shape)
         embeds = jnp.where(inputs.is_depth[..., None], gathered.astype(embeds.dtype), embeds)
 
     img_flat = image_features.reshape(-1, H)
-    img_gathered = jnp.take(img_flat, inputs.image_gather_idx.reshape(-1), axis=0).reshape(
-        embeds.shape
-    )
+    img_gathered = jnp.take(
+        img_flat, inputs.image_gather_idx.reshape(-1), axis=0, mode="clip"
+    ).reshape(embeds.shape)
     embeds = jnp.where(inputs.is_image[..., None], img_gathered.astype(embeds.dtype), embeds)
     return embeds
 

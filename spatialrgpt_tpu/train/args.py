@@ -73,6 +73,10 @@ class TrainingArguments:
     # base-weight quantization for QLoRA (reference train.py:401-421
     # BitsAndBytesConfig bits): 16 = bf16 base, 8/4 = int8/int4 base
     bits: int = 16
+    # DPO (reference train.py:708-739 vendored-TRL branch)
+    dpo_enable: bool = False
+    dpo_beta: float = 0.1
+    dpo_data_path: str = ""  # json/jsonl of {prompt, chosen, rejected, image?}
     # wall-clock budget (reference slurm_utils args)
     total_time_limit: int = -1  # minutes
     pre_terminate_time: int = 10  # minutes

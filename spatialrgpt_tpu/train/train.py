@@ -155,6 +155,73 @@ def main(argv=None):
 
         optimizer = optax.MultiSteps(optimizer, targs.gradient_accumulation_steps)
 
+    # ---- DPO branch (reference train.py:708-739; vendored-TRL replaced
+    # by the native sigmoid-DPO step in train/dpo.py) ----
+    if targs.dpo_enable:
+        from spatialrgpt_tpu.data.dataset import PreferenceDataset
+        from spatialrgpt_tpu.train.dpo import DPOState, make_dpo_step
+
+        pair_ds = PreferenceDataset(
+            targs.dpo_data_path,
+            tokenizer,
+            processor,
+            image_aspect_ratio=dargs.image_aspect_ratio,
+            conv_template=dargs.conv_template,
+        )
+
+        def pair_batches():
+            bs = targs.per_device_train_batch_size
+            order = np.random.default_rng(targs.seed).permutation(len(pair_ds))
+            for start in range(0, len(order) - bs + 1, bs):
+                chosen, rejected = [], []
+                for i in order[start : start + bs]:
+                    c, r = pair_ds[int(i)]
+                    chosen.append(c)
+                    rejected.append(r)
+                yield tuple(
+                    to_vlm_inputs(*collator(group), dtype=dtype)
+                    for group in (chosen, rejected)
+                )
+
+        dpo_steps = (
+            targs.max_steps
+            if targs.max_steps > 0
+            else max(
+                int(
+                    len(pair_ds)
+                    // targs.per_device_train_batch_size
+                    * targs.num_train_epochs
+                ),
+                1,
+            )
+        )
+        with mesh:
+            policy = mesh_lib.shard_params(params, mesh)
+            # frozen reference copy (separate buffers; sharded the same way)
+            ref = mesh_lib.shard_params(
+                jax.tree_util.tree_map(jnp.copy, params), mesh
+            )
+            opt_state = optimizer.init(policy)
+            state = DPOState(jnp.asarray(0, jnp.int32), policy, ref, opt_state)
+            dstep = make_dpo_step(
+                cfg, optimizer, beta=targs.dpo_beta, attn_impl=attn_impl
+            )
+            tcfg = TrainerConfig(
+                output_dir=targs.output_dir,
+                max_steps=dpo_steps,
+                save_steps=targs.save_steps,
+                save_total_limit=targs.save_total_limit,
+                log_steps=targs.logging_steps,
+                report_to=targs.report_to,
+            )
+            trainer = Trainer(
+                cfg, tcfg, lambda s, b: dstep(s, b[0], b[1]), state, pair_batches()
+            )
+            result = trainer.train()
+        set_sp_context(None)
+        print(result)
+        return result
+
     save_final_fn = None
     with mesh:
         if targs.lora_enable:

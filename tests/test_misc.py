@@ -173,3 +173,60 @@ def test_quantized_linear_transparent_forward():
     a = llama.forward_logits(params, cfg, input_ids=ids, position_ids=pos)
     b = llama.forward_logits(qp, cfg, input_ids=ids, position_ids=pos)
     assert (jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean() > 0.9
+
+
+def test_preference_dataset_and_dpo_step(tmp_path):
+    """DPO end-to-end pieces behind the train CLI --dpo_enable branch:
+    PreferenceDataset pairs -> Collator -> make_dpo_step updates the
+    policy while the frozen reference stays put."""
+    import json as json_lib
+
+    import optax
+
+    from spatialrgpt_tpu.data.dataset import PreferenceDataset
+    from spatialrgpt_tpu.train.dpo import DPOState, make_dpo_step
+    from test_templates import FakeTokenizer
+
+    rows = [
+        {"prompt": "Which box is taller?", "chosen": "the left box",
+         "rejected": "the right box"},
+        {"prompt": "Is the chair near the window?", "chosen": "yes, directly",
+         "rejected": "no"},
+    ]
+    p = tmp_path / "prefs.jsonl"
+    p.write_text("\n".join(json_lib.dumps(r) for r in rows) + "\n")
+
+    cfg = graft._tiny_cfg()
+    tok = FakeTokenizer()
+    # use the tokenizer's real special ids so no text char collides with
+    # the region-token ids (the id-collision NaN case is covered by the
+    # mode="clip" guard in vlm.splice_embeds)
+    cfg = cfg.replace(mask_token_id=tok.vocab["<mask>"], depth_token_id=tok.vocab["<depth>"])
+    ds = PreferenceDataset(str(p), tok, None, conv_template="v1")
+    assert len(ds) == 2
+    c0, r0 = ds[0]
+    assert c0.input_ids.shape[0] > 0 and r0.input_ids.shape[0] > 0
+    assert not np.array_equal(c0.input_ids, r0.input_ids)
+
+    # step parity: synthetic supervised pairs (template-label richness is
+    # covered by test_templates; the fake tokenizer needs strict=False
+    # there, so don't couple this step test to it)
+    chosen = graft._tiny_batch(cfg, B=2, S=64, seed=1)
+    rejected = graft._tiny_batch(cfg, B=2, S=64, seed=2)
+
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ref = jax.tree_util.tree_map(jnp.copy, params)
+    optimizer = optax.sgd(1e-2)
+    state = DPOState(jnp.asarray(0), params, ref, optimizer.init(params))
+    step = make_dpo_step(cfg, optimizer, beta=0.1)
+    new_state, metrics = step(state, chosen, rejected)
+    assert "dpo_loss" in metrics and np.isfinite(float(metrics["dpo_loss"]))
+    # policy moved, reference didn't
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_state.params, params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    same = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_state.ref_params, ref
+    )
+    assert max(jax.tree_util.tree_leaves(same)) == 0
