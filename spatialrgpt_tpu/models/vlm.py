@@ -129,17 +129,27 @@ def encode_images(
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     """Returns (image_features (N, T, H), mask_embeds (N, R, H) | None,
     depth_embeds (N, R, H) | None)."""
-    tower = siglip.forward_features(params["vision"], images, cfg.vision)
-
     mask_embeds = depth_embeds = None
     if cfg.enable_region:
         depth_feats = None
         if cfg.enable_depth and depths is not None:
-            depth_feats = siglip.forward_features(params["vision"], depths, cfg.vision)
+            # one tower pass over [images; depths] — the reference runs the
+            # same tower twice sequentially (llava_arch.py:398-404); ViT
+            # blocks are per-sample so a 2N batch is numerically identical
+            # and keeps the MXU fed with one larger matmul stream
+            both = siglip.forward_features(
+                params["vision"],
+                jnp.concatenate([images, depths], axis=0),
+                cfg.vision,
+            )
+            tower, depth_feats = jnp.split(both, 2, axis=0)
+        else:
+            tower = siglip.forward_features(params["vision"], images, cfg.vision)
         lres, mask_embeds, depth_embeds = _refine_and_pool(
             params["region"], cfg, tower, depth_feats, masks
         )
     else:
+        tower = siglip.forward_features(params["vision"], images, cfg.vision)
         lres = tower
 
     image_features = projector.forward(params["projector"], lres, cfg.projector)
