@@ -37,6 +37,7 @@ class Request:
     max_new_tokens: int = 128
     tokens: List[int] = field(default_factory=list)
     done: bool = False
+    prefix_id: Optional[int] = None  # shared-prefix KV (register_prefix)
 
 
 class ServingEngine:
@@ -51,16 +52,21 @@ class ServingEngine:
         dtype=jnp.bfloat16,
         kv_quant: bool = False,  # int8 KV cache (halves the decode's
         # dominant HBM stream; same layout as serving/generate.py)
+        prefix_bucket: int = 0,  # reserve cache room for shared-prefix KV
+        # (register_prefix); 0 disables prefix caching
     ):
         self.params = params
         self.cfg = cfg
         self.B = num_slots
         self.S = prompt_bucket
-        self.capacity = prompt_bucket + max_new_tokens
+        self.P = prefix_bucket
+        self.capacity = prefix_bucket + prompt_bucket + max_new_tokens
         self.max_new = max_new_tokens
         self.attn_impl = attn_impl
         self.dtype = dtype
         self.kv_quant = kv_quant
+        self.prefixes: Dict[int, tuple] = {}
+        self._prefix_ids = itertools.count()
 
         if kv_quant:
             L = cfg.llm.num_hidden_layers
@@ -111,6 +117,81 @@ class ServingEngine:
             logits = llama.logits(params["llm"], last, cfg.llm)[:, 0]
             tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
             return kv, tok
+
+        @jax.jit
+        def prefill_prefix(params, inputs: vlm.VLMInputs):
+            """KV of a shared prompt prefix (bf16 regardless of kv_quant;
+            quantization happens when a suffix lands in a slot)."""
+            embeds = vlm.prepare_embeds(params, cfg, inputs)
+            _, kv = llama.forward(
+                params["llm"],
+                cfg.llm,
+                inputs_embeds=embeds,
+                position_ids=inputs.position_ids,
+                segment_ids=inputs.segment_ids,
+                attn_impl=attn_impl,
+                collect_kv=True,
+            )
+            return kv
+
+        @jax.jit
+        def prefill_with_prefix(params, pk, pv, plen, inputs: vlm.VLMInputs, suffix_len):
+            """Prefill only the request's suffix against cached prefix KV
+            (the prefix's FLOPs are paid once per prefix, not per request).
+            Returns a capacity-length cache row + the first sampled token."""
+            embeds = vlm.prepare_embeds(params, cfg, inputs)
+
+            def expand(t):  # (1, PB, Hk, D) -> (1, capacity, Hk, D)
+                return jnp.pad(
+                    t, ((0, 0), (0, self.capacity - t.shape[1]), (0, 0), (0, 0))
+                )
+
+            cache0 = llama.KVCache(
+                tuple(expand(a) for a in pk), tuple(expand(a) for a in pv), plen
+            )
+            pos = inputs.position_ids + plen  # global positions for RoPE
+            h, new_cache = llama.forward(
+                params["llm"],
+                cfg.llm,
+                inputs_embeds=embeds,
+                position_ids=pos,
+                segment_ids=inputs.segment_ids,
+                cache=cache0,
+                attn_impl=attn_impl,
+            )
+            last = jax.lax.dynamic_slice_in_dim(h, suffix_len - 1, 1, axis=1)
+            logits = llama.logits(params["llm"], last, cfg.llm)[:, 0]
+            tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+            return new_cache, tok
+
+        @jax.jit
+        def insert_full(cache, ks, vs, lengths, last_token, slot, total_len, tok):
+            """Insert a capacity-length cache row (prefix+suffix) into a slot."""
+
+            def put(c, new):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    c, new.astype(c.dtype), slot, axis=0
+                )
+
+            if kv_quant:
+                from spatialrgpt_tpu.ops.quant import quantize_kv
+
+                cache = QuantKVCache(
+                    tuple(put(c, quantize_kv(kk)[0]) for c, kk in zip(cache.k_q, ks)),
+                    tuple(put(c, quantize_kv(kk)[1]) for c, kk in zip(cache.k_s, ks)),
+                    tuple(put(c, quantize_kv(vv)[0]) for c, vv in zip(cache.v_q, vs)),
+                    tuple(put(c, quantize_kv(vv)[1]) for c, vv in zip(cache.v_s, vs)),
+                    cache.length,
+                )
+            else:
+                cache = llama.KVCache(
+                    tuple(put(c, kk) for c, kk in zip(cache.k, ks)),
+                    tuple(put(c, vv) for c, vv in zip(cache.v, vs)),
+                    cache.length,
+                )
+            lengths = lengths.at[slot].set(total_len)
+            last_token = last_token.at[slot].set(tok)
+            return cache, lengths, last_token
 
         @jax.jit
         def insert(cache, kv, lengths, last_token, slot, prompt_len, tok):
@@ -197,26 +278,60 @@ class ServingEngine:
             return new_cache, lengths, tok
 
         self._prefill = prefill
+        self._prefill_prefix = prefill_prefix
+        self._prefill_with_prefix = prefill_with_prefix
         self._insert = insert
+        self._insert_full = insert_full
         self._decode = decode
 
     # ------------------------------------------------------------------
-    def submit(self, inputs: vlm.VLMInputs, prompt_length: int, max_new_tokens: int = 128) -> int:
+    def register_prefix(self, inputs: vlm.VLMInputs, prompt_length: int) -> int:
+        """Prefill a shared prompt prefix once (e.g. the system prompt +
+        template preamble); subsequent submits with this prefix_id pay
+        prefill FLOPs only for their suffix."""
+        assert self.P > 0, "construct the engine with prefix_bucket > 0"
+        assert inputs.input_ids.shape[1] <= self.P
+        kv = self._prefill_prefix(self.params, inputs)
+        pid = next(self._prefix_ids)
+        self.prefixes[pid] = (kv.k, kv.v, prompt_length)
+        return pid
+
+    def submit(
+        self,
+        inputs: vlm.VLMInputs,
+        prompt_length: int,
+        max_new_tokens: int = 128,
+        prefix_id: Optional[int] = None,
+    ) -> int:
         rid = next(self._ids)
-        self.queue.append(Request(rid, inputs, prompt_length, max_new_tokens))
+        self.queue.append(
+            Request(rid, inputs, prompt_length, max_new_tokens, prefix_id=prefix_id)
+        )
         return rid
 
     def _admit(self):
         while self.queue and not self.active.all():
             req = self.queue.popleft()
             slot = int(np.flatnonzero(~self.active)[0])
-            kv, tok = self._prefill(
-                self.params, req.inputs, jnp.asarray(req.prompt_length, jnp.int32)
-            )
-            self.cache, self.lengths, self.last_token = self._insert(
-                self.cache, kv, self.lengths, self.last_token,
-                jnp.asarray(slot), jnp.asarray(req.prompt_length, jnp.int32), tok[0],
-            )
+            if req.prefix_id is not None:
+                pk, pv, plen = self.prefixes[req.prefix_id]
+                new_cache, tok = self._prefill_with_prefix(
+                    self.params, pk, pv, jnp.asarray(plen, jnp.int32),
+                    req.inputs, jnp.asarray(req.prompt_length, jnp.int32),
+                )
+                self.cache, self.lengths, self.last_token = self._insert_full(
+                    self.cache, new_cache.k, new_cache.v,
+                    self.lengths, self.last_token, jnp.asarray(slot),
+                    jnp.asarray(plen + req.prompt_length, jnp.int32), tok[0],
+                )
+            else:
+                kv, tok = self._prefill(
+                    self.params, req.inputs, jnp.asarray(req.prompt_length, jnp.int32)
+                )
+                self.cache, self.lengths, self.last_token = self._insert(
+                    self.cache, kv, self.lengths, self.last_token,
+                    jnp.asarray(slot), jnp.asarray(req.prompt_length, jnp.int32), tok[0],
+                )
             req.tokens.append(int(tok[0]))
             self.active[slot] = True
             self.slot_req[slot] = req

@@ -103,3 +103,76 @@ def test_continuous_batching_int8_kv_matches_bf16():
     assert set(bf16) == set(int8)
     for rid in bf16:
         assert bf16[rid] == int8[rid], (rid, bf16[rid], int8[rid])
+
+
+def test_prefix_cached_prefill_matches_full_prompt():
+    """Prefix caching: submitting (prefix KV + suffix) must generate the
+    same tokens as prefilling the concatenated full prompt."""
+    params = vlm.init_params(jax.random.PRNGKey(0), CFG)
+    prefix_ids = [1, 9, 8, 7, 6]  # shared system-prompt-like text
+    suffix_ids = [IMAGE_TOKEN_INDEX, CFG.mask_token_id, CFG.depth_token_id, 17, 19]
+
+    # full-prompt baseline
+    full_inputs, full_len = _make_request(prefix_ids + suffix_ids, 3)
+    eng0 = ServingEngine(params, CFG, num_slots=1, prompt_bucket=32, max_new_tokens=5)
+    eng0.submit(full_inputs, full_len, max_new_tokens=5)
+    base = eng0.run_until_drained()[0].tokens
+
+    # prefix-cached path: same underlying image/mask seeds for the suffix
+    def run(kv_quant):
+        eng = ServingEngine(
+            params, CFG, num_slots=1, prompt_bucket=16, max_new_tokens=5,
+            prefix_bucket=16, kv_quant=kv_quant,
+        )
+        sb = expand_rows(
+            [np.asarray(prefix_ids, np.int64)], None, max_len=16,
+            tokens_per_image=4, mask_token_id=CFG.mask_token_id,
+            depth_token_id=CFG.depth_token_id, regions_per_image=2, pad_to=16,
+        )
+        zero_img = jnp.zeros((1, CFG.vision.image_size, CFG.vision.image_size, 3), jnp.float32)
+        prefix_inputs = vlm.VLMInputs(
+            input_ids=jnp.asarray(sb.input_ids),
+            is_image=jnp.asarray(sb.is_image),
+            image_gather_idx=jnp.asarray(sb.image_gather_idx),
+            position_ids=jnp.asarray(sb.position_ids),
+            segment_ids=jnp.asarray(sb.segment_ids),
+            labels=None,
+            mask_slot=jnp.asarray(sb.mask_slot),
+            is_mask=jnp.asarray(sb.is_mask),
+            depth_slot=jnp.asarray(sb.depth_slot),
+            is_depth=jnp.asarray(sb.is_depth),
+            images=zero_img,
+            depths=zero_img,
+            masks=jnp.zeros((1, 2, CFG.vision.image_size, CFG.vision.image_size), jnp.float32),
+            mask_valid=jnp.zeros((1, 2), bool),
+        )
+        pid = eng.register_prefix(prefix_inputs, len(prefix_ids))
+
+        suffix_inputs, suffix_len = _make_request(suffix_ids, 3)  # same seed -> same image
+        # _make_request pads to 32; rebuild at the 16 bucket
+        sb2 = expand_rows(
+            [np.asarray(suffix_ids, np.int64)], None, max_len=16,
+            tokens_per_image=4, mask_token_id=CFG.mask_token_id,
+            depth_token_id=CFG.depth_token_id, regions_per_image=2, pad_to=16,
+        )
+        suffix_inputs = vlm.VLMInputs(
+            input_ids=jnp.asarray(sb2.input_ids),
+            is_image=jnp.asarray(sb2.is_image),
+            image_gather_idx=jnp.asarray(sb2.image_gather_idx),
+            position_ids=jnp.asarray(sb2.position_ids),
+            segment_ids=jnp.asarray(sb2.segment_ids),
+            labels=None,
+            mask_slot=jnp.asarray(sb2.mask_slot),
+            is_mask=jnp.asarray(sb2.is_mask),
+            depth_slot=jnp.asarray(sb2.depth_slot),
+            is_depth=jnp.asarray(sb2.is_depth),
+            images=suffix_inputs.images,
+            depths=suffix_inputs.depths,
+            masks=suffix_inputs.masks,
+            mask_valid=suffix_inputs.mask_valid,
+        )
+        eng.submit(suffix_inputs, int(sb2.segment_ids.sum()), max_new_tokens=5, prefix_id=pid)
+        return eng.run_until_drained()[0].tokens
+
+    assert run(False) == base
+    assert run(True) == base
