@@ -41,7 +41,11 @@ MODEL = os.environ.get("SRGPT_BENCH_MODEL", "sheared-3b")
 BATCH = int(os.environ.get("SRGPT_BENCH_BATCH", 64))
 MAX_NEW = int(os.environ.get("SRGPT_BENCH_MAX_NEW", 64))
 N_REGIONS = 2
-PROMPT_TEXT_TOKENS = 96  # text tokens around the image + region tokens
+# text tokens around the image + region tokens; raise together with
+# SRGPT_BENCH_PAD for long-context serving (where the Pallas flash
+# prefill overtakes XLA attention — SRGPT_BENCH_ATTN=pallas)
+PROMPT_TEXT_TOKENS = int(os.environ.get("SRGPT_BENCH_PROMPT_TOKENS", 96))
+PAD_BUCKET = int(os.environ.get("SRGPT_BENCH_PAD", 384))
 
 
 def fast_init_quantized(cfg, w8a8: bool, seed: int = 0):
@@ -129,7 +133,7 @@ def build_batch(cfg, rng):
         mask_token_id=cfg.mask_token_id,
         depth_token_id=cfg.depth_token_id,
         regions_per_image=N_REGIONS,
-        pad_to=384,
+        pad_to=PAD_BUCKET,
     )
     size = cfg.vision.image_size
     dtype = jnp.bfloat16
