@@ -168,6 +168,13 @@ class Trainer:
             return {"status": "already_done"}
         if resume:
             step = self.load_checkpoint(resume)
+            # fast-forward the (deterministic) batch stream past the
+            # consumed steps so the resumed run sees the same data order
+            # as an uninterrupted one (HF Trainer dataloader skip)
+            it = iter(self.batches)
+            for _ in range(step):
+                next(it, None)
+            self.batches = it
 
         status = "completed"
         for batch in self.batches:

@@ -231,3 +231,57 @@ def test_nonfinite_grad_guard():
     good = graft._tiny_batch(cfg, B=2, S=64, seed=2)
     state, metrics = step_fn(state, good)
     assert not np.allclose(np.asarray(state.params["llm"]["embed_tokens"]), before)
+
+
+def test_resume_is_bit_exact_with_uninterrupted_run(tmp_path):
+    """Checkpoint fidelity: 3 steps + preemption + resume for 3 more must
+    produce bit-identical parameters to 6 uninterrupted steps (params,
+    optimizer state, LR schedule position, and data order all restored —
+    the resumed trainer fast-forwards the deterministic batch stream)."""
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ocfg = OptimizerConfig(learning_rate=1e-3, total_steps=6, warmup_ratio=0.0)
+    optimizer = build_optimizer(params, ocfg)
+    step_fn = make_train_step(cfg, optimizer)
+
+    # uninterrupted 6 steps
+    out_a = str(tmp_path / "straight")
+    tr_a = Trainer(
+        cfg,
+        TrainerConfig(output_dir=out_a, max_steps=6, save_steps=100, log_steps=1),
+        step_fn,
+        create_train_state(params, optimizer),
+        _batches(cfg, 6),
+    )
+    assert tr_a.train()["step"] == 6
+    final_a = jax.device_get(tr_a.state.params)
+
+    # preempted at 3, then resumed
+    out_b = str(tmp_path / "resumed")
+    hits = {"n": 0}
+
+    def preempt_once():
+        hits["n"] += 1
+        return hits["n"] == 1
+
+    tcfg_b = TrainerConfig(
+        output_dir=out_b, max_steps=6, save_steps=3, log_steps=1,
+        autoresume_poll_steps=3,
+    )
+    tr_b1 = Trainer(
+        cfg, tcfg_b, step_fn, create_train_state(params, optimizer),
+        _batches(cfg, 6), autoresume_check=preempt_once,
+    )
+    assert tr_b1.train()["status"] == "preempted"
+    tr_b2 = Trainer(
+        cfg, tcfg_b, step_fn, create_train_state(params, optimizer),
+        _batches(cfg, 6),
+    )
+    assert tr_b2.train()["step"] == 6
+    final_b = jax.device_get(tr_b2.state.params)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        final_a,
+        final_b,
+    )
