@@ -44,6 +44,9 @@ class TrainerConfig:
     total_time_limit_min: Optional[float] = None
     pre_terminate_min: float = 5.0
     report_to: str = "jsonl"  # jsonl | wandb | none
+    # "npz" (single-file, synchronous) or "orbax" (async, sharding-aware
+    # — the TPU-native backend for large runs; utils/orbax_io.py)
+    ckpt_backend: str = "npz"
 
 
 def find_resume_checkpoint(output_dir: str) -> Optional[str]:
@@ -55,7 +58,10 @@ def find_resume_checkpoint(output_dir: str) -> Optional[str]:
     steps = []
     for c in cands:
         m = re.match(r".*checkpoint-(\d+)$", c)
-        if m and os.path.exists(os.path.join(c, "state.npz")):
+        if m and (
+            os.path.exists(os.path.join(c, "state.npz"))
+            or os.path.exists(os.path.join(c, "state_orbax", "_CHECKPOINT_METADATA"))
+        ):
             steps.append((int(m.group(1)), c))
     if not steps:
         return None
@@ -124,10 +130,24 @@ class Trainer:
     def save_checkpoint(self, step: int) -> str:
         d = os.path.join(self.tcfg.output_dir, f"checkpoint-{step}")
         os.makedirs(d, exist_ok=True)
-        ckpt_lib.save_pytree(os.path.join(d, "state.npz"), self.state.params)
-        ckpt_lib.save_pytree(os.path.join(d, "opt.npz"), self.state.opt_state)
+        if self.tcfg.ckpt_backend == "orbax":
+            # async: training continues while the state drains to storage
+            # (orbax commits atomically; an interrupted write is simply
+            # not discovered by find_resume_checkpoint)
+            from spatialrgpt_tpu.utils import orbax_io
+
+            orbax_io.save_pytree_orbax(os.path.join(d, "state_orbax"), self.state.params)
+            orbax_io.save_pytree_orbax(os.path.join(d, "opt_orbax"), self.state.opt_state)
+        else:
+            ckpt_lib.save_pytree(os.path.join(d, "state.npz"), self.state.params)
+            ckpt_lib.save_pytree(os.path.join(d, "opt.npz"), self.state.opt_state)
         with open(os.path.join(d, "trainer_state.json"), "w") as f:
             json.dump({"step": step}, f)
+        if self.tcfg.ckpt_backend == "orbax" and self.tcfg.save_total_limit > 0:
+            # don't prune a directory a background writer may still own
+            from spatialrgpt_tpu.utils import orbax_io
+
+            orbax_io.wait_until_finished()
         self._prune()
         return d
 
@@ -143,8 +163,18 @@ class Trainer:
         from spatialrgpt_tpu.train.step import TrainState
         import jax.numpy as jnp
 
-        params = ckpt_lib.load_pytree(os.path.join(path, "state.npz"))
-        opt = ckpt_lib.load_pytree(os.path.join(path, "opt.npz"))
+        if os.path.isdir(os.path.join(path, "state_orbax")):
+            from spatialrgpt_tpu.utils import orbax_io
+
+            params = orbax_io.load_pytree_orbax(
+                os.path.join(path, "state_orbax"), like=self.state.params
+            )
+            opt = orbax_io.load_pytree_orbax(
+                os.path.join(path, "opt_orbax"), like=self.state.opt_state
+            )
+        else:
+            params = ckpt_lib.load_pytree(os.path.join(path, "state.npz"))
+            opt = ckpt_lib.load_pytree(os.path.join(path, "opt.npz"))
         with open(os.path.join(path, "trainer_state.json")) as f:
             step = json.load(f)["step"]
         self.state = TrainState(jnp.asarray(step, jnp.int32), params, opt)
@@ -199,6 +229,12 @@ class Trainer:
                 status = "timeout"
                 break
 
+        if self.tcfg.ckpt_backend == "orbax":
+            # drain any in-flight async save before exiting (preemption/
+            # timeout paths save right before breaking out of the loop)
+            from spatialrgpt_tpu.utils import orbax_io
+
+            orbax_io.wait_until_finished()
         if status == "completed":
             self.save_final()
         self.logger.close()

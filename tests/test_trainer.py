@@ -285,3 +285,49 @@ def test_resume_is_bit_exact_with_uninterrupted_run(tmp_path):
         final_a,
         final_b,
     )
+
+
+def test_orbax_checkpoint_backend_roundtrip(tmp_path):
+    """ckpt_backend='orbax': async step checkpoints restore bit-exactly
+    (params + opt state) through preemption + resume."""
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ocfg = OptimizerConfig(learning_rate=1e-3, total_steps=4, warmup_ratio=0.0)
+    optimizer = build_optimizer(params, ocfg)
+    step_fn = make_train_step(cfg, optimizer)
+
+    out_a = str(tmp_path / "straight")
+    tr_a = Trainer(
+        cfg,
+        TrainerConfig(output_dir=out_a, max_steps=4, save_steps=100, log_steps=1),
+        step_fn, create_train_state(params, optimizer), _batches(cfg, 4),
+    )
+    assert tr_a.train()["step"] == 4
+    final_a = jax.device_get(tr_a.state.params)
+
+    out_b = str(tmp_path / "orbax")
+    tcfg = TrainerConfig(
+        output_dir=out_b, max_steps=4, save_steps=2, log_steps=1,
+        autoresume_poll_steps=2, ckpt_backend="orbax",
+    )
+    hits = {"n": 0}
+
+    def preempt_once():
+        hits["n"] += 1
+        return hits["n"] == 1
+
+    tr_b1 = Trainer(
+        cfg, tcfg, step_fn, create_train_state(params, optimizer),
+        _batches(cfg, 4), autoresume_check=preempt_once,
+    )
+    assert tr_b1.train()["status"] == "preempted"
+    assert find_resume_checkpoint(out_b).endswith("checkpoint-2")
+    tr_b2 = Trainer(
+        cfg, tcfg, step_fn, create_train_state(params, optimizer), _batches(cfg, 4)
+    )
+    assert tr_b2.train()["step"] == 4
+    final_b = jax.device_get(tr_b2.state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        final_a, final_b,
+    )
