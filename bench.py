@@ -235,6 +235,33 @@ def main():
         ttfts.append(time.time() - t0)
     ttft_p50 = sorted(ttfts)[len(ttfts) // 2]
 
+    stages = {}
+    if os.environ.get("SRGPT_BENCH_STAGES") == "1":
+        # isolate the TTFT stages: vision/region/splice vs LLM prefill
+        embed_fn = jax.jit(lambda p, i: vlm.prepare_embeds(p, cfg, i))
+        embeds = embed_fn(params, inputs)
+        device_sync(embeds)
+        stages["prepare_embeds_s"] = round(
+            time_fn(lambda: embed_fn(params, inputs), iters=3, warmup=1), 4
+        )
+        from spatialrgpt_tpu.models import llama as llama_lib
+
+        prefill_fn = jax.jit(
+            lambda p, e: llama_lib.forward(
+                p["llm"], cfg.llm, inputs_embeds=e,
+                position_ids=inputs.position_ids,
+                segment_ids=inputs.segment_ids, attn_impl=attn,
+            )[0]
+        )
+        h = prefill_fn(params, embeds)
+        device_sync(h)
+        stages["llm_prefill_s"] = round(
+            time_fn(lambda: prefill_fn(params, embeds), iters=3, warmup=1), 4
+        )
+        stages["decode_ms_per_step"] = round(
+            (wall - ttft_p50) / max(MAX_NEW - 1, 1) * 1000, 3
+        )
+
     print(
         json.dumps(
             {
@@ -246,6 +273,7 @@ def main():
                 "e2e_batch_s": round(wall, 4),
                 "compile_s": round(compile_s, 1),
                 "init_s": round(init_s, 1),
+                **stages,
             }
         )
     )
