@@ -75,7 +75,7 @@ def _sample_token(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "top_p", "attn_impl",
-        "stop_token_ids", "kv_quant",
+        "stop_token_ids", "stop_sequences", "kv_quant",
     ),
 )
 def generate(
@@ -88,9 +88,12 @@ def generate(
     temperature: float = 0.0,
     top_p: float = 1.0,
     eos_token_id: Optional[int] = None,
-    stop_token_ids: tuple = (),  # extra stop ids (KeywordsStoppingCriteria
-    # equivalent, mm_utils.py:586-617, for single-token stop strings like
-    # <|eot_id|>); multi-token stop strings are stripped by the caller
+    stop_token_ids: tuple = (),  # extra single-token stop ids
+    stop_sequences: tuple = (),  # tuple of tuples: multi-token stop
+    # sequences checked inside the compiled loop (the full
+    # KeywordsStoppingCriteria equivalent, mm_utils.py:586-617 — the
+    # reference decodes the tail and substring-matches keywords; here the
+    # generated tail is compared token-wise, static shapes)
     rng: Optional[jax.Array] = None,
     attn_impl: str = "xla",
     kv_quant: bool = False,  # int8 KV cache (QuantKVCache) for decode
@@ -156,6 +159,9 @@ def generate(
     tokens0 = jnp.full((B, max_new_tokens), eos, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(tok0)
     done0 = _is_stop(tok0)
+    for seq in stop_sequences:
+        if len(seq) == 1:
+            done0 = done0 | (tok0 == seq[0])
 
     # per-row decode positions: row b's t-th new token sits at global
     # position prompt_lengths[b] + t; its KV lives at cache slot S + t
@@ -174,6 +180,20 @@ def generate(
         tok = jnp.where(done, eos, tok)
         tokens = tokens.at[:, t].set(tok)
         done = done | _is_stop(tok)
+        # multi-token stop sequences: compare the just-emitted tail
+        # (stops AFTER the keyword is generated, like the reference's
+        # KeywordsStoppingCriteria; callers strip the matched text)
+        for seq in stop_sequences:
+            L = len(seq)
+            if L > max_new_tokens:
+                continue
+            if L < 2:
+                done = done | (tok == seq[0]) if L == 1 else done
+                continue
+            start = jnp.maximum(t - (L - 1), 0)
+            window = jax.lax.dynamic_slice_in_dim(tokens, start, L, axis=1)
+            hit = (window == jnp.asarray(seq, jnp.int32)[None, :]).all(axis=1)
+            done = done | (hit & (t >= L - 1))
         return t + 1, tokens, done, cache, rng
 
     def cond(state):

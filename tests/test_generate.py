@@ -223,3 +223,36 @@ def test_w8a8_generate_matches_bf16():
     )
     mismatch = int((np.asarray(exact.tokens) != np.asarray(quant.tokens)).sum())
     assert mismatch == 0, (np.asarray(exact.tokens), np.asarray(quant.tokens))
+
+
+def test_multi_token_stop_sequences():
+    """stop_sequences halts a row right after the sequence appears in its
+    output (KeywordsStoppingCriteria for multi-token keywords); unaffected
+    rows keep decoding."""
+    params = vlm.init_params(jax.random.PRNGKey(0), TINY)
+    sb, inputs = _inputs_for(
+        [np.asarray([1, 5, IMAGE_TOKEN_INDEX, 60, 61, 7], np.int64),
+         np.asarray([1, 9, IMAGE_TOKEN_INDEX, 60, 61, 11], np.int64)],
+        n_images=2,
+    )
+    plens = jnp.asarray(np.asarray(sb.segment_ids).sum(axis=1), jnp.int32)
+    base = generate(
+        params, TINY, inputs, plens, max_new_tokens=8, temperature=0.0,
+        eos_token_id=-1,
+    )
+    toks = np.asarray(base.tokens)
+    # choose the first row's tokens [1:3] as the "keyword" — decoding is
+    # deterministic, so the stopped run must cut right after position 2
+    seq = tuple(int(x) for x in toks[0, 1:3])
+    stopped = generate(
+        params, TINY, inputs, plens, max_new_tokens=8, temperature=0.0,
+        eos_token_id=-1, stop_sequences=(seq,),
+    )
+    st = np.asarray(stopped.tokens)
+    # row 0: identical up to the keyword, then padded with the (sentinel)
+    # eos id — decoding stopped right after the sequence completed
+    np.testing.assert_array_equal(st[0, :3], toks[0, :3])
+    assert (st[0, 3:] == -1).all()
+    # a row whose output never contains the keyword decodes in full
+    if tuple(int(x) for x in toks[1].tolist()) .count(seq[0]) == 0:
+        np.testing.assert_array_equal(st[1], toks[1])
