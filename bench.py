@@ -188,6 +188,9 @@ def main():
     inputs, prompt_lengths = build_batch(cfg, rng)
 
     kv_quant = os.environ.get("SRGPT_BENCH_KV_INT8", "1") == "1"
+    # 8 (default, exact greedy parity) or 4 (packed nibbles — halves the
+    # cache stream again; lossy, opt-in)
+    kv_bits = int(os.environ.get("SRGPT_BENCH_KV_BITS", 8))
     # At the 384-token serving bucket XLA attention beats the Pallas flash
     # kernel end-to-end (1314 vs 1252 tok/s measured, BASELINE.md) -- the
     # S^2 savings that make flash win (2.4x at S=2048 microbench) don't
@@ -203,6 +206,7 @@ def main():
         eos_token_id=-1,  # force full-length decode for stable throughput
         attn_impl=attn,
         kv_quant=kv_quant,
+        kv_bits=kv_bits,
     )
 
     t0 = time.time()
@@ -224,6 +228,7 @@ def main():
         eos_token_id=-1,
         attn_impl=attn,
         kv_quant=kv_quant,
+        kv_bits=kv_bits,
     )
     r = run1()
     device_sync(r.tokens)  # compile

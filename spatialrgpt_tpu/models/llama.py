@@ -338,9 +338,10 @@ def forward(
     cache: Optional[KVCache] = None,
     attn_impl: str = "xla",
     collect_kv: bool = False,
-    kv_quant: bool = False,  # quantize collected K/V to int8 at collection
-    # time (per layer, so the bf16 tensors die immediately — keeps prefill
-    # peak memory at int8 scale for quantized-cache serving)
+    kv_quant: bool = False,  # quantize collected K/V at collection time
+    # (per layer, so the bf16 tensors die immediately — keeps prefill
+    # peak memory at quantized scale for quantized-cache serving)
+    kv_bits: int = 8,  # 8 (int8) or 4 (packed nibbles) when kv_quant
     remat: bool = False,
     with_aux: bool = False,  # also return the summed MoE router aux loss
 ):
@@ -369,10 +370,11 @@ def forward(
         aux_total = aux_total + aux
         if new_kv is not None:
             if kv_quant and cache is None:
-                from spatialrgpt_tpu.ops.quant import quantize_kv
+                from spatialrgpt_tpu.ops.quant import quantize_kv, quantize_kv4
 
-                new_ks.append(quantize_kv(new_kv[0]))  # (int8, f32 scale)
-                new_vs.append(quantize_kv(new_kv[1]))
+                qfn = quantize_kv4 if kv_bits == 4 else quantize_kv
+                new_ks.append(qfn(new_kv[0]))  # (payload, f32 scale)
+                new_vs.append(qfn(new_kv[1]))
             else:
                 new_ks.append(new_kv[0])
                 new_vs.append(new_kv[1])

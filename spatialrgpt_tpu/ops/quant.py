@@ -87,6 +87,32 @@ def dequantize_kv(q: jax.Array, s: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return (q.astype(jnp.float32) * s[..., None]).astype(dtype)
 
 
+def quantize_kv4(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-position-per-head symmetric int4 KV, two nibbles packed per
+    byte along the head dim: (..., D) -> ((..., D/2) int8, (...) f32).
+
+    Quarters the decode's dominant HBM stream relative to bf16 (half of
+    int8).  Coarser than int8 (15 levels over the per-vector absmax);
+    greedy-token parity is model-dependent — serve as an opt-in
+    (SRGPT_BENCH_KV_BITS=4)."""
+    assert x.shape[-1] % 2 == 0
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 7.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -7, 7).astype(jnp.int8)
+    lo = q[..., 0::2] & 0x0F
+    hi = (q[..., 1::2] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8), s
+
+
+def unpack_kv4(packed: jax.Array) -> jax.Array:
+    """(..., D/2) packed int8 -> (..., D) int4 values as int8 (interleaved
+    lo/hi, inverse of quantize_kv4's packing)."""
+    lo = (packed << 4).astype(jnp.int8) >> 4  # sign-extend low nibble
+    hi = packed >> 4  # arithmetic shift sign-extends
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
 def quantize_llm(params: Dict, bits: int = 8, act_quant: bool = False) -> Dict:
     """Quantize every 2D kernel in an llm pytree; norms/embeds stay bf16
     (matching the reference's skip_modules behavior).

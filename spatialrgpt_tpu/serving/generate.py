@@ -75,7 +75,7 @@ def _sample_token(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "top_p", "attn_impl",
-        "stop_token_ids", "stop_sequences", "kv_quant",
+        "stop_token_ids", "stop_sequences", "kv_quant", "kv_bits",
     ),
 )
 def generate(
@@ -96,7 +96,8 @@ def generate(
     # generated tail is compared token-wise, static shapes)
     rng: Optional[jax.Array] = None,
     attn_impl: str = "xla",
-    kv_quant: bool = False,  # int8 KV cache (QuantKVCache) for decode
+    kv_quant: bool = False,  # quantized KV cache (QuantKVCache) for decode
+    kv_bits: int = 8,  # 8 or 4 (packed nibbles; coarser — opt-in)
 ) -> GenerateResult:
     """Multimodal generate.  ``inputs`` is a right-padded prompt batch
     (data/splice.py layout); image/region features are computed once in
@@ -128,6 +129,7 @@ def generate(
         attn_impl=attn_impl,
         collect_kv=True,
         kv_quant=kv_quant,
+        kv_bits=kv_bits,
     )
     pad_tail = capacity - S
 
@@ -327,7 +329,7 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
     """
     from spatialrgpt_tpu.ops.attention import NEG_INF
     from spatialrgpt_tpu.ops.layers import linear
-    from spatialrgpt_tpu.ops.quant import quantize_kv
+    from spatialrgpt_tpu.ops.quant import quantize_kv, quantize_kv4, unpack_kv4
 
     k_q, k_s, v_q, v_s = layer_cache
     B, S, H = x.shape  # S == 1
@@ -337,8 +339,11 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
     v = linear(x, p["wv"]).reshape(B, S, Hk, D)
     q, k = llama.apply_rope(q, k, pos, cfg)
 
-    nk_q, nk_s = quantize_kv(k)
-    nv_q, nv_s = quantize_kv(v)
+    packed4 = k_q.shape[-1] * 2 == D  # int4 nibble-packed cache
+    qfn = quantize_kv4 if packed4 else quantize_kv
+    unq = unpack_kv4 if packed4 else (lambda t: t)
+    nk_q, nk_s = qfn(k)
+    nv_q, nv_s = qfn(v)
     ck_q = jax.lax.dynamic_update_slice_in_dim(k_q, nk_q, slot, axis=1)
     ck_s = jax.lax.dynamic_update_slice_in_dim(k_s, nk_s, slot, axis=1)
     cv_q = jax.lax.dynamic_update_slice_in_dim(v_q, nv_q, slot, axis=1)
@@ -346,7 +351,7 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
 
     if Hq == Hk:
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, ck_q.astype(q.dtype), preferred_element_type=jnp.float32
+            "bqhd,bkhd->bhqk", q, unq(ck_q).astype(q.dtype), preferred_element_type=jnp.float32
         )
         scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, :] * (D**-0.5)
         scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
@@ -354,15 +359,15 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
         # fold V scales into the (small) probs tensor, keep the cache read int8
         probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, :]).astype(q.dtype)
         out = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, cv_q.astype(q.dtype)
+            "bhqk,bkhd->bqhd", probs, unq(cv_q).astype(q.dtype)
         ).reshape(B, S, Hq * D)
     else:
-        # GQA: grouped einsums — the int8 cache streams at Hk heads (no
-        # materialized n_rep repeat, which cost llama3-8b decode ~4x HBM)
+        # GQA: grouped einsums — the quantized cache streams at Hk heads
+        # (no materialized n_rep repeat, which cost llama3-8b ~4x HBM)
         G = Hq // Hk
         qg = q.reshape(B, S, Hk, G, D)
         scores = jnp.einsum(
-            "bqhgd,bkhd->bhgqk", qg, ck_q.astype(q.dtype),
+            "bqhgd,bkhd->bhgqk", qg, unq(ck_q).astype(q.dtype),
             preferred_element_type=jnp.float32,
         )
         scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, None, :] * (D**-0.5)
@@ -370,6 +375,6 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
         probs = jax.nn.softmax(scores, axis=-1)
         probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, None, :]).astype(q.dtype)
         out = jnp.einsum(
-            "bhgqk,bkhd->bqhgd", probs, cv_q.astype(q.dtype)
+            "bhgqk,bkhd->bqhgd", probs, unq(cv_q).astype(q.dtype)
         ).reshape(B, S, Hq * D)
     return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)

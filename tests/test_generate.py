@@ -256,3 +256,36 @@ def test_multi_token_stop_sequences():
     # a row whose output never contains the keyword decodes in full
     if tuple(int(x) for x in toks[1].tolist()) .count(seq[0]) == 0:
         np.testing.assert_array_equal(st[1], toks[1])
+
+
+def test_kv_int4_cache_runs_and_first_token_exact():
+    """int4 KV cache (kv_bits=4, opt-in lossy mode): the packed nibble
+    roundtrip is exact over the int4 range, generation runs end to end,
+    and the first token (sampled from prefill hiddens, before any
+    quantized cache read) matches bf16 exactly.  Full greedy parity is
+    NOT guaranteed at 4 bits (unlike int8 — see
+    test_kv_quant_generate_matches_bf16)."""
+    from spatialrgpt_tpu.ops.quant import quantize_kv4, unpack_kv4
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 3, 8)), jnp.float32)
+    p, s = quantize_kv4(x)
+    assert p.shape == (2, 5, 3, 4)
+    u = unpack_kv4(p)
+    # dequantized error bounded by the int4 step (absmax/7 per vector)
+    err = jnp.abs(u.astype(jnp.float32) * s[..., None] - x)
+    assert float(err.max()) <= float(jnp.abs(x).max()) / 7.0 + 1e-6
+
+    params = vlm.init_params(jax.random.PRNGKey(0), TINY)
+    sb, inputs = _inputs_for(
+        [np.asarray([1, 5, IMAGE_TOKEN_INDEX, 60, 61, 7], np.int64)], n_images=1
+    )
+    plens = jnp.asarray(np.asarray(sb.segment_ids).sum(axis=1), jnp.int32)
+    bf16 = generate(params, TINY, inputs, plens, max_new_tokens=6, temperature=0.0,
+                    eos_token_id=-1)
+    int4 = generate(params, TINY, inputs, plens, max_new_tokens=6, temperature=0.0,
+                    eos_token_id=-1, kv_quant=True, kv_bits=4)
+    assert int4.tokens.shape == bf16.tokens.shape
+    np.testing.assert_array_equal(
+        np.asarray(int4.tokens[:, 0]), np.asarray(bf16.tokens[:, 0])
+    )
