@@ -77,6 +77,9 @@ class TrainingArguments:
     dpo_enable: bool = False
     dpo_beta: float = 0.1
     dpo_data_path: str = ""  # json/jsonl of {prompt, chosen, rejected, image?}
+    # input-pipeline prefetch depth (reference dataloader_num_workers
+    # analogue; 0 disables the background thread)
+    dataloader_prefetch: int = 2
     # wall-clock budget (reference slurm_utils args)
     total_time_limit: int = -1  # minutes
     pre_terminate_time: int = 10  # minutes

@@ -302,6 +302,12 @@ def main(argv=None):
         batches = make_batches(
             dataset, collator, sampler, targs.per_device_train_batch_size, cfg, dtype
         )
+        if targs.dataloader_prefetch > 0:
+            # overlap host batch assembly with the device step (the
+            # torch DataLoader-workers analogue; data/prefetch.py)
+            from spatialrgpt_tpu.data.prefetch import Prefetcher
+
+            batches = Prefetcher(batches, depth=targs.dataloader_prefetch)
 
         tcfg = TrainerConfig(
             output_dir=targs.output_dir,

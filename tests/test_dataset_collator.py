@@ -122,3 +122,34 @@ def test_collator_pad_batch_to_fixed_rows():
     batch, *_ = coll([ds[0], ds[1]])
     assert batch.input_ids.shape[0] == 4
     assert (batch.segment_ids[2:] == 0).all()  # pad rows fully masked
+
+
+def test_prefetcher_preserves_order_and_errors():
+    """data/prefetch.py: background prefetch yields the same sequence,
+    terminates cleanly, and surfaces producer exceptions."""
+    from spatialrgpt_tpu.data.prefetch import Prefetcher
+
+    out = list(Prefetcher(iter(range(17)), depth=3))
+    assert out == list(range(17))
+
+    # transfer hook applies on the background thread
+    out = list(Prefetcher(range(5), depth=2, transfer=lambda x: x * 10))
+    assert out == [0, 10, 20, 30, 40]
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer failed")
+
+    it = Prefetcher(boom(), depth=2)
+    assert next(it) == 1 and next(it) == 2
+    try:
+        next(it)
+        assert False, "expected RuntimeError"
+    except RuntimeError as e:
+        assert "producer failed" in str(e)
+
+    # close() unblocks a full queue
+    p = Prefetcher(range(1000), depth=1)
+    assert next(p) == 0
+    p.close()
