@@ -119,6 +119,69 @@ class ServingEngine:
             return kv, tok
 
         @jax.jit
+        def prefill_batch(params, inputs: vlm.VLMInputs, prompt_lens):
+            """Batched admission prefill: n queued requests (same prompt
+            bucket) in one pass — per-row last-hidden sampling like
+            serving/generate.py."""
+            embeds = vlm.prepare_embeds(params, cfg, inputs)
+            h, kv = llama.forward(
+                params["llm"],
+                cfg.llm,
+                inputs_embeds=embeds,
+                position_ids=inputs.position_ids,
+                segment_ids=inputs.segment_ids,
+                attn_impl=attn_impl,
+                collect_kv=True,
+                kv_quant=kv_quant,
+            )
+            last_idx = jnp.maximum(prompt_lens - 1, 0)
+            last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+            logits = llama.logits(params["llm"], last[:, None], cfg.llm)[:, 0]
+            toks = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+            return kv, toks
+
+        def make_insert_batch(n):
+            @jax.jit
+            def insert_batch(cache, kv, lengths, last_token, slots, plens, toks):
+                def put(c, new, i, slot):
+                    pad_widths = ((0, 0), (0, self.capacity - new.shape[1])) + (
+                        (0, 0),
+                    ) * (new.ndim - 2)
+                    row = jnp.pad(new[i : i + 1], pad_widths).astype(c.dtype)
+                    return jax.lax.dynamic_update_slice_in_dim(c, row, slot, axis=0)
+
+                for i in range(n):
+                    slot = slots[i]
+                    if kv_quant:
+                        cache = QuantKVCache(
+                            tuple(put(c, a, i, slot) for c, (a, _) in zip(cache.k_q, kv.k)),
+                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.k_s, kv.k)),
+                            tuple(put(c, a, i, slot) for c, (a, _) in zip(cache.v_q, kv.v)),
+                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.v_s, kv.v)),
+                            cache.length,
+                        )
+                    else:
+                        cache = llama.KVCache(
+                            tuple(put(c, k, i, slot) for c, k in zip(cache.k, kv.k)),
+                            tuple(put(c, v, i, slot) for c, v in zip(cache.v, kv.v)),
+                            cache.length,
+                        )
+                lengths = lengths.at[slots].set(plens)
+                last_token = last_token.at[slots].set(toks)
+                return cache, lengths, last_token
+
+            return insert_batch
+
+        self._insert_batch_cache = {}
+
+        def insert_batch(n):
+            if n not in self._insert_batch_cache:
+                self._insert_batch_cache[n] = make_insert_batch(n)
+            return self._insert_batch_cache[n]
+
+        self._insert_batch = insert_batch
+
+        @jax.jit
         def prefill_prefix(params, inputs: vlm.VLMInputs):
             """KV of a shared prompt prefix (bf16 regardless of kv_quant;
             quantization happens when a suffix lands in a slot)."""
@@ -278,6 +341,7 @@ class ServingEngine:
             return new_cache, lengths, tok
 
         self._prefill = prefill
+        self._prefill_batch = prefill_batch
         self._prefill_prefix = prefill_prefix
         self._prefill_with_prefix = prefill_with_prefix
         self._insert = insert
@@ -309,11 +373,49 @@ class ServingEngine:
         )
         return rid
 
+    @staticmethod
+    def _concat_inputs(inputs_list):
+        """Stack per-request VLMInputs into one batch.
+
+        The flat gather indices (image_gather_idx into (N_images*T,),
+        mask_slot/depth_slot into (N_images*R,)) are per-request; each
+        request's rows get offset by the images admitted before it."""
+        t_img = 0
+        for x in inputs_list:
+            n_img = x.images.shape[0] if x.images is not None else 0
+            s = int(np.asarray(x.is_image).sum())
+            if n_img and s:
+                t_img = s // n_img
+                break
+        r_slots = (
+            inputs_list[0].masks.shape[1] if inputs_list[0].masks is not None else 0
+        )
+        cols = {f: [] for f in vlm.VLMInputs._fields}
+        img_count = 0
+        for x in inputs_list:
+            for f in vlm.VLMInputs._fields:
+                v = getattr(x, f)
+                if v is not None and f == "image_gather_idx":
+                    v = v + img_count * t_img
+                elif v is not None and f in ("mask_slot", "depth_slot"):
+                    v = v + img_count * r_slots
+                cols[f].append(v)
+            img_count += x.images.shape[0] if x.images is not None else 0
+        return vlm.VLMInputs(
+            **{
+                f: (jnp.concatenate(vs, axis=0) if vs[0] is not None else None)
+                for f, vs in cols.items()
+            }
+        )
+
     def _admit(self):
         while self.queue and not self.active.all():
-            req = self.queue.popleft()
-            slot = int(np.flatnonzero(~self.active)[0])
-            if req.prefix_id is not None:
+            free = np.flatnonzero(~self.active)
+            # prefix-cached requests go one at a time (their prefill shape
+            # differs); plain requests admit in power-of-2 batches
+            if self.queue[0].prefix_id is not None:
+                req = self.queue.popleft()
+                slot = int(free[0])
                 pk, pv, plen = self.prefixes[req.prefix_id]
                 new_cache, tok = self._prefill_with_prefix(
                     self.params, pk, pv, jnp.asarray(plen, jnp.int32),
@@ -324,17 +426,34 @@ class ServingEngine:
                     self.lengths, self.last_token, jnp.asarray(slot),
                     jnp.asarray(plen + req.prompt_length, jnp.int32), tok[0],
                 )
-            else:
-                kv, tok = self._prefill(
-                    self.params, req.inputs, jnp.asarray(req.prompt_length, jnp.int32)
-                )
-                self.cache, self.lengths, self.last_token = self._insert(
-                    self.cache, kv, self.lengths, self.last_token,
-                    jnp.asarray(slot), jnp.asarray(req.prompt_length, jnp.int32), tok[0],
-                )
-            req.tokens.append(int(tok[0]))
-            self.active[slot] = True
-            self.slot_req[slot] = req
+                req.tokens.append(int(tok[0]))
+                self.active[slot] = True
+                self.slot_req[slot] = req
+                continue
+
+            plain = 0
+            for r in self.queue:
+                if r.prefix_id is not None:
+                    break
+                plain += 1
+            cap = min(len(free), plain)
+            n = 1
+            while n * 2 <= min(cap, 8):
+                n *= 2
+            reqs = [self.queue.popleft() for _ in range(n)]
+            slots = free[:n].astype(np.int32)
+            batched = self._concat_inputs([r.inputs for r in reqs])
+            plens = jnp.asarray([r.prompt_length for r in reqs], jnp.int32)
+            kv, toks = self._prefill_batch(self.params, batched, plens)
+            self.cache, self.lengths, self.last_token = self._insert_batch(n)(
+                self.cache, kv, self.lengths, self.last_token,
+                jnp.asarray(slots), plens, toks,
+            )
+            toks_host = np.asarray(toks)
+            for i, req in enumerate(reqs):
+                req.tokens.append(int(toks_host[i]))
+                self.active[slots[i]] = True
+                self.slot_req[slots[i]] = req
 
     def step(self) -> List[Request]:
         """Admit queued requests, run one decode step, return completions."""

@@ -176,3 +176,27 @@ def test_prefix_cached_prefill_matches_full_prompt():
 
     assert run(False) == base
     assert run(True) == base
+
+
+def test_batched_admission_matches_sequential():
+    """Power-of-2 batched admission (one prefill for several queued
+    requests) must produce the same per-request tokens as one-at-a-time
+    admission (num_slots=1 forces sequential)."""
+    params = vlm.init_params(jax.random.PRNGKey(0), CFG)
+    reqs = [
+        _make_request([1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, CFG.depth_token_id, 7, 9], 0),
+        _make_request([1, IMAGE_TOKEN_INDEX, 11, 12, 13], 1),
+        _make_request([1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 21], 2),
+        _make_request([1, IMAGE_TOKEN_INDEX, 31, 32], 3),
+    ]
+
+    def run(num_slots):
+        eng = ServingEngine(params, CFG, num_slots=num_slots, prompt_bucket=32, max_new_tokens=5)
+        for inputs, plen in reqs:
+            eng.submit(inputs, plen, max_new_tokens=5)
+        done = eng.run_until_drained()
+        return {r.request_id: r.tokens for r in done}
+
+    sequential = run(1)   # one slot -> one admit per step
+    batched = run(4)      # four free slots -> one 4-way batched prefill
+    assert sequential == batched
