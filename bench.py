@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spatialrgpt_tpu.config import preset
-from spatialrgpt_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX, NUM_TOKENS_PER_IMAGE
+from spatialrgpt_tpu.constants import IMAGE_TOKEN_INDEX, NUM_TOKENS_PER_IMAGE
 from spatialrgpt_tpu.data.splice import expand_rows
 from spatialrgpt_tpu.models import vlm
 from spatialrgpt_tpu.serving.generate import generate

@@ -1,0 +1,142 @@
+"""Continuous-batching serving-engine benchmark (not the driver metric —
+bench.py is; this measures the iteration-level scheduler end to end).
+
+Staggered arrivals over a slot pool: SLOTS decode slots, REQS requests
+with random prompt/output lengths, batched admission + per-slot decode.
+Prints one JSON line with engine throughput and per-request latency
+percentiles.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+import bench  # reuse config/init helpers (same flagship model + W8A8)
+from spatialrgpt_tpu.config import preset
+from spatialrgpt_tpu.constants import IMAGE_TOKEN_INDEX, NUM_TOKENS_PER_IMAGE
+from spatialrgpt_tpu.data.splice import expand_rows
+from spatialrgpt_tpu.models import vlm
+from spatialrgpt_tpu.serving.engine import ServingEngine
+from spatialrgpt_tpu.utils.timing import device_sync
+
+MODEL = os.environ.get("SRGPT_BENCH_MODEL", "sheared-3b")
+SLOTS = int(os.environ.get("SRGPT_ENGINE_SLOTS", 32))
+REQS = int(os.environ.get("SRGPT_ENGINE_REQS", 64))
+BUCKET = int(os.environ.get("SRGPT_BENCH_PAD", 384))
+MAX_NEW = int(os.environ.get("SRGPT_BENCH_MAX_NEW", 64))
+MULTI = int(os.environ.get("SRGPT_ENGINE_MULTISTEP", 8))  # fused decode
+# steps per host round trip (multi-step scheduling; the tunneled host
+# link costs ~0.5 s per sync, so this is what makes the engine
+# measurable here at all)
+
+
+def make_request(cfg, rng, n_text):
+    ids = (
+        [1]
+        + [IMAGE_TOKEN_INDEX]
+        + [cfg.mask_token_id, cfg.depth_token_id] * 2
+        + list(rng.integers(10, 1000, n_text))
+    )
+    sb = expand_rows(
+        [np.asarray(ids, np.int64)],
+        None,
+        max_len=cfg.model_max_length,
+        tokens_per_image=NUM_TOKENS_PER_IMAGE,
+        mask_token_id=cfg.mask_token_id,
+        depth_token_id=cfg.depth_token_id,
+        regions_per_image=2,
+        pad_to=BUCKET,
+    )
+    size = cfg.vision.image_size
+    # host (numpy) arrays: queued requests must not touch the device
+    # until the one jitted prefill call (engine._concat_inputs contract)
+    bf16 = ml_dtypes.bfloat16
+    inputs = vlm.VLMInputs(
+        input_ids=np.asarray(sb.input_ids),
+        is_image=np.asarray(sb.is_image),
+        image_gather_idx=np.asarray(sb.image_gather_idx),
+        position_ids=np.asarray(sb.position_ids),
+        segment_ids=np.asarray(sb.segment_ids),
+        labels=None,
+        mask_slot=np.asarray(sb.mask_slot),
+        is_mask=np.asarray(sb.is_mask),
+        depth_slot=np.asarray(sb.depth_slot),
+        is_depth=np.asarray(sb.is_depth),
+        images=rng.standard_normal((1, size, size, 3)).astype(bf16),
+        depths=rng.standard_normal((1, size, size, 3)).astype(bf16),
+        masks=(rng.random((1, 2, size, size)) > 0.5).astype(bf16),
+        mask_valid=np.ones((1, 2), bool),
+    )
+    return inputs, int(sb.segment_ids.sum())
+
+
+def main():
+    cfg = preset(MODEL)
+    cfg = cfg.replace(
+        mask_token_id=cfg.llm.vocab_size, depth_token_id=cfg.llm.vocab_size + 1,
+        num_extra_tokens=8,
+    )
+    rng = np.random.default_rng(0)
+    params = bench.fast_init_quantized(cfg, w8a8=True)
+    device_sync(params["llm"]["final_ln"])
+
+    eng = ServingEngine(
+        params, cfg, num_slots=SLOTS, prompt_bucket=BUCKET,
+        max_new_tokens=MAX_NEW, kv_quant=True,
+    )
+    reqs = [make_request(cfg, rng, int(rng.integers(48, 128))) for _ in range(REQS)]
+
+    # warm every compiled path used by the timed run: admission batches
+    # of 8/4/2/1 (power-of-2 buckets), insert variants, and the fused
+    # decode window
+    t0 = time.time()
+    for inputs, plen in reqs[:15]:
+        eng.submit(inputs, plen, max_new_tokens=4)
+    eng.run_until_drained(num_steps=MULTI)
+    eng.lengths = jnp.zeros((eng.B,), jnp.int32)
+    print(f"warmup/compile: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    submit_t = {}
+    finish_t = {}
+    for i, (inputs, plen) in enumerate(reqs):
+        rid = eng.submit(inputs, plen, max_new_tokens=MAX_NEW)
+        submit_t[rid] = time.time()
+    done = []
+    while len(done) < REQS:
+        fin = eng.step(MULTI)
+        now = time.time()
+        for r in fin:
+            finish_t[r.request_id] = now
+        done.extend(fin)
+        if not eng.queue and not eng.active.any():
+            break
+    wall = time.time() - t0
+
+    total_tokens = sum(len(r.tokens) for r in done)
+    lat = sorted(finish_t[r.request_id] - submit_t[r.request_id] for r in done)
+    print(
+        json.dumps(
+            {
+                "metric": f"engine tokens/sec/chip ({MODEL}, {SLOTS} slots, {REQS} reqs)",
+                "value": round(total_tokens / wall, 2),
+                "unit": "tok/s",
+                "total_tokens": total_tokens,
+                "wall_s": round(wall, 2),
+                "latency_p50_s": round(lat[len(lat) // 2], 3),
+                "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -181,7 +181,6 @@ def pipeline_logits(
     """ids -> logits through the pipelined decoder (embed + pipeline +
     final norm + lm head; the embedding/head stay replicated)."""
     from spatialrgpt_tpu.models import llama
-    from spatialrgpt_tpu.ops.layers import rms_norm
 
     x = llama.embed_tokens(stacked_params, input_ids, cfg)
     h = pipeline_forward(

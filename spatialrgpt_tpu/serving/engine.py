@@ -19,7 +19,7 @@ from __future__ import annotations
 import collections
 import itertools
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -285,8 +285,7 @@ class ServingEngine:
             last_token = last_token.at[slot].set(tok)
             return cache, lengths, last_token
 
-        @jax.jit
-        def decode(params, cache, lengths, last_token, active_mask):
+        def _decode_once(params, cache, lengths, last_token, active_mask):
             x = llama.embed_tokens(params["llm"], last_token[:, None], cfg.llm)
             pos = lengths[:, None]
             slot_ids = jnp.arange(self.capacity)
@@ -340,6 +339,41 @@ class ServingEngine:
                 )
             return new_cache, lengths, tok
 
+        decode = jax.jit(_decode_once)
+
+        def make_decode_multi(k):
+            @jax.jit
+            def decode_multi(params, cache, lengths, last_token, active_mask):
+                """k fused decode steps per host round trip (multi-step
+                scheduling): rows that finish mid-window keep decoding
+                into their own slot; the host truncates at eos.  Cuts the
+                scheduler's host<->device syncs by k."""
+                toks0 = jnp.zeros((self.B, k), jnp.int32)
+
+                def body(i, st):
+                    cache, lengths, last_token, toks = st
+                    cache, lengths, tok = _decode_once(
+                        params, cache, lengths, last_token, active_mask
+                    )
+                    toks = jax.lax.dynamic_update_slice_in_dim(
+                        toks, tok[:, None], i, axis=1
+                    )
+                    return (cache, lengths, tok, toks)
+
+                cache, lengths, last_token, toks = jax.lax.fori_loop(
+                    0, k, body, (cache, lengths, last_token, toks0)
+                )
+                return cache, lengths, last_token, toks
+
+            return decode_multi
+
+        self._decode_multi_cache = {}
+
+        def decode_multi(k):
+            if k not in self._decode_multi_cache:
+                self._decode_multi_cache[k] = make_decode_multi(k)
+            return self._decode_multi_cache[k]
+
         self._prefill = prefill
         self._prefill_batch = prefill_batch
         self._prefill_prefix = prefill_prefix
@@ -347,6 +381,7 @@ class ServingEngine:
         self._insert = insert
         self._insert_full = insert_full
         self._decode = decode
+        self._decode_multi = decode_multi
 
     # ------------------------------------------------------------------
     def register_prefix(self, inputs: vlm.VLMInputs, prompt_length: int) -> int:
@@ -395,6 +430,14 @@ class ServingEngine:
         for x in inputs_list:
             for f in vlm.VLMInputs._fields:
                 v = getattr(x, f)
+                if v is not None:
+                    # host-side concat: a device concatenate here would be
+                    # ~14 tiny device dispatches per admission (each a full
+                    # round trip on a tunneled link); numpy keeps admission
+                    # at exactly one device call (the jitted prefill).
+                    # Callers queueing many requests should submit host
+                    # (numpy) arrays.
+                    v = np.asarray(v)
                 if v is not None and f == "image_gather_idx":
                     v = v + img_count * t_img
                 elif v is not None and f in ("mask_slot", "depth_slot"):
@@ -403,7 +446,7 @@ class ServingEngine:
             img_count += x.images.shape[0] if x.images is not None else 0
         return vlm.VLMInputs(
             **{
-                f: (jnp.concatenate(vs, axis=0) if vs[0] is not None else None)
+                f: (np.concatenate(vs, axis=0) if vs[0] is not None else None)
                 for f, vs in cols.items()
             }
         )
@@ -455,34 +498,50 @@ class ServingEngine:
                 self.active[slots[i]] = True
                 self.slot_req[slots[i]] = req
 
-    def step(self) -> List[Request]:
-        """Admit queued requests, run one decode step, return completions."""
+    def step(self, num_steps: int = 1) -> List[Request]:
+        """Admit queued requests, run ``num_steps`` fused decode steps
+        (one host round trip), return completions.
+
+        num_steps > 1 is multi-step scheduling: rows finishing mid-window
+        keep decoding into their own slot (never visible to other slots)
+        and the host truncates their output at eos — identical tokens to
+        num_steps=1, with 1/num_steps the scheduler sync overhead.
+        """
         self._admit()
         if not self.active.any():
             return []
         active_mask = jnp.asarray(self.active)
-        self.cache, self.lengths, tok = self._decode(
-            self.params, self.cache, self.lengths, self.last_token, active_mask
-        )
-        self.last_token = tok
-        tok_host = np.asarray(tok)
+        if num_steps == 1:
+            self.cache, self.lengths, tok = self._decode(
+                self.params, self.cache, self.lengths, self.last_token, active_mask
+            )
+            self.last_token = tok
+            toks_host = np.asarray(tok)[:, None]
+        else:
+            self.cache, self.lengths, self.last_token, toks = self._decode_multi(
+                num_steps
+            )(self.params, self.cache, self.lengths, self.last_token, active_mask)
+            toks_host = np.asarray(toks)
         finished = []
         eos = self.cfg.llm.eos_token_id
         for slot in np.flatnonzero(self.active):
             req = self.slot_req[slot]
-            t = int(tok_host[slot])
-            req.tokens.append(t)
-            if t == eos or len(req.tokens) >= req.max_new_tokens:
-                req.done = True
-                finished.append(req)
-                self.active[slot] = False
-                self.slot_req[slot] = None
+            for t in toks_host[slot]:
+                req.tokens.append(int(t))
+                if int(t) == eos or len(req.tokens) >= req.max_new_tokens:
+                    req.done = True
+                    finished.append(req)
+                    self.active[slot] = False
+                    self.slot_req[slot] = None
+                    break
         return finished
 
-    def run_until_drained(self, max_steps: int = 100000) -> List[Request]:
+    def run_until_drained(
+        self, max_steps: int = 100000, num_steps: int = 1
+    ) -> List[Request]:
         out = []
         for _ in range(max_steps):
-            out.extend(self.step())
+            out.extend(self.step(num_steps))
             if not self.queue and not self.active.any():
                 break
         return out

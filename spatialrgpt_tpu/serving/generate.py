@@ -119,7 +119,7 @@ def generate(
     # segment ids here and by the per-row validity mask during decode.
     embeds = vlm.prepare_embeds(params, cfg, inputs)
     capacity = S + max_new_tokens
-    compute_dtype = embeds.dtype
+
     h, kv = llama.forward(
         params["llm"],
         cfg.llm,

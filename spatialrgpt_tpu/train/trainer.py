@@ -23,7 +23,7 @@ import re
 import shutil
 import time
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Iterable, List, Optional
+from typing import Callable, Dict, Iterable, Optional
 
 import jax
 import numpy as np

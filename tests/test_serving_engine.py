@@ -200,3 +200,23 @@ def test_batched_admission_matches_sequential():
     sequential = run(1)   # one slot -> one admit per step
     batched = run(4)      # four free slots -> one 4-way batched prefill
     assert sequential == batched
+
+
+def test_multistep_scheduling_matches_single_step():
+    """step(num_steps=k) (fused decode window, one host sync) yields the
+    same per-request tokens as step-by-step scheduling."""
+    params = vlm.init_params(jax.random.PRNGKey(0), CFG)
+    reqs = [
+        _make_request([1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, CFG.depth_token_id, 7, 9], 0),
+        _make_request([1, IMAGE_TOKEN_INDEX, 11, 12, 13], 1),
+        _make_request([1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 21], 2),
+    ]
+
+    def run(num_steps):
+        eng = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=7)
+        for inputs, plen in reqs:
+            eng.submit(inputs, plen, max_new_tokens=7)
+        done = eng.run_until_drained(num_steps=num_steps)
+        return {r.request_id: r.tokens for r in done}
+
+    assert run(1) == run(3)
