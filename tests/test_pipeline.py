@@ -110,3 +110,28 @@ def test_pipeline_remat_matches():
             mesh=mesh, remat=True,
         )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_with_sparse_moe():
+    """Composition: sparse (ragged_dot) MoE layers inside the pipelined
+    stack — stacked experts gain a leading layer axis and scan/shard
+    like dense layers."""
+    import dataclasses
+
+    from spatialrgpt_tpu.models.llama import stack_experts
+
+    cfg = dataclasses.replace(
+        CFG, num_experts=4, num_experts_per_tok=2, moe_impl="sparse"
+    )
+    params = stack_experts(llama.init_params(jax.random.PRNGKey(3), cfg))
+    ids, pos, seg = _data(seed=3)
+    ref = llama.forward_logits(params, cfg, input_ids=ids, position_ids=pos, segment_ids=seg)
+
+    mesh = _pp_mesh(2)
+    with mesh:
+        sharded = pp_shard_params(stack_layer_params(params), mesh)
+        got = pipeline_logits(
+            sharded, cfg, input_ids=ids, position_ids=pos, segment_ids=seg,
+            mesh=mesh, num_microbatches=2,
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
