@@ -289,3 +289,34 @@ def test_kv_int4_cache_runs_and_first_token_exact():
     np.testing.assert_array_equal(
         np.asarray(int4.tokens[:, 0]), np.asarray(bf16.tokens[:, 0])
     )
+
+
+def test_sampling_top_p_and_temperature():
+    """Sampling path: top_p→0 collapses to greedy regardless of
+    temperature; at temperature>0 different rng keys can differ but all
+    emitted ids stay within the vocab."""
+    params = vlm.init_params(jax.random.PRNGKey(0), TINY)
+    sb, inputs = _inputs_for(
+        [np.asarray([1, 5, IMAGE_TOKEN_INDEX, 60, 61, 7], np.int64)], n_images=1
+    )
+    plens = jnp.asarray(np.asarray(sb.segment_ids).sum(axis=1), jnp.int32)
+
+    greedy = generate(params, TINY, inputs, plens, max_new_tokens=6,
+                      temperature=0.0, eos_token_id=-1)
+    # top-p -> tiny keeps only the argmax token: equals greedy for any T
+    nucleus = generate(params, TINY, inputs, plens, max_new_tokens=6,
+                       temperature=0.7, top_p=1e-6, eos_token_id=-1,
+                       rng=jax.random.PRNGKey(42))
+    np.testing.assert_array_equal(np.asarray(nucleus.tokens), np.asarray(greedy.tokens))
+
+    a = generate(params, TINY, inputs, plens, max_new_tokens=6, temperature=1.0,
+                 eos_token_id=-1, rng=jax.random.PRNGKey(1))
+    b = generate(params, TINY, inputs, plens, max_new_tokens=6, temperature=1.0,
+                 eos_token_id=-1, rng=jax.random.PRNGKey(2))
+    for r in (a, b):
+        toks = np.asarray(r.tokens)
+        assert ((toks >= -1) & (toks < TINY.llm.vocab_size)).all()
+    # same key reproduces exactly
+    a2 = generate(params, TINY, inputs, plens, max_new_tokens=6, temperature=1.0,
+                  eos_token_id=-1, rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(a2.tokens))
