@@ -220,3 +220,74 @@ def test_multistep_scheduling_matches_single_step():
         return {r.request_id: r.tokens for r in done}
 
     assert run(1) == run(3)
+
+
+def test_mixed_prefix_and_plain_queue():
+    """A queue interleaving prefix-cached and plain requests drains
+    correctly (the scheduler splits admission at prefix boundaries)."""
+    params = vlm.init_params(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(
+        params, CFG, num_slots=3, prompt_bucket=16, max_new_tokens=4,
+        prefix_bucket=16,
+    )
+
+    sb = expand_rows(
+        [np.asarray([1, 9, 8], np.int64)], None, max_len=16,
+        tokens_per_image=4, mask_token_id=CFG.mask_token_id,
+        depth_token_id=CFG.depth_token_id, regions_per_image=2, pad_to=16,
+    )
+    size = CFG.vision.image_size
+    zero_img = jnp.zeros((1, size, size, 3), jnp.float32)
+    prefix_inputs = vlm.VLMInputs(
+        input_ids=jnp.asarray(sb.input_ids),
+        is_image=jnp.asarray(sb.is_image),
+        image_gather_idx=jnp.asarray(sb.image_gather_idx),
+        position_ids=jnp.asarray(sb.position_ids),
+        segment_ids=jnp.asarray(sb.segment_ids),
+        labels=None,
+        mask_slot=jnp.asarray(sb.mask_slot),
+        is_mask=jnp.asarray(sb.is_mask),
+        depth_slot=jnp.asarray(sb.depth_slot),
+        is_depth=jnp.asarray(sb.is_depth),
+        images=zero_img, depths=zero_img,
+        masks=jnp.zeros((1, 2, size, size), jnp.float32),
+        mask_valid=jnp.zeros((1, 2), bool),
+    )
+    pid = eng.register_prefix(prefix_inputs, 3)
+
+    def suffix_request(ids, seed):
+        sb2 = expand_rows(
+            [np.asarray(ids, np.int64)], None, max_len=16,
+            tokens_per_image=4, mask_token_id=CFG.mask_token_id,
+            depth_token_id=CFG.depth_token_id, regions_per_image=2, pad_to=16,
+        )
+        base, _ = _make_request(ids, seed)
+        return vlm.VLMInputs(
+            input_ids=jnp.asarray(sb2.input_ids),
+            is_image=jnp.asarray(sb2.is_image),
+            image_gather_idx=jnp.asarray(sb2.image_gather_idx),
+            position_ids=jnp.asarray(sb2.position_ids),
+            segment_ids=jnp.asarray(sb2.segment_ids),
+            labels=None,
+            mask_slot=jnp.asarray(sb2.mask_slot),
+            is_mask=jnp.asarray(sb2.is_mask),
+            depth_slot=jnp.asarray(sb2.depth_slot),
+            is_depth=jnp.asarray(sb2.is_depth),
+            images=base.images, depths=base.depths,
+            masks=base.masks, mask_valid=base.mask_valid,
+        ), int(sb2.segment_ids.sum())
+
+    plain1, p1 = _make_request([1, IMAGE_TOKEN_INDEX, 11, 12], 1)
+    suf, ps = suffix_request([IMAGE_TOKEN_INDEX, CFG.mask_token_id, 17], 2)
+    plain2, p2 = _make_request([1, IMAGE_TOKEN_INDEX, 21], 3)
+
+    # plain requests use the 32-bucket; rebuild at 16 to share the engine
+    plain1b, p1b = suffix_request([1, IMAGE_TOKEN_INDEX, 11, 12], 1)
+    plain2b, p2b = suffix_request([1, IMAGE_TOKEN_INDEX, 21], 3)
+
+    eng.submit(plain1b, p1b, max_new_tokens=4)
+    eng.submit(suf, ps, max_new_tokens=4, prefix_id=pid)
+    eng.submit(plain2b, p2b, max_new_tokens=4)
+    done = eng.run_until_drained()
+    assert len(done) == 3
+    assert all(len(r.tokens) == 4 for r in done)
