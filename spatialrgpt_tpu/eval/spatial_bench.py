@@ -72,6 +72,28 @@ def build_prompt(conv_mode: str, question: str) -> str:
     return conv.get_prompt()
 
 
+def build_round_prompts(conv_mode: str, conversations: List[Dict]) -> List[str]:
+    """Per-round prompts with reference accumulation semantics.
+
+    The reference keeps ONE conversation per bench entry and appends each
+    round's question to it (eval_spatial.py:200-211); the assistant slots
+    are left ``None`` (the model's answers are never inserted), so round
+    ``i``'s prompt is the concatenation of questions 0..i with empty
+    assistant turns between them.  Crucially, the ``<image>`` token appears
+    only in round 0's question — building a fresh conversation per round
+    (the round-1 bug) dropped it from every later round.
+    """
+    conv = conv_templates[conv_mode].copy()
+    prompts = []
+    for qi in range(len(conversations) // 2):
+        question = conversations[qi * 2]["value"]
+        question, _ = re.subn(r"<mask>", "<mask> <depth>", question)
+        conv.append_message(conv.roles[0], question)
+        conv.append_message(conv.roles[1], None)
+        prompts.append(conv.get_prompt())
+    return prompts
+
+
 def stop_str_for(conv_mode: str) -> str:
     conv = conv_templates[conv_mode]
     return conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
@@ -126,19 +148,24 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
     ans_file = open(bcfg.answers_file, "w")
     stop_str = stop_str_for(bcfg.conv_mode)
 
-    # flatten: one record per (question, conversation round)
+    # flatten: one record per (question, conversation round); the prompt for
+    # round i accumulates questions 0..i (reference eval_spatial.py:200-211),
+    # and carries no model answers, so all rounds batch independently.
     work = []
     for line in questions:
         conversations = line["conversations"]
-        for qi in range(len(conversations) // 2):
-            work.append((line, conversations[qi * 2]["value"], conversations[qi * 2 + 1]["value"]))
+        prompts = build_round_prompts(bcfg.conv_mode, conversations)
+        for qi, prompt in enumerate(prompts):
+            work.append(
+                (line, prompt, conversations[qi * 2]["value"], conversations[qi * 2 + 1]["value"])
+            )
 
     for start in range(0, len(work), bcfg.batch_size):
         chunk = work[start : start + bcfg.batch_size]
         records = []
         rows = []
         images, depths, mask_stacks, valids = [], [], [], []
-        for line, q_text, gt in chunk:
+        for line, prompt, q_text, gt in chunk:
             image_path = os.path.join(bcfg.image_folder, line["image_info"]["file_path"])
             image = pp.process_image(image_path, processor, cfg.image_aspect_ratio)
             depth = None
@@ -162,14 +189,13 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
                 proc_masks, bcfg.regions_per_image, processor.size
             )
 
-            prompt = build_prompt(bcfg.conv_mode, q_text)
             ids = np.asarray(tokenizer_image_token(prompt, tokenizer), np.int64)
             rows.append(ids)
             images.append(image)
             depths.append(depth)
             mask_stacks.append(m)
             valids.append(v)
-            records.append((line, q_text, gt))
+            records.append((line, prompt, q_text, gt))
 
         sb = expand_rows(
             rows,
@@ -209,7 +235,7 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
         )
         toks = np.asarray(result.tokens)
 
-        for i, (line, q_text, gt) in enumerate(records):
+        for i, (line, _prompt, q_text, gt) in enumerate(records):
             out_ids = toks[i].tolist()
             if cfg.llm.eos_token_id in out_ids:
                 out_ids = out_ids[: out_ids.index(cfg.llm.eos_token_id)]

@@ -104,6 +104,8 @@ def test_bench_runner_end_to_end(tmp_path):
             "conversations": [
                 {"from": "human", "value": "<image>\nHow wide is Region [0] <mask>?"},
                 {"from": "gpt", "value": "1.0 meters"},
+                {"from": "human", "value": "How tall is Region [0] <mask>?"},
+                {"from": "gpt", "value": "2.0 meters"},
             ],
         }
     ]
@@ -123,8 +125,9 @@ def test_bench_runner_end_to_end(tmp_path):
     )
     out = run_bench(bcfg, model=(tok, params, cfg, processor))
     lines = [json.loads(l) for l in open(out)]
-    assert len(lines) == 1
+    assert len(lines) == 2  # one record per conversation round
     assert lines[0]["gt"] == "1.0 meters"
+    assert lines[1]["gt"] == "2.0 meters"
     assert lines[0]["qa_info"]["category"] == "width_data"
     assert isinstance(lines[0]["pred"], str)
 
@@ -135,7 +138,32 @@ def test_bench_runner_end_to_end(tmp_path):
     )
     out2 = run_bench(bcfg2, model=(tok, params, cfg, processor))
     lines2 = [json.loads(l) for l in open(out2)]
-    assert len(lines2) == 1 and isinstance(lines2[0]["pred"], str)
+    assert len(lines2) == 2 and isinstance(lines2[0]["pred"], str)
+
+
+def test_bench_multi_round_prompt_accumulation():
+    """Round >=2 prompts must accumulate earlier rounds (and therefore keep
+    the ``<image>`` token, which only appears in round 1's text) — reference
+    eval_spatial.py:200-211 semantics."""
+    from spatialrgpt_tpu.eval.spatial_bench import build_round_prompts
+
+    conversations = [
+        {"from": "human", "value": "<image>\nHow wide is Region [0] <mask>?"},
+        {"from": "gpt", "value": "1.0 meters"},
+        {"from": "human", "value": "How tall is Region [0] <mask>?"},
+        {"from": "gpt", "value": "2.0 meters"},
+    ]
+    for mode in ("v1", "llama_3"):
+        p1, p2 = build_round_prompts(mode, conversations)
+        assert "<image>" in p1 and "How wide" in p1
+        # round 2 keeps the image token and round 1's question
+        assert "<image>" in p2
+        assert "How wide is Region [0] <mask> <depth>?" in p2
+        assert "How tall is Region [0] <mask> <depth>?" in p2
+        # no model answer is inserted (reference leaves assistant slots None)
+        assert "1.0 meters" not in p2
+        # prompt 2 strictly extends prompt 1's question prefix
+        assert p2.startswith(p1[: p1.index("How wide")])
 
 
 def test_region_cls_runner(tmp_path):
