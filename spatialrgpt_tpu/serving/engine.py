@@ -38,6 +38,9 @@ class Request:
     tokens: List[int] = field(default_factory=list)
     done: bool = False
     prefix_id: Optional[int] = None  # shared-prefix KV (register_prefix)
+    temperature: float = 0.0  # 0 = greedy; per-request (slots mix freely)
+    top_p: float = 1.0
+    seed: int = 0  # sampling stream seed (deterministic per request)
 
 
 class ServingEngine:
@@ -88,6 +91,10 @@ class ServingEngine:
         self.last_token = jnp.zeros((self.B,), jnp.int32)
         self.active = np.zeros((self.B,), bool)  # host-side slot occupancy
         self.slot_req: List[Optional[Request]] = [None] * self.B
+        # per-slot sampling state (host-side; shipped with each decode call)
+        self.slot_temp = np.zeros((self.B,), np.float32)
+        self.slot_top_p = np.ones((self.B,), np.float32)
+        self.slot_key = np.zeros((self.B, 2), np.uint32)  # threefry key data
 
         self.queue: collections.deque = collections.deque()
         self._ids = itertools.count()
@@ -101,28 +108,13 @@ class ServingEngine:
         from spatialrgpt_tpu.serving.generate import QuantKVCache
 
         @jax.jit
-        def prefill(params, inputs: vlm.VLMInputs, prompt_len):
-            embeds = vlm.prepare_embeds(params, cfg, inputs)
-            h, kv = llama.forward(
-                params["llm"],
-                cfg.llm,
-                inputs_embeds=embeds,
-                position_ids=inputs.position_ids,
-                segment_ids=inputs.segment_ids,
-                attn_impl=attn_impl,
-                collect_kv=True,
-                kv_quant=kv_quant,
-            )
-            last = jax.lax.dynamic_slice_in_dim(h, prompt_len - 1, 1, axis=1)  # (1,1,H)
-            logits = llama.logits(params["llm"], last, cfg.llm)[:, 0]
-            tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
-            return kv, tok
-
-        @jax.jit
-        def prefill_batch(params, inputs: vlm.VLMInputs, prompt_lens):
+        def prefill_batch(params, inputs: vlm.VLMInputs, prompt_lens,
+                          temps, top_ps, keys):
             """Batched admission prefill: n queued requests (same prompt
             bucket) in one pass — per-row last-hidden sampling like
-            serving/generate.py."""
+            serving/generate.py.  The first token uses key position
+            ``prompt_len - 1`` so decode steps (which fold the growing
+            cache length) never reuse its key."""
             embeds = vlm.prepare_embeds(params, cfg, inputs)
             h, kv = llama.forward(
                 params["llm"],
@@ -137,7 +129,9 @@ class ServingEngine:
             last_idx = jnp.maximum(prompt_lens - 1, 0)
             last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
             logits = llama.logits(params["llm"], last[:, None], cfg.llm)[:, 0]
-            toks = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+            toks = _sample_slots(
+                logits.astype(jnp.float32), keys, last_idx, temps, top_ps
+            )
             return kv, toks
 
         def make_insert_batch(n):
@@ -198,7 +192,8 @@ class ServingEngine:
             return kv
 
         @jax.jit
-        def prefill_with_prefix(params, pk, pv, plen, inputs: vlm.VLMInputs, suffix_len):
+        def prefill_with_prefix(params, pk, pv, plen, inputs: vlm.VLMInputs, suffix_len,
+                                temps, top_ps, keys):
             """Prefill only the request's suffix against cached prefix KV
             (the prefix's FLOPs are paid once per prefix, not per request).
             Returns a capacity-length cache row + the first sampled token."""
@@ -224,7 +219,10 @@ class ServingEngine:
             )
             last = jax.lax.dynamic_slice_in_dim(h, suffix_len - 1, 1, axis=1)
             logits = llama.logits(params["llm"], last, cfg.llm)[:, 0]
-            tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+            tok = _sample_slots(
+                logits.astype(jnp.float32), keys,
+                (plen + suffix_len - 1)[None], temps, top_ps,
+            )
             return new_cache, tok
 
         @jax.jit
@@ -285,7 +283,29 @@ class ServingEngine:
             last_token = last_token.at[slot].set(tok)
             return cache, lengths, last_token
 
-        def _decode_once(params, cache, lengths, last_token, active_mask):
+        def _sample_slots(logits, keys, lengths, temps, top_ps):
+            """Per-slot nucleus sampling; temp==0 rows take the argmax.
+
+            The step key is ``fold_in(request_key, lengths[b])`` — lengths
+            increment every step, so each slot advances its own stream
+            independently of slot churn elsewhere in the pool."""
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
+            scaled = logits / safe_t
+            sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+            sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cumsum = jnp.cumsum(sorted_probs, axis=-1)
+            # keep tokens until cumulative prob exceeds top_p (top-1 always)
+            k = jnp.sum(cumsum < top_ps[:, None], axis=-1, keepdims=True)
+            threshold = jnp.take_along_axis(sorted_logits, k, axis=-1)
+            nucleus = (scaled >= threshold) | (top_ps[:, None] >= 1.0)
+            masked = jnp.where(nucleus, scaled, -jnp.inf)
+            step_keys = jax.vmap(jax.random.fold_in)(keys, lengths)
+            sampled = jax.vmap(jax.random.categorical)(step_keys, masked)
+            return jnp.where(temps > 0, sampled.astype(jnp.int32), greedy)
+
+        def _decode_once(params, cache, lengths, last_token, active_mask,
+                         temps, top_ps, keys):
             x = llama.embed_tokens(params["llm"], last_token[:, None], cfg.llm)
             pos = lengths[:, None]
             slot_ids = jnp.arange(self.capacity)
@@ -320,7 +340,7 @@ class ServingEngine:
                 new_parts.append(parts)
             h = llama._norm(h, params["llm"]["final_ln"], cfg.llm)
             logits = llama.logits(params["llm"], h, cfg.llm)[:, 0].astype(jnp.float32)
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok = _sample_slots(logits, keys, lengths, temps, top_ps)
             lengths = jnp.where(active_mask, lengths + 1, lengths)
             tok = jnp.where(active_mask, tok, last_token)
             if kv_quant:
@@ -343,7 +363,8 @@ class ServingEngine:
 
         def make_decode_multi(k):
             @jax.jit
-            def decode_multi(params, cache, lengths, last_token, active_mask):
+            def decode_multi(params, cache, lengths, last_token, active_mask,
+                             temps, top_ps, keys):
                 """k fused decode steps per host round trip (multi-step
                 scheduling): rows that finish mid-window keep decoding
                 into their own slot; the host truncates at eos.  Cuts the
@@ -353,7 +374,8 @@ class ServingEngine:
                 def body(i, st):
                     cache, lengths, last_token, toks = st
                     cache, lengths, tok = _decode_once(
-                        params, cache, lengths, last_token, active_mask
+                        params, cache, lengths, last_token, active_mask,
+                        temps, top_ps, keys,
                     )
                     toks = jax.lax.dynamic_update_slice_in_dim(
                         toks, tok[:, None], i, axis=1
@@ -374,7 +396,6 @@ class ServingEngine:
                 self._decode_multi_cache[k] = make_decode_multi(k)
             return self._decode_multi_cache[k]
 
-        self._prefill = prefill
         self._prefill_batch = prefill_batch
         self._prefill_prefix = prefill_prefix
         self._prefill_with_prefix = prefill_with_prefix
@@ -401,12 +422,51 @@ class ServingEngine:
         prompt_length: int,
         max_new_tokens: int = 128,
         prefix_id: Optional[int] = None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ) -> int:
+        """Queue a request.  Raises ValueError when the request cannot fit
+        the engine's cache capacity — without this check a slot whose
+        length reaches capacity would silently stop writing KV (the
+        per-slot scatter matches nothing) and decode against a cache
+        missing its most recent tokens."""
+        width = inputs.input_ids.shape[1]
+        if width > self.S:
+            raise ValueError(
+                f"prompt bucket {width} exceeds engine prompt_bucket {self.S}"
+            )
+        plen = 0
+        if prefix_id is not None:
+            if prefix_id not in self.prefixes:
+                raise ValueError(f"unknown prefix_id {prefix_id}")
+            plen = self.prefixes[prefix_id][2]
+        total = plen + prompt_length + max_new_tokens
+        if total > self.capacity:
+            raise ValueError(
+                f"request needs {total} cache positions (prefix {plen} + "
+                f"prompt {prompt_length} + max_new {max_new_tokens}) but "
+                f"engine capacity is {self.capacity}"
+            )
         rid = next(self._ids)
         self.queue.append(
-            Request(rid, inputs, prompt_length, max_new_tokens, prefix_id=prefix_id)
+            Request(
+                rid, inputs, prompt_length, max_new_tokens, prefix_id=prefix_id,
+                temperature=temperature, top_p=top_p, seed=seed,
+            )
         )
         return rid
+
+    @staticmethod
+    def _modality_signature(x: vlm.VLMInputs) -> tuple:
+        """Which fields are present + their non-batch shapes.  Admission
+        batches only requests with identical signatures: concatenating a
+        text-only request (images=None) with an image request would
+        silently drop tensors or crash mid-np.concatenate."""
+        return tuple(
+            None if getattr(x, f) is None else tuple(np.asarray(getattr(x, f)).shape[1:])
+            for f in vlm.VLMInputs._fields
+        )
 
     @staticmethod
     def _concat_inputs(inputs_list):
@@ -463,6 +523,9 @@ class ServingEngine:
                 new_cache, tok = self._prefill_with_prefix(
                     self.params, pk, pv, jnp.asarray(plen, jnp.int32),
                     req.inputs, jnp.asarray(req.prompt_length, jnp.int32),
+                    jnp.asarray([req.temperature], jnp.float32),
+                    jnp.asarray([req.top_p], jnp.float32),
+                    jnp.asarray(self._key_data(req)[None]),
                 )
                 self.cache, self.lengths, self.last_token = self._insert_full(
                     self.cache, new_cache.k, new_cache.v,
@@ -472,11 +535,18 @@ class ServingEngine:
                 req.tokens.append(int(tok[0]))
                 self.active[slot] = True
                 self.slot_req[slot] = req
+                self._set_slot_sampling(slot, req)
                 continue
 
+            # batch only the front run of plain requests whose modality
+            # signature matches the head's (mixed shapes/fields prefill
+            # in separate admission rounds)
+            head_sig = self._modality_signature(self.queue[0].inputs)
             plain = 0
             for r in self.queue:
                 if r.prefix_id is not None:
+                    break
+                if self._modality_signature(r.inputs) != head_sig:
                     break
                 plain += 1
             cap = min(len(free), plain)
@@ -487,7 +557,12 @@ class ServingEngine:
             slots = free[:n].astype(np.int32)
             batched = self._concat_inputs([r.inputs for r in reqs])
             plens = jnp.asarray([r.prompt_length for r in reqs], jnp.int32)
-            kv, toks = self._prefill_batch(self.params, batched, plens)
+            kv, toks = self._prefill_batch(
+                self.params, batched, plens,
+                jnp.asarray([r.temperature for r in reqs], jnp.float32),
+                jnp.asarray([r.top_p for r in reqs], jnp.float32),
+                jnp.asarray(np.stack([self._key_data(r) for r in reqs])),
+            )
             self.cache, self.lengths, self.last_token = self._insert_batch(n)(
                 self.cache, kv, self.lengths, self.last_token,
                 jnp.asarray(slots), plens, toks,
@@ -497,6 +572,19 @@ class ServingEngine:
                 req.tokens.append(int(toks_host[i]))
                 self.active[slots[i]] = True
                 self.slot_req[slots[i]] = req
+                self._set_slot_sampling(int(slots[i]), req)
+
+    @staticmethod
+    def _key_data(req: Request) -> np.ndarray:
+        # legacy threefry key data is uint32[2] = [hi, lo] of the seed
+        return np.asarray(
+            [req.seed >> 32 & 0xFFFFFFFF, req.seed & 0xFFFFFFFF], np.uint32
+        )
+
+    def _set_slot_sampling(self, slot: int, req: Request) -> None:
+        self.slot_temp[slot] = req.temperature
+        self.slot_top_p[slot] = req.top_p
+        self.slot_key[slot] = self._key_data(req)
 
     def step(self, num_steps: int = 1) -> List[Request]:
         """Admit queued requests, run ``num_steps`` fused decode steps
@@ -511,16 +599,21 @@ class ServingEngine:
         if not self.active.any():
             return []
         active_mask = jnp.asarray(self.active)
+        temps = jnp.asarray(self.slot_temp)
+        top_ps = jnp.asarray(self.slot_top_p)
+        keys = jnp.asarray(self.slot_key)
         if num_steps == 1:
             self.cache, self.lengths, tok = self._decode(
-                self.params, self.cache, self.lengths, self.last_token, active_mask
+                self.params, self.cache, self.lengths, self.last_token, active_mask,
+                temps, top_ps, keys,
             )
             self.last_token = tok
             toks_host = np.asarray(tok)[:, None]
         else:
             self.cache, self.lengths, self.last_token, toks = self._decode_multi(
                 num_steps
-            )(self.params, self.cache, self.lengths, self.last_token, active_mask)
+            )(self.params, self.cache, self.lengths, self.last_token, active_mask,
+              temps, top_ps, keys)
             toks_host = np.asarray(toks)
         finished = []
         eos = self.cfg.llm.eos_token_id

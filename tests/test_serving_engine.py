@@ -291,3 +291,98 @@ def test_mixed_prefix_and_plain_queue():
     done = eng.run_until_drained()
     assert len(done) == 3
     assert all(len(r.tokens) == 4 for r in done)
+
+
+def test_submit_capacity_overflow_rejected():
+    """A request that cannot fit the cache must be rejected at submit():
+    once a slot's length reaches capacity the per-slot scatter write
+    matches nothing and KV silently stops updating (the failure mode this
+    guard exists to prevent)."""
+    import pytest
+
+    params = vlm.init_params(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(params, CFG, num_slots=1, prompt_bucket=32, max_new_tokens=4)
+    inputs, plen = _make_request([1, IMAGE_TOKEN_INDEX, 5], 0)
+
+    with pytest.raises(ValueError, match="capacity"):
+        eng.submit(inputs, plen, max_new_tokens=eng.capacity)
+    with pytest.raises(ValueError, match="prefix_id"):
+        eng.submit(inputs, plen, max_new_tokens=2, prefix_id=123)
+    # within budget still works
+    eng.submit(inputs, plen, max_new_tokens=4)
+    done = eng.run_until_drained()
+    assert len(done) == 1 and len(done[0].tokens) == 4
+
+
+def test_sampled_decode_slot_churn_invariant():
+    """Per-request sampling streams are keyed by (seed, position), not by
+    slot or step count — the same request must emit identical sampled
+    tokens whether it decodes alone or admitted late into a busy pool."""
+    params = vlm.init_params(jax.random.PRNGKey(1), CFG)
+    target, tlen = _make_request([1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 7], 5)
+    kw = dict(max_new_tokens=6, temperature=0.8, top_p=0.9, seed=1234)
+
+    eng_solo = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=6)
+    rid_solo = eng_solo.submit(target, tlen, **kw)
+    solo = {r.request_id: r.tokens for r in eng_solo.run_until_drained()}[rid_solo]
+
+    eng_busy = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=6)
+    f1, l1 = _make_request([9, IMAGE_TOKEN_INDEX, 11, 12], 0)
+    f2, l2 = _make_request([IMAGE_TOKEN_INDEX, 21, 22], 1)
+    eng_busy.submit(f1, l1, max_new_tokens=6, temperature=0.5, seed=7)
+    eng_busy.submit(f2, l2, max_new_tokens=6)
+    eng_busy.step(2)  # fillers occupy both slots; target admitted on a free
+    rid_busy = eng_busy.submit(target, tlen, **kw)
+    busy = {r.request_id: r.tokens for r in eng_busy.run_until_drained()}[rid_busy]
+
+    assert solo == busy, (solo, busy)
+
+
+def test_sampled_near_greedy_matches_greedy_in_mixed_pool():
+    """temperature -> 0 sampling must converge to the greedy tokens, and
+    greedy/sampled requests must coexist in one decode batch without
+    cross-talk (per-slot temps, not a global sampling mode)."""
+    params = vlm.init_params(jax.random.PRNGKey(2), CFG)
+    ra, la = _make_request([1, IMAGE_TOKEN_INDEX, 5, 8], 0)
+    rb, lb = _make_request([9, IMAGE_TOKEN_INDEX, 11], 1)
+
+    eng_ref = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=5)
+    ia = eng_ref.submit(ra, la, max_new_tokens=5)
+    ib = eng_ref.submit(rb, lb, max_new_tokens=5)
+    ref = {r.request_id: r.tokens for r in eng_ref.run_until_drained()}
+
+    eng = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=5)
+    ja = eng.submit(ra, la, max_new_tokens=5, temperature=1e-4, top_p=1.0, seed=99)
+    jb = eng.submit(rb, lb, max_new_tokens=5)  # greedy in the same pool
+    mix = {r.request_id: r.tokens for r in eng.run_until_drained()}
+
+    assert mix[ja] == ref[ia], (mix[ja], ref[ia])
+    assert mix[jb] == ref[ib], (mix[jb], ref[ib])
+
+
+def test_mixed_modality_admission_batches_separately():
+    """Requests with different modality signatures (here: with/without a
+    depth map) must not be concatenated into one admission batch — the
+    None field of the batch head would silently drop the other request's
+    tensors.  Both must complete and match their solo-engine tokens."""
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    with_depth, lw = _make_request(
+        [1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, CFG.depth_token_id, 7], 0
+    )
+    base, ln = _make_request([9, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 11], 1)
+    no_depth = base._replace(depths=None)
+
+    def solo(inputs, plen):
+        e = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=4)
+        rid = e.submit(inputs, plen, max_new_tokens=4)
+        return {r.request_id: r.tokens for r in e.run_until_drained()}[rid]
+
+    exp_nd = solo(no_depth, ln)
+    exp_wd = solo(with_depth, lw)
+
+    eng = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=4)
+    r1 = eng.submit(no_depth, ln, max_new_tokens=4)
+    r2 = eng.submit(with_depth, lw, max_new_tokens=4)
+    done = {r.request_id: r.tokens for r in eng.run_until_drained()}
+    assert done[r1] == exp_nd, (done[r1], exp_nd)
+    assert done[r2] == exp_wd, (done[r2], exp_wd)
