@@ -93,7 +93,9 @@ def fast_init_quantized(cfg, w8a8: bool, seed: int = 0):
                             (1, dout), din**-0.5 * 3.0 / 127.0, jnp.float32
                         ),
                     }
-                    if w8a8 and din <= dout:
+                    if w8a8:
+                        # linear() gates the int8-activation path by shape
+                        # (expanding kernels always, contracting at large M)
                         kq["a8"] = np.zeros((), np.bool_)
                     out = {
                         k: visit(v, quantize) for k, v in node.items() if k != "kernel"

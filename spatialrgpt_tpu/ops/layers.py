@@ -24,7 +24,20 @@ def linear(x: jax.Array, p) -> jax.Array:
         from spatialrgpt_tpu.ops.quant import dequantize
 
         qw = p["kernel_q"]
-        if "a8" in qw:  # W8A8: dynamic per-token int8 activations, int8 MXU
+        # W8A8 applies to expanding kernels (din <= dout: QKV/out/gate/up)
+        # at every shape, and to contracting ones (MLP down, wk/wv, fc2)
+        # only at prefill/encode-scale M where the activation-quant pass
+        # amortizes against the 2x int8 MXU peak; at decode M (= batch)
+        # contracting kernels keep the fold-scale int8-weight path (the
+        # committed round-1 configuration — BASELINE.md microbench).
+        use_a8 = False
+        if "a8" in qw and "orig_dim0" not in qw:
+            din, dout = qw["q"].shape
+            m_static = 1
+            for s in x.shape[:-1]:
+                m_static *= s
+            use_a8 = din <= dout or m_static >= 2048
+        if use_a8:  # W8A8: dynamic per-token int8 activations, int8 MXU
             xf = x.astype(jnp.float32)
             amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
             ascale = jnp.maximum(amax / 127.0, 1e-12)

@@ -117,17 +117,18 @@ def quantize_llm(params: Dict, bits: int = 8, act_quant: bool = False) -> Dict:
     """Quantize every 2D kernel in an llm pytree; norms/embeds stay bf16
     (matching the reference's skip_modules behavior).
 
-    ``act_quant=True`` additionally marks non-contracting-heavy kernels
-    (in_features <= out_features: QKV/out/gate/up but not the MLP
-    down-projections) for the W8A8 MXU path — the down-projection's
-    activation-quant cost exceeds its int8 matmul win (BASELINE.md
-    microbench: 0.93x there vs 1.3-1.5x elsewhere)."""
+    ``act_quant=True`` marks every kernel for the W8A8 MXU path; the
+    consuming ``ops.layers.linear`` decides per call site whether to use
+    int8 activations: always for expanding kernels (in <= out), and only
+    at prefill/encode-scale M for contracting ones (MLP down, wk/wv) —
+    at decode shapes the down-projection's activation-quant cost exceeds
+    its int8 matmul win (BASELINE.md microbench: 0.93x there vs 1.3-1.5x
+    elsewhere)."""
 
     def fn(w):
         if bits != 8:
             return quantize_int4(w)
-        a8 = act_quant and w.shape[0] <= w.shape[1]
-        return quantize_int8(w, act_quant=a8)
+        return quantize_int8(w, act_quant=act_quant)
 
     def visit(node):
         if isinstance(node, dict):
