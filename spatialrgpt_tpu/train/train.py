@@ -44,6 +44,20 @@ def build_config(margs, dargs, targs) -> SpatialRGPTConfig:
     )
 
 
+def make_train_sampler(part_lens, batch_size: int, seed: int) -> DistributedMixtureSampler:
+    """Each host feeds its own disjoint data shard (reference
+    VILADistributedSampler semantics, llava/train/llava_trainer.py:129-241);
+    under multi-host jax each process loads 1/N of the global batch and the
+    dp mesh axis spans processes."""
+    return DistributedMixtureSampler(
+        part_lens,
+        num_replicas=jax.process_count(),
+        rank=jax.process_index(),
+        batch_size=batch_size,
+        seed=seed,
+    )
+
+
 def make_batches(dataset, collator, sampler, batch_size, cfg, dtype) -> Iterable:
     """Host-side batch generator (single-process; multi-host data loading
     shards via the sampler's (rank, num_replicas))."""
@@ -121,10 +135,8 @@ def main(argv=None):
             image_size=cfg.vision.image_size,
         )
     )
-    sampler = DistributedMixtureSampler(
+    sampler = make_train_sampler(
         [len(p) for p in dataset.parts],
-        num_replicas=1,
-        rank=0,
         batch_size=targs.per_device_train_batch_size,
         seed=targs.seed,
     )
@@ -170,18 +182,23 @@ def main(argv=None):
         )
 
         def pair_batches():
+            # loops over epochs (dpo_steps is scaled by num_train_epochs)
+            # with a fresh per-epoch permutation, seeded as (seed, epoch)
             bs = targs.per_device_train_batch_size
-            order = np.random.default_rng(targs.seed).permutation(len(pair_ds))
-            for start in range(0, len(order) - bs + 1, bs):
-                chosen, rejected = [], []
-                for i in order[start : start + bs]:
-                    c, r = pair_ds[int(i)]
-                    chosen.append(c)
-                    rejected.append(r)
-                yield tuple(
-                    to_vlm_inputs(*collator(group), dtype=dtype)
-                    for group in (chosen, rejected)
-                )
+            for epoch in range(max(int(np.ceil(targs.num_train_epochs)), 1)):
+                order = np.random.default_rng(
+                    (targs.seed, epoch)
+                ).permutation(len(pair_ds))
+                for start in range(0, len(order) - bs + 1, bs):
+                    chosen, rejected = [], []
+                    for i in order[start : start + bs]:
+                        c, r = pair_ds[int(i)]
+                        chosen.append(c)
+                        rejected.append(r)
+                    yield tuple(
+                        to_vlm_inputs(*collator(group), dtype=dtype)
+                        for group in (chosen, rejected)
+                    )
 
         dpo_steps = (
             targs.max_steps

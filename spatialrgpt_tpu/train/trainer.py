@@ -58,9 +58,15 @@ def find_resume_checkpoint(output_dir: str) -> Optional[str]:
     steps = []
     for c in cands:
         m = re.match(r".*checkpoint-(\d+)$", c)
+        # orbax saves state and opt as two separate async commits; a crash
+        # between them must not leave a checkpoint that is discovered as
+        # resumable but missing its optimizer state — require both.
         if m and (
             os.path.exists(os.path.join(c, "state.npz"))
-            or os.path.exists(os.path.join(c, "state_orbax", "_CHECKPOINT_METADATA"))
+            or (
+                os.path.exists(os.path.join(c, "state_orbax", "_CHECKPOINT_METADATA"))
+                and os.path.exists(os.path.join(c, "opt_orbax", "_CHECKPOINT_METADATA"))
+            )
         ):
             steps.append((int(m.group(1)), c))
     if not steps:
@@ -160,7 +166,6 @@ class Trainer:
             shutil.rmtree(cands.pop(0))
 
     def load_checkpoint(self, path: str):
-        from spatialrgpt_tpu.train.step import TrainState
         import jax.numpy as jnp
 
         if os.path.isdir(os.path.join(path, "state_orbax")):
@@ -177,7 +182,13 @@ class Trainer:
             opt = ckpt_lib.load_pytree(os.path.join(path, "opt.npz"))
         with open(os.path.join(path, "trainer_state.json")) as f:
             step = json.load(f)["step"]
-        self.state = TrainState(jnp.asarray(step, jnp.int32), params, opt)
+        # state-type-aware rebuild: _replace preserves fields that aren't
+        # checkpointed (DPOState.ref_params — the frozen reference copy is
+        # reconstructed from the initial params by the DPO branch before
+        # Trainer.train() runs, so the live value is already correct).
+        self.state = self.state._replace(
+            step=jnp.asarray(step, jnp.int32), params=params, opt_state=opt
+        )
         return step
 
     # -- time budget -------------------------------------------------------

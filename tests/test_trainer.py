@@ -189,6 +189,79 @@ def test_sampler_deterministic_and_mixed():
     assert set(l1).isdisjoint(set(s3))
 
 
+def test_make_train_sampler_multihost(monkeypatch):
+    """train.py wires jax.process_index/count into the sampler: two
+    simulated hosts must draw disjoint index streams covering distinct
+    shards (reference VILADistributedSampler, llava_trainer.py:129-241)."""
+    from spatialrgpt_tpu.train.train import make_train_sampler
+
+    streams = []
+    for rank in range(2):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        streams.append(list(make_train_sampler([64, 32], batch_size=2, seed=3)))
+    assert streams[0] and streams[1]
+    assert set(streams[0]).isdisjoint(streams[1])
+    # identical wiring on one host = the whole (truncated) mixture
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    solo = list(make_train_sampler([64, 32], batch_size=2, seed=3))
+    assert len(solo) > len(streams[0])
+
+
+def test_dpo_state_resume(tmp_path):
+    """DPO runs must survive auto-resume: load_checkpoint rebuilds the live
+    state type (DPOState keeps its ref_params) instead of forcing a
+    3-field TrainState."""
+    from spatialrgpt_tpu.train.dpo import DPOState
+
+    cfg = TINY
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ref = jax.tree_util.tree_map(jnp.copy, params)
+    ocfg = OptimizerConfig(total_steps=10, warmup_ratio=0.0)
+    optimizer = build_optimizer(params, ocfg)
+    state = DPOState(jnp.asarray(2, jnp.int32), params, ref, optimizer.init(params))
+    tcfg = TrainerConfig(output_dir=str(tmp_path / "dpo"), max_steps=4)
+    tr = Trainer(cfg, tcfg, lambda s, b: (s, {}), state, iter([]))
+    path = tr.save_checkpoint(2)
+
+    fresh = DPOState(
+        jnp.asarray(0, jnp.int32),
+        vlm.init_params(jax.random.PRNGKey(9), cfg),
+        ref,
+        optimizer.init(params),
+    )
+    tr2 = Trainer(cfg, tcfg, lambda s, b: (s, {}), fresh, iter([]))
+    step = tr2.load_checkpoint(path)
+    assert step == 2
+    assert isinstance(tr2.state, DPOState)  # type preserved
+    # params restored from the checkpoint, ref_params kept from the live state
+    np.testing.assert_array_equal(
+        np.asarray(tr2.state.params["llm"]["embed_tokens"]),
+        np.asarray(params["llm"]["embed_tokens"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tr2.state.ref_params["llm"]["embed_tokens"]),
+        np.asarray(ref["llm"]["embed_tokens"]),
+    )
+
+
+def test_orbax_partial_checkpoint_not_resumable(tmp_path):
+    """A crash between the state and opt orbax commits must not leave a
+    discoverable checkpoint (it would resume with mismatched or missing
+    optimizer state)."""
+    out = tmp_path / "run"
+    half = out / "checkpoint-5" / "state_orbax"
+    half.mkdir(parents=True)
+    (half / "_CHECKPOINT_METADATA").write_text("{}")
+    assert find_resume_checkpoint(str(out)) is None
+    full = out / "checkpoint-5" / "opt_orbax"
+    full.mkdir(parents=True)
+    (full / "_CHECKPOINT_METADATA").write_text("{}")
+    got = find_resume_checkpoint(str(out))
+    assert got and got.endswith("checkpoint-5")
+
+
 def test_remat_gradients_match():
     import jax.numpy as jnp
 
