@@ -33,6 +33,8 @@ class DepthAnythingConfig:
     num_attention_heads: int = 16
     intermediate_size: int = 4096
     patch_size: int = 14
+    image_size: int = 518  # nominal square input (pos-embed grid; the
+    # forward interpolates positions for other resolutions)
     layer_norm_eps: float = 1e-6
     out_indices: Tuple[int, ...] = (5, 12, 18, 24)  # 1-based layer outputs
     neck_hidden_sizes: Tuple[int, ...] = (256, 512, 1024, 1024)
@@ -40,6 +42,13 @@ class DepthAnythingConfig:
     fusion_hidden_size: int = 256
     head_hidden_size: int = 32
     max_depth: float = 1.0  # relative depth
+    # metric head (Depth-Anything-V2-Metric style: sigmoid * max_depth
+    # instead of the relative relu head) — the Metric3Dv2 slot of the
+    # synthesis pipeline predicts canonical-camera depth with this head
+    # and de-canonicalizes by focal length (synth/models.py,
+    # reference dataset_pipeline/osdsynth/processor/wrappers/
+    # metric3d_v2.py:15-68)
+    metric: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +239,10 @@ def forward_depth(
     x = resize_align_corners(x, (ph * cfg.patch_size, pw * cfg.patch_size))
     x = jax.nn.relu(_conv(x, params["head"]["conv2"]))
     x = _conv(x, params["head"]["conv3"])
-    x = jax.nn.relu(x) * cfg.max_depth
+    if cfg.metric:
+        x = jax.nn.sigmoid(x) * cfg.max_depth
+    else:
+        x = jax.nn.relu(x) * cfg.max_depth
     return x[..., 0]
 
 
@@ -241,6 +253,103 @@ def colorize_depth(depth: jax.Array) -> jax.Array:
     hi = d.max(axis=(-1, -2), keepdims=True)
     u8 = ((d - lo) / jnp.maximum(hi - lo, 1e-8) * 255.0).astype(jnp.uint8)
     return jnp.stack([u8, u8, u8], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Init (training / tests: the metric-head canonical-depth net is fit in
+# JAX directly; real released weights go through convert_depth_anything)
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: DepthAnythingConfig, dtype=jnp.float32) -> Params:
+    counter = [0]
+
+    def nextkey():
+        counter[0] += 1
+        return jax.random.fold_in(rng, counter[0])
+
+    H, I = cfg.hidden_size, cfg.intermediate_size
+
+    def dense(din, dout):
+        return {
+            "kernel": (jax.random.normal(nextkey(), (din, dout)) * din**-0.5).astype(dtype),
+            "bias": jnp.zeros((dout,), dtype),
+        }
+
+    def ln(dim=H):
+        return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+    def conv(kh, kw, cin, cout):
+        fan = kh * kw * cin
+        return {
+            "kernel": (jax.random.normal(nextkey(), (kh, kw, cin, cout)) * fan**-0.5).astype(dtype),
+            "bias": jnp.zeros((cout,), dtype),
+        }
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layers.append(
+            {
+                "norm1": ln(),
+                "norm2": ln(),
+                "attn": {
+                    "wq": dense(H, H), "wk": dense(H, H),
+                    "wv": dense(H, H), "wo": dense(H, H),
+                },
+                "mlp": {"fc1": dense(H, I), "fc2": dense(I, H)},
+                "ls1": jnp.full((H,), 1.0, dtype),
+                "ls2": jnp.full((H,), 1.0, dtype),
+            }
+        )
+
+    F = cfg.fusion_hidden_size
+    reassemble, neck_convs, fusion = [], [], []
+    for i, factor in enumerate(cfg.reassemble_factors):
+        nh = cfg.neck_hidden_sizes[i]
+        entry = {"proj": conv(1, 1, H, nh)}
+        if factor > 1:
+            entry["resize"] = conv(int(factor), int(factor), nh, nh)
+        elif factor < 1:
+            entry["resize"] = conv(3, 3, nh, nh)
+        reassemble.append(entry)
+        neck_convs.append(conv(3, 3, nh, F))
+        fusion.append(
+            {
+                "proj": conv(1, 1, F, F),
+                "res1": {"conv1": conv(3, 3, F, F), "conv2": conv(3, 3, F, F)},
+                "res2": {"conv1": conv(3, 3, F, F), "conv2": conv(3, 3, F, F)},
+            }
+        )
+
+    # pos_embed for the nominal input grid — the forward interpolates
+    # positions when the actual resolution differs
+    t0 = (cfg.image_size // cfg.patch_size) ** 2
+    return {
+        "cls_token": (jax.random.normal(nextkey(), (H,)) * 0.02).astype(dtype),
+        "pos_embed": (jax.random.normal(nextkey(), (1 + t0, H)) * 0.02).astype(dtype),
+        "patch_embed": {
+            "kernel": (
+                jax.random.normal(nextkey(), (cfg.patch_size, cfg.patch_size, 3, H))
+                * (cfg.patch_size * cfg.patch_size * 3) ** -0.5
+            ).astype(dtype),
+            "bias": jnp.zeros((H,), dtype),
+        },
+        "layers": layers,
+        "final_ln": ln(),
+        "reassemble": reassemble,
+        "neck_convs": neck_convs,
+        "fusion": fusion,
+        "head": {
+            "conv1": conv(3, 3, F, F // 2),
+            "conv2": conv(3, 3, F // 2, cfg.head_hidden_size),
+            # zero-init the output conv: the metric head's sigmoid starts
+            # mid-range instead of saturated (saturation kills gradients)
+            "conv3": {
+                "kernel": jnp.zeros((1, 1, cfg.head_hidden_size, 1), dtype),
+                "bias": jnp.zeros((1,), dtype),
+            },
+        },
+    }
 
 
 # ---------------------------------------------------------------------------

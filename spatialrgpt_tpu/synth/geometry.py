@@ -140,6 +140,32 @@ def unproject_depth(
     return PointCloud(points=pts)
 
 
+def statistical_outlier_filter(
+    cloud: PointCloud, nb_neighbors: int = 10, std_ratio: float = 1.2
+) -> PointCloud:
+    """Drop points whose mean k-NN distance exceeds mean + std_ratio*std
+    over the cloud (Open3D remove_statistical_outlier semantics; the
+    reference runs this before DBSCAN, pointcloud.py:241).  This is the
+    pass that strips depth-bleed points at mask boundaries — pixels whose
+    predicted depth interpolates between object and background unproject
+    to a sparse streak between the two surfaces."""
+    pts = cloud.points
+    n = len(pts)
+    if n <= nb_neighbors:
+        return cloud
+    # brute-force kNN: clouds are capped at ~4096 points by unproject
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    k = min(nb_neighbors, n - 1)
+    knn = np.sqrt(np.partition(d2, k - 1, axis=1)[:, :k])
+    mean_d = knn.mean(axis=1)
+    thresh = mean_d.mean() + std_ratio * mean_d.std()
+    keep = mean_d <= thresh
+    if not keep.any():
+        return cloud
+    return PointCloud(points=pts[keep])
+
+
 def dbscan_filter(cloud: PointCloud, eps: float = 0.2, min_points: int = 10) -> PointCloud:
     """Keep the largest DBSCAN cluster (outlier removal, the pipeline's
     pcd denoise step).  Grid-hash implementation, O(N * 27)."""

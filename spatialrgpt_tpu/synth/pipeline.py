@@ -26,6 +26,7 @@ from spatialrgpt_tpu.synth.geometry import (
     PointCloud,
     dbscan_filter,
     intrinsics_from_fov,
+    statistical_outlier_filter,
     rotation_from_roll_pitch,
     unproject_depth,
 )
@@ -153,26 +154,50 @@ class LiftStage:
         intrinsics: Optional[np.ndarray] = None,
     ) -> List[Dict]:
         H, W = image.shape[:2]
-        if depth is None:
-            if self.depth_model is None:
-                raise SkipImageException("no depth available")
-            depth = self.depth_model(image)
+        # intrinsics first: the metric-depth model (Metric3Dv2 contract,
+        # synth/models.py::make_metric_depth_model) de-canonicalizes its
+        # canonical-camera prediction by the true focal length
+        # (reference pointcloud.py:85-89: WildCamera K feeds
+        # inference_depth)
         if intrinsics is None:
             intrinsics = (
                 self.intrinsics_model(image)
                 if self.intrinsics_model
                 else intrinsics_from_fov(W, H, self.cfg.fov_deg)
             )
+        if depth is None:
+            if self.depth_model is None:
+                raise SkipImageException("no depth available")
+            try:
+                depth = self.depth_model(image, intrinsics)
+            except TypeError:  # relative-depth models take only the image
+                depth = self.depth_model(image)
         rotation = None
         if self.gravity_model is not None:
             roll, pitch = self.gravity_model(image)
             rotation = rotation_from_roll_pitch(roll, pitch)
+
+        # ground-plane translation (reference pointcloud.py:93-100): shift
+        # the gravity-aligned cloud so the lowest point among the nearest
+        # 50% sits at height 0 (robust against far-field depth noise)
+        ground_shift = 0.0
+        if rotation is not None:
+            full = unproject_depth(depth, intrinsics, None, rotation, max_points=16384)
+            pts = full.points[full.points[:, 2].argsort()]
+            near = pts[: max(len(pts) // 2, 1)]
+            # predicate frame has +y up: the ground is the minimum height
+            ground_shift = float(near[:, 1].min())
 
         objects = []
         for det in detections:
             cloud = unproject_depth(depth, intrinsics, det.mask, rotation)
             if len(cloud.points) < self.cfg.dbscan_min_points:
                 continue
+            cloud.points[:, 1] -= ground_shift
+            # SOR first, then DBSCAN (reference process_pcd order,
+            # pointcloud.py:239-249): SOR strips the sparse depth-bleed
+            # streak at mask edges that DBSCAN alone can keep connected
+            cloud = statistical_outlier_filter(cloud)
             cloud = dbscan_filter(cloud, self.cfg.dbscan_eps, self.cfg.dbscan_min_points)
             objects.append({"caption": det.label, "pcd": cloud, "detection": det})
         if len(objects) < self.cfg.min_detections:

@@ -30,103 +30,567 @@ from spatialrgpt_tpu.synth.geometry import (
 
 T = Dict[str, List[str]]
 
+# >= 8 paraphrases per family (the reference's prompt_template.py carries
+# 16+ per family; language diversity of the synthesized data tracks the
+# size of this bank — all wordings here are our own)
+
 PREDICATE_TEMPLATES: T = {
     "left_q": [
         "Is [A] to the left of [B]?",
         "From the viewer's perspective, does [A] appear on the left side of [B]?",
         "Would you say [A] is positioned left of [B]?",
+        "Looking at the image, is [A] situated to the left of [B]?",
+        "Does [A] lie on the left-hand side of [B]?",
+        "Can [A] be found left of [B] in this scene?",
+        "In this picture, is [A] placed further left than [B]?",
+        "Is the position of [A] more to the left compared with [B]?",
+        "Checking their placement, is [A] on [B]'s left?",
     ],
     "left_true": [
         "Yes, [A] is to the left of [B].",
         "Correct, you will find [A] on the left side of [B].",
+        "Indeed, [A] sits left of [B].",
+        "That's right — [A] appears on the left-hand side of [B].",
+        "Yes, in this view [A] is positioned further left than [B].",
+        "Affirmative: [A] lies to the left of [B].",
+        "Yes — relative to [B], [A] is on the left.",
+        "It is — [A] is placed left of [B] in the scene.",
     ],
     "left_false": [
         "No, [A] is not on the left of [B].",
         "Incorrect, [A] is actually to the right of [B].",
+        "No — you will find [A] on the right side of [B].",
+        "That's not the case; [A] sits right of [B].",
+        "No, in this view [A] appears further right than [B].",
+        "Negative: [A] lies to the right of [B].",
+        "No — relative to [B], [A] is on the right.",
+        "It isn't — [A] is placed right of [B] in the scene.",
     ],
     "right_q": [
         "Is [A] to the right of [B]?",
         "Does [A] sit on the right side of [B] from this view?",
+        "Would you describe [A] as being right of [B]?",
+        "Looking at the image, is [A] situated to the right of [B]?",
+        "Does [A] lie on the right-hand side of [B]?",
+        "Can [A] be found right of [B] in this scene?",
+        "In this picture, is [A] placed further right than [B]?",
+        "Checking their placement, is [A] on [B]'s right?",
     ],
-    "right_true": ["Yes, [A] is to the right of [B]."],
-    "right_false": ["No, [A] is not to the right of [B]."],
+    "right_true": [
+        "Yes, [A] is to the right of [B].",
+        "Correct — [A] sits on the right side of [B].",
+        "Indeed, [A] appears right of [B].",
+        "That's right; [A] is positioned further right than [B].",
+        "Affirmative: [A] lies to the right of [B].",
+        "Yes — relative to [B], [A] is on the right.",
+        "Yes, in this view [A] is on the right-hand side of [B].",
+        "It is — [A] is placed right of [B] in the scene.",
+    ],
+    "right_false": [
+        "No, [A] is not to the right of [B].",
+        "Incorrect — [A] is actually on the left side of [B].",
+        "No, [A] appears left of [B].",
+        "That's not the case; [A] is positioned further left than [B].",
+        "Negative: [A] lies to the left of [B].",
+        "No — relative to [B], [A] is on the left.",
+        "No, in this view [A] is on the left-hand side of [B].",
+        "It isn't — [A] is placed left of [B] in the scene.",
+    ],
     "above_q": [
         "Is [A] above [B]?",
         "Does [A] sit higher than [B]?",
+        "Is [A] positioned over [B]?",
+        "Would you say [A] is located above [B]?",
+        "In the scene, does [A] appear higher up than [B]?",
+        "Is the vertical position of [A] above that of [B]?",
+        "Does [A] rise above [B] in this image?",
+        "Comparing heights of placement, is [A] the higher one relative to [B]?",
     ],
-    "above_true": ["Yes, [A] is above [B]."],
-    "above_false": ["No, [A] is below [B]."],
-    "below_q": ["Is [A] below [B]?", "Is [A] positioned under [B]?"],
-    "below_true": ["Yes, [A] is below [B]."],
-    "below_false": ["No, [A] is above [B]."],
-    "wide_q": ["Is [A] wider than [B]?", "Does [A] have a greater width than [B]?"],
-    "wide_true": ["Yes, [A] is wider than [B]."],
-    "wide_false": ["No, [A] is narrower than [B]."],
-    "thin_q": ["Is [A] thinner than [B]?"],
-    "thin_true": ["Yes, [A] is thinner than [B]."],
-    "thin_false": ["No, [A] is wider than [B]."],
-    "big_q": ["Is [A] bigger than [B]?", "Does [A] take up more space than [B]?"],
-    "big_true": ["Yes, [A] is bigger than [B]."],
-    "big_false": ["No, [A] is smaller than [B]."],
-    "small_q": ["Is [A] smaller than [B]?"],
-    "small_true": ["Yes, [A] is smaller than [B]."],
-    "small_false": ["No, [A] is bigger than [B]."],
-    "tall_q": ["Is [A] taller than [B]?"],
-    "tall_true": ["Yes, [A] is taller than [B]."],
-    "tall_false": ["No, [A] is shorter than [B]."],
-    "short_q": ["Is [A] shorter than [B]?"],
-    "short_true": ["Yes, [A] is shorter than [B]."],
-    "short_false": ["No, [A] is taller than [B]."],
-    "behind_q": ["Is [A] behind [B]?", "Is [A] farther from the camera than [B]?"],
-    "behind_true": ["Yes, [A] is behind [B]."],
-    "behind_false": ["No, [A] is in front of [B]."],
-    "front_q": ["Is [A] in front of [B]?"],
-    "front_true": ["Yes, [A] is in front of [B]."],
-    "front_false": ["No, [A] is behind [B]."],
+    "above_true": [
+        "Yes, [A] is above [B].",
+        "Correct — [A] sits higher than [B].",
+        "Indeed, [A] is positioned over [B].",
+        "That's right; [A] appears higher up than [B].",
+        "Affirmative: [A] is located above [B].",
+        "Yes — vertically, [A] is over [B].",
+        "Yes, [A] rises above [B] here.",
+        "It is — [A] occupies the higher position relative to [B].",
+    ],
+    "above_false": [
+        "No, [A] is below [B].",
+        "Incorrect — [A] actually sits lower than [B].",
+        "No, [A] is positioned under [B].",
+        "That's not the case; [A] appears lower than [B].",
+        "Negative: [A] is located beneath [B].",
+        "No — vertically, [A] is under [B].",
+        "No, [A] sits below [B] here.",
+        "It isn't — [A] occupies the lower position relative to [B].",
+    ],
+    "below_q": [
+        "Is [A] below [B]?",
+        "Is [A] positioned under [B]?",
+        "Does [A] sit lower than [B]?",
+        "Would you say [A] is located beneath [B]?",
+        "In the scene, does [A] appear lower down than [B]?",
+        "Is the vertical position of [A] under that of [B]?",
+        "Does [A] lie underneath [B] in this image?",
+        "Comparing heights of placement, is [A] the lower one relative to [B]?",
+    ],
+    "below_true": [
+        "Yes, [A] is below [B].",
+        "Correct — [A] sits lower than [B].",
+        "Indeed, [A] is positioned under [B].",
+        "That's right; [A] appears lower down than [B].",
+        "Affirmative: [A] is located beneath [B].",
+        "Yes — vertically, [A] is under [B].",
+        "Yes, [A] lies underneath [B] here.",
+        "It is — [A] occupies the lower position relative to [B].",
+    ],
+    "below_false": [
+        "No, [A] is above [B].",
+        "Incorrect — [A] actually sits higher than [B].",
+        "No, [A] is positioned over [B].",
+        "That's not the case; [A] appears higher than [B].",
+        "Negative: [A] is located above [B].",
+        "No — vertically, [A] is over [B].",
+        "No, [A] rises above [B] here.",
+        "It isn't — [A] occupies the higher position relative to [B].",
+    ],
+    "wide_q": [
+        "Is [A] wider than [B]?",
+        "Does [A] have a greater width than [B]?",
+        "Would you say [A] spans more width than [B]?",
+        "Comparing the two, is [A] the wider one versus [B]?",
+        "Does [A] measure broader across than [B]?",
+        "Is the width of [A] larger than the width of [B]?",
+        "Side to side, does [A] extend further than [B]?",
+        "Is [A] broader than [B]?",
+    ],
+    "wide_true": [
+        "Yes, [A] is wider than [B].",
+        "Correct — [A] has the greater width.",
+        "Indeed, [A] spans more width than [B].",
+        "That's right; [A] measures broader across than [B].",
+        "Affirmative: the width of [A] exceeds that of [B].",
+        "Yes — side to side, [A] extends further than [B].",
+        "Yes, [A] is the broader of the two.",
+        "It is — [A] comes out wider than [B].",
+    ],
+    "wide_false": [
+        "No, [A] is narrower than [B].",
+        "Incorrect — [B] has the greater width.",
+        "No, [A] spans less width than [B].",
+        "That's not the case; [A] measures slimmer across than [B].",
+        "Negative: the width of [A] is smaller than that of [B].",
+        "No — side to side, [B] extends further than [A].",
+        "No, [A] is the narrower of the two.",
+        "It isn't — [A] comes out thinner than [B].",
+    ],
+    "thin_q": [
+        "Is [A] thinner than [B]?",
+        "Does [A] have a smaller width than [B]?",
+        "Would you say [A] is narrower than [B]?",
+        "Comparing the two, is [A] the slimmer one versus [B]?",
+        "Does [A] measure less across than [B]?",
+        "Is the width of [A] smaller than the width of [B]?",
+        "Side to side, does [A] extend less than [B]?",
+        "Is [A] the narrower object compared with [B]?",
+    ],
+    "thin_true": [
+        "Yes, [A] is thinner than [B].",
+        "Correct — [A] has the smaller width.",
+        "Indeed, [A] is narrower than [B].",
+        "That's right; [A] measures less across than [B].",
+        "Affirmative: the width of [A] is below that of [B].",
+        "Yes — side to side, [A] extends less than [B].",
+        "Yes, [A] is the slimmer of the two.",
+        "It is — [A] comes out narrower than [B].",
+    ],
+    "thin_false": [
+        "No, [A] is wider than [B].",
+        "Incorrect — [A] has the greater width.",
+        "No, [A] is broader than [B].",
+        "That's not the case; [A] measures more across than [B].",
+        "Negative: the width of [A] exceeds that of [B].",
+        "No — side to side, [A] extends further than [B].",
+        "No, [A] is the wider of the two.",
+        "It isn't — [A] comes out broader than [B].",
+    ],
+    "big_q": [
+        "Is [A] bigger than [B]?",
+        "Does [A] take up more space than [B]?",
+        "Would you say [A] is larger than [B]?",
+        "Comparing overall size, does [A] exceed [B]?",
+        "Is [A] the larger object versus [B]?",
+        "Does [A] occupy a greater volume than [B]?",
+        "Overall, does [A] outsize [B]?",
+        "Is the size of [A] greater than the size of [B]?",
+    ],
+    "big_true": [
+        "Yes, [A] is bigger than [B].",
+        "Correct — [A] takes up more space than [B].",
+        "Indeed, [A] is the larger of the two.",
+        "That's right; [A] exceeds [B] in overall size.",
+        "Affirmative: [A] occupies a greater volume than [B].",
+        "Yes — overall, [A] outsizes [B].",
+        "Yes, [A] comes out larger than [B].",
+        "It is — the size of [A] is greater than [B]'s.",
+    ],
+    "big_false": [
+        "No, [A] is smaller than [B].",
+        "Incorrect — [B] takes up more space than [A].",
+        "No, [A] is the smaller of the two.",
+        "That's not the case; [B] exceeds [A] in overall size.",
+        "Negative: [A] occupies less volume than [B].",
+        "No — overall, [B] outsizes [A].",
+        "No, [A] comes out smaller than [B].",
+        "It isn't — the size of [A] is below [B]'s.",
+    ],
+    "small_q": [
+        "Is [A] smaller than [B]?",
+        "Does [A] take up less space than [B]?",
+        "Would you say [A] is more compact than [B]?",
+        "Comparing overall size, does [A] fall short of [B]?",
+        "Is [A] the smaller object versus [B]?",
+        "Does [A] occupy less volume than [B]?",
+        "Overall, is [A] outsized by [B]?",
+        "Is the size of [A] less than the size of [B]?",
+    ],
+    "small_true": [
+        "Yes, [A] is smaller than [B].",
+        "Correct — [A] takes up less space than [B].",
+        "Indeed, [A] is the more compact of the two.",
+        "That's right; [A] falls short of [B] in overall size.",
+        "Affirmative: [A] occupies less volume than [B].",
+        "Yes — overall, [B] outsizes [A].",
+        "Yes, [A] comes out smaller than [B].",
+        "It is — the size of [A] is below [B]'s.",
+    ],
+    "small_false": [
+        "No, [A] is bigger than [B].",
+        "Incorrect — [A] takes up more space than [B].",
+        "No, [A] is the larger of the two.",
+        "That's not the case; [A] exceeds [B] in overall size.",
+        "Negative: [A] occupies a greater volume than [B].",
+        "No — overall, [A] outsizes [B].",
+        "No, [A] comes out larger than [B].",
+        "It isn't — the size of [A] is greater than [B]'s.",
+    ],
+    "tall_q": [
+        "Is [A] taller than [B]?",
+        "Does [A] stand higher than [B]?",
+        "Would you say [A] has more height than [B]?",
+        "Comparing their heights, does [A] exceed [B]?",
+        "Is [A] the taller object versus [B]?",
+        "Does [A] reach higher than [B] does?",
+        "Top to bottom, does [A] measure more than [B]?",
+        "Is the height of [A] greater than the height of [B]?",
+    ],
+    "tall_true": [
+        "Yes, [A] is taller than [B].",
+        "Correct — [A] stands higher than [B].",
+        "Indeed, [A] has more height than [B].",
+        "That's right; [A] exceeds [B] in height.",
+        "Affirmative: [A] is the taller of the two.",
+        "Yes — [A] reaches higher than [B].",
+        "Yes, top to bottom [A] measures more than [B].",
+        "It is — the height of [A] tops [B]'s.",
+    ],
+    "tall_false": [
+        "No, [A] is shorter than [B].",
+        "Incorrect — [B] stands higher than [A].",
+        "No, [A] has less height than [B].",
+        "That's not the case; [B] exceeds [A] in height.",
+        "Negative: [A] is the shorter of the two.",
+        "No — [B] reaches higher than [A].",
+        "No, top to bottom [A] measures less than [B].",
+        "It isn't — the height of [A] falls below [B]'s.",
+    ],
+    "short_q": [
+        "Is [A] shorter than [B]?",
+        "Does [A] stand lower than [B]?",
+        "Would you say [A] has less height than [B]?",
+        "Comparing their heights, does [A] fall below [B]?",
+        "Is [A] the shorter object versus [B]?",
+        "Does [A] reach less high than [B] does?",
+        "Top to bottom, does [A] measure less than [B]?",
+        "Is the height of [A] smaller than the height of [B]?",
+    ],
+    "short_true": [
+        "Yes, [A] is shorter than [B].",
+        "Correct — [A] stands lower than [B].",
+        "Indeed, [A] has less height than [B].",
+        "That's right; [A] falls below [B] in height.",
+        "Affirmative: [A] is the shorter of the two.",
+        "Yes — [A] reaches less high than [B].",
+        "Yes, top to bottom [A] measures less than [B].",
+        "It is — the height of [A] falls below [B]'s.",
+    ],
+    "short_false": [
+        "No, [A] is taller than [B].",
+        "Incorrect — [A] stands higher than [B].",
+        "No, [A] has more height than [B].",
+        "That's not the case; [A] exceeds [B] in height.",
+        "Negative: [A] is the taller of the two.",
+        "No — [A] reaches higher than [B].",
+        "No, top to bottom [A] measures more than [B].",
+        "It isn't — the height of [A] tops [B]'s.",
+    ],
+    "behind_q": [
+        "Is [A] behind [B]?",
+        "Is [A] farther from the camera than [B]?",
+        "Does [A] sit deeper in the scene than [B]?",
+        "Would you say [A] is positioned in back of [B]?",
+        "From this viewpoint, is [A] the more distant of the two?",
+        "Is [A] located further away than [B]?",
+        "Depth-wise, does [A] lie beyond [B]?",
+        "Is [A] at a greater distance from the viewer than [B]?",
+    ],
+    "behind_true": [
+        "Yes, [A] is behind [B].",
+        "Correct — [A] is farther from the camera than [B].",
+        "Indeed, [A] sits deeper in the scene than [B].",
+        "That's right; [A] is positioned in back of [B].",
+        "Affirmative: [A] is the more distant of the two.",
+        "Yes — [A] is located further away than [B].",
+        "Yes, depth-wise [A] lies beyond [B].",
+        "It is — [A] sits at a greater distance from the viewer.",
+    ],
+    "behind_false": [
+        "No, [A] is in front of [B].",
+        "Incorrect — [A] is closer to the camera than [B].",
+        "No, [A] sits nearer in the scene than [B].",
+        "That's not the case; [A] is positioned ahead of [B].",
+        "Negative: [A] is the closer of the two.",
+        "No — [A] is located nearer than [B].",
+        "No, depth-wise [A] lies before [B].",
+        "It isn't — [A] sits closer to the viewer.",
+    ],
+    "front_q": [
+        "Is [A] in front of [B]?",
+        "Is [A] closer to the camera than [B]?",
+        "Does [A] sit nearer in the scene than [B]?",
+        "Would you say [A] is positioned ahead of [B]?",
+        "From this viewpoint, is [A] the closer of the two?",
+        "Is [A] located nearer than [B]?",
+        "Depth-wise, does [A] lie before [B]?",
+        "Is [A] at a smaller distance from the viewer than [B]?",
+    ],
+    "front_true": [
+        "Yes, [A] is in front of [B].",
+        "Correct — [A] is closer to the camera than [B].",
+        "Indeed, [A] sits nearer in the scene than [B].",
+        "That's right; [A] is positioned ahead of [B].",
+        "Affirmative: [A] is the closer of the two.",
+        "Yes — [A] is located nearer than [B].",
+        "Yes, depth-wise [A] lies before [B].",
+        "It is — [A] sits closer to the viewer.",
+    ],
+    "front_false": [
+        "No, [A] is behind [B].",
+        "Incorrect — [A] is farther from the camera than [B].",
+        "No, [A] sits deeper in the scene than [B].",
+        "That's not the case; [A] is positioned in back of [B].",
+        "Negative: [A] is the more distant of the two.",
+        "No — [A] is located further away than [B].",
+        "No, depth-wise [A] lies beyond [B].",
+        "It isn't — [A] sits farther from the viewer.",
+    ],
 }
 
 CHOICE_TEMPLATES: T = {
-    "left_q": ["Which is more to the left, [A] or [B]?"],
-    "right_q": ["Which is more to the right, [A] or [B]?"],
-    "above_q": ["Which is higher up, [A] or [B]?"],
-    "below_q": ["Which is lower down, [A] or [B]?"],
-    "tall_q": ["Which is taller, [A] or [B]?"],
-    "short_q": ["Which is shorter, [A] or [B]?"],
-    "answer": ["[X] is the one.", "That would be [X]."],
+    "left_q": [
+        "Which is more to the left, [A] or [B]?",
+        "Between [A] and [B], which one appears further left?",
+        "Of the two, [A] and [B], which sits leftmost?",
+        "Which object is on the left: [A] or [B]?",
+        "Looking at the image, which lies further to the left — [A] or [B]?",
+        "Pick the one positioned more to the left: [A] or [B].",
+        "From this view, which of [A] and [B] is the left one?",
+        "Which one would you find further left, [A] or [B]?",
+    ],
+    "right_q": [
+        "Which is more to the right, [A] or [B]?",
+        "Between [A] and [B], which one appears further right?",
+        "Of the two, [A] and [B], which sits rightmost?",
+        "Which object is on the right: [A] or [B]?",
+        "Looking at the image, which lies further to the right — [A] or [B]?",
+        "Pick the one positioned more to the right: [A] or [B].",
+        "From this view, which of [A] and [B] is the right one?",
+        "Which one would you find further right, [A] or [B]?",
+    ],
+    "above_q": [
+        "Which is higher up, [A] or [B]?",
+        "Between [A] and [B], which one sits higher?",
+        "Of the two, [A] and [B], which is positioned above the other?",
+        "Which object appears higher in the scene: [A] or [B]?",
+        "Looking at the image, which lies further up — [A] or [B]?",
+        "Pick the one placed higher: [A] or [B].",
+        "From this view, which of [A] and [B] occupies the upper position?",
+        "Which one would you find higher, [A] or [B]?",
+    ],
+    "below_q": [
+        "Which is lower down, [A] or [B]?",
+        "Between [A] and [B], which one sits lower?",
+        "Of the two, [A] and [B], which is positioned beneath the other?",
+        "Which object appears lower in the scene: [A] or [B]?",
+        "Looking at the image, which lies further down — [A] or [B]?",
+        "Pick the one placed lower: [A] or [B].",
+        "From this view, which of [A] and [B] occupies the lower position?",
+        "Which one would you find lower, [A] or [B]?",
+    ],
+    "tall_q": [
+        "Which is taller, [A] or [B]?",
+        "Between [A] and [B], which one has more height?",
+        "Of the two, [A] and [B], which stands taller?",
+        "Which object reaches higher: [A] or [B]?",
+        "Comparing heights, which wins — [A] or [B]?",
+        "Pick the taller one: [A] or [B].",
+        "From this view, which of [A] and [B] measures more top to bottom?",
+        "Which one would you call taller, [A] or [B]?",
+    ],
+    "short_q": [
+        "Which is shorter, [A] or [B]?",
+        "Between [A] and [B], which one has less height?",
+        "Of the two, [A] and [B], which stands shorter?",
+        "Which object reaches less high: [A] or [B]?",
+        "Comparing heights, which comes up short — [A] or [B]?",
+        "Pick the shorter one: [A] or [B].",
+        "From this view, which of [A] and [B] measures less top to bottom?",
+        "Which one would you call shorter, [A] or [B]?",
+    ],
+    "answer": [
+        "[X] is the one.",
+        "That would be [X].",
+        "It's [X].",
+        "The answer is [X].",
+        "[X].",
+        "That's [X] in this scene.",
+        "Of the two, [X].",
+        "[X] fits that description.",
+    ],
 }
 
 QUANT_TEMPLATES: T = {
     "vertical_distance_q": [
         "How far apart are [A] and [B] vertically?",
         "What is the vertical gap between [A] and [B]?",
+        "What vertical distance separates [A] and [B]?",
+        "Measured straight up and down, how far is [A] from [B]?",
+        "How much vertical separation lies between [A] and [B]?",
+        "Estimate the vertical distance from [A] to [B].",
+        "Vertically speaking, what is the gap between [A] and [B]?",
+        "How large is the height difference in position between [A] and [B]?",
     ],
     "vertical_distance_a": [
         "[A] and [B] are [X] apart vertically.",
         "The vertical distance between [A] and [B] is [X].",
+        "Vertically, [A] is [X] away from [B].",
+        "A vertical gap of [X] separates [A] and [B].",
+        "Straight up and down, the two are [X] apart.",
+        "The vertical separation of [A] from [B] measures [X].",
+        "[A] sits about [X] apart from [B] in the vertical direction.",
+        "There is roughly [X] of vertical distance between [A] and [B].",
     ],
     "horizontal_distance_q": [
         "How far apart are [A] and [B] horizontally?",
+        "What is the horizontal gap between [A] and [B]?",
+        "What horizontal distance separates [A] and [B]?",
+        "Measured side to side, how far is [A] from [B]?",
+        "How much horizontal separation lies between [A] and [B]?",
+        "Estimate the horizontal distance from [A] to [B].",
+        "Horizontally speaking, what is the gap between [A] and [B]?",
+        "How large is the sideways offset between [A] and [B]?",
     ],
     "horizontal_distance_a": [
         "[A] and [B] are [X] apart horizontally.",
+        "The horizontal distance between [A] and [B] is [X].",
+        "Horizontally, [A] is [X] away from [B].",
+        "A horizontal gap of [X] separates [A] and [B].",
+        "Side to side, the two are [X] apart.",
+        "The horizontal separation of [A] from [B] measures [X].",
+        "[A] sits about [X] apart from [B] in the horizontal direction.",
+        "There is roughly [X] of horizontal distance between [A] and [B].",
     ],
     "distance_q": [
         "How far is [A] from [B]?",
         "What is the distance between [A] and [B]?",
+        "How much distance separates [A] and [B]?",
+        "Estimate the gap between [A] and [B].",
+        "How far away is [A] from [B] in this scene?",
+        "What distance would you measure from [A] to [B]?",
+        "Roughly how far apart are [A] and [B]?",
+        "Can you give the distance separating [A] from [B]?",
     ],
     "distance_a": [
         "[A] and [B] are [X] apart.",
         "The distance between [A] and [B] is [X].",
+        "[A] sits [X] away from [B].",
+        "A gap of [X] separates [A] and [B].",
+        "They are roughly [X] apart.",
+        "From [A] to [B] measures about [X].",
+        "You would measure about [X] between [A] and [B].",
+        "The separation between [A] and [B] comes to [X].",
     ],
-    "width_q": ["How wide is [A]?", "Measure the width of [A]."],
-    "width_a": ["[A] is [X] wide.", "The width of [A] is [X]."],
-    "height_q": ["How tall is [A]?", "What is the height of [A]?"],
-    "height_a": ["[A] is [X] tall.", "The height of [A] is [X]."],
+    "width_q": [
+        "How wide is [A]?",
+        "Measure the width of [A].",
+        "What is the width of [A]?",
+        "How broad is [A]?",
+        "How much does [A] span side to side?",
+        "Estimate how wide [A] is.",
+        "What would you say the width of [A] measures?",
+        "Across its widest point, how wide is [A]?",
+    ],
+    "width_a": [
+        "[A] is [X] wide.",
+        "The width of [A] is [X].",
+        "[A] measures [X] across.",
+        "[A] spans about [X] side to side.",
+        "Its width comes to [X].",
+        "[A] is roughly [X] in width.",
+        "Across, [A] measures [X].",
+        "The width of [A] comes out to [X].",
+    ],
+    "height_q": [
+        "How tall is [A]?",
+        "What is the height of [A]?",
+        "Measure the height of [A].",
+        "How high does [A] stand?",
+        "How much does [A] measure top to bottom?",
+        "Estimate how tall [A] is.",
+        "What would you say the height of [A] measures?",
+        "From base to top, how tall is [A]?",
+    ],
+    "height_a": [
+        "[A] is [X] tall.",
+        "The height of [A] is [X].",
+        "[A] stands [X] high.",
+        "[A] measures [X] top to bottom.",
+        "Its height comes to [X].",
+        "[A] is roughly [X] in height.",
+        "From base to top, [A] measures [X].",
+        "The height of [A] comes out to [X].",
+    ],
     "direction_q": [
         "If you are at [A], where will you find [B]?",
+        "Standing at [A], in which clock direction is [B]?",
+        "From [A]'s position, which o'clock direction points to [B]?",
+        "If you stand where [A] is, which way is [B]?",
+        "Treating [A] as the center of a clock face, where does [B] lie?",
+        "From the viewpoint of [A], at what o'clock is [B]?",
+        "Imagine yourself at [A]; in which direction would [B] be?",
+        "Using clock directions from [A], where is [B]?",
     ],
     "direction_a": [
         "[B] is around the [X] o'clock direction from [A].",
+        "From [A], [B] lies at roughly [X] o'clock.",
+        "Standing at [A], you would find [B] toward [X] o'clock.",
+        "[B] sits in the [X] o'clock direction relative to [A].",
+        "At about [X] o'clock from [A] — that's where [B] is.",
+        "Looking out from [A], [B] is near the [X] o'clock mark.",
+        "Relative to [A], [B] falls around [X] o'clock.",
+        "From [A]'s position, [B] is situated at [X] o'clock.",
     ],
 }
 
