@@ -39,6 +39,15 @@ def ulysses_attention(
     sp = jax.lax.axis_size(axis_name)
     if sp == 1:
         return attn_ops.causal_attention(q, k, v, segment_ids=segment_ids, impl=impl)
+    if q.shape[2] % sp != 0 or k.shape[2] % sp != 0:
+        # enforce the docstring contract loudly: an 8-kv-head model at
+        # sp=16 would otherwise silently mis-reshard via all_to_all
+        raise ValueError(
+            f"Ulysses degree {sp} must divide both head counts "
+            f"(Hq={q.shape[2]}, Hk={k.shape[2]}); repeat KV heads or lower "
+            f"the ulysses degree (reference asserts the same, "
+            f"hybrid_attn.py:291-294)"
+        )
 
     # (B, S/P, H, D) -> (B, S, H/P, D): split heads, concat sequence
     def scatter_heads(x):
