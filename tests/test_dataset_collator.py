@@ -20,6 +20,9 @@ from spatialrgpt_tpu.data.dataset import (
 from spatialrgpt_tpu.models import vlm
 
 from test_templates import FakeTokenizer
+import pytest
+
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
 
 TINY = SpatialRGPTConfig(
     llm=LlamaConfig(

@@ -10,6 +10,8 @@ from PIL import Image
 
 from spatialrgpt_tpu.eval.judge import LocalExtractor, compute_errors, score_answers
 
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
+
 
 def _rec(qtype, category, gt, pred, q="How far is Region [0] from Region [1]?"):
     return {

@@ -16,6 +16,9 @@ from spatialrgpt_tpu.constants import IMAGE_TOKEN_INDEX
 from spatialrgpt_tpu.data.splice import expand_rows
 from spatialrgpt_tpu.models import llama, vlm
 from spatialrgpt_tpu.serving.generate import generate
+import pytest
+
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
 
 TINY = SpatialRGPTConfig(
     llm=LlamaConfig(

@@ -8,6 +8,7 @@ import pytest
 from spatialrgpt_tpu.config import LlamaConfig, SiglipVisionConfig
 from spatialrgpt_tpu.models import clip, llama, s2
 from spatialrgpt_tpu.train.lora import (
+
     LoraConfig,
     apply_lora,
     init_lora,
@@ -15,6 +16,8 @@ from spatialrgpt_tpu.train.lora import (
     merge_lora,
     save_adapters,
 )
+
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
 
 SMALL_LLM = LlamaConfig(
     vocab_size=64,

@@ -12,10 +12,13 @@ from jax.sharding import Mesh
 from spatialrgpt_tpu.config import LlamaConfig
 from spatialrgpt_tpu.models import llama
 from spatialrgpt_tpu.parallel.pipeline import (
+
     pipeline_logits,
     pp_shard_params,
     stack_layer_params,
 )
+
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
 
 CFG = LlamaConfig(
     vocab_size=128,

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from spatialrgpt_tpu.models.sam import (
+
     SamConfig,
     SamVisionConfig,
     convert_sam,
@@ -15,6 +16,8 @@ from spatialrgpt_tpu.models.sam import (
     no_mask_dense_embedding,
     predict_boxes,
 )
+
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
 
 TINY = SamConfig(
     vision=SamVisionConfig(

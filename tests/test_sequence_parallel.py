@@ -13,6 +13,8 @@ from spatialrgpt_tpu.parallel.hybrid import hybrid_attention
 from spatialrgpt_tpu.parallel.ring import ring_attention
 from spatialrgpt_tpu.parallel.ulysses import ulysses_attention
 
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
+
 
 def _data(rng, B=2, S=64, Hq=8, Hk=4, D=16, packed=True):
     q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)

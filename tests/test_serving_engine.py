@@ -4,6 +4,7 @@ lockstep generate results per request."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import __graft_entry__ as graft
 from spatialrgpt_tpu.constants import IMAGE_TOKEN_INDEX
@@ -11,6 +12,8 @@ from spatialrgpt_tpu.data.splice import expand_rows
 from spatialrgpt_tpu.models import vlm
 from spatialrgpt_tpu.serving.engine import ServingEngine
 from spatialrgpt_tpu.serving.generate import generate
+
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
 
 CFG = graft._tiny_cfg()
 

@@ -7,6 +7,8 @@ import pytest
 
 from spatialrgpt_tpu.models.swin import SwinConfig, convert_swin, forward, init_params
 
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
+
 TINY = SwinConfig(
     image_size=64,
     patch_size=4,

@@ -11,6 +11,9 @@ from spatialrgpt_tpu.models import owl_vit, ram, sam
 from spatialrgpt_tpu.models.swin import SwinConfig
 from spatialrgpt_tpu.synth.models import build_stage_models, make_sam_segmenter
 from spatialrgpt_tpu.synth.pipeline import SynthConfig, SynthPipeline
+import pytest
+
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
 
 RAM_CFG = ram.RamConfig(
     swin=SwinConfig(image_size=64, patch_size=4, embed_dim=16, depths=(1, 1, 1, 1),

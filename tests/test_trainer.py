@@ -26,6 +26,8 @@ from spatialrgpt_tpu.train.trainer import Trainer, TrainerConfig, find_resume_ch
 
 import __graft_entry__ as graft
 
+pytestmark = pytest.mark.slow  # mesh/parity/gradient tier (see pyproject)
+
 TINY = graft._tiny_cfg()
 
 
