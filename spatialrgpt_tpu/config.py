@@ -242,6 +242,24 @@ class SpatialRGPTConfig:
     def extended_vocab_size(self) -> int:
         return self.llm.vocab_size + self.num_extra_tokens
 
+    @property
+    def tokens_per_image(self) -> int:
+        """Spliced LLM tokens per image, derived from the projector's input
+        grid (reference computes this implicitly from the projector output
+        shape).  With regions enabled the projector consumes the ada-pooled
+        ``lres`` grid (llava_arch.py:403,411 — AdaptiveAvgPool2d(27), so 27
+        regardless of tower resolution); otherwise the raw tower grid.  The
+        mlp_downsample projector then folds 2x2 patch blocks, padding odd
+        grids (base_projector.py:32-53)."""
+        side = (
+            self.region.ada_pool_size
+            if self.enable_region
+            else self.vision.num_patches_per_side
+        )
+        if self.projector.projector_type == "mlp_downsample":
+            return ((side + 1) // 2) ** 2
+        return side * side
+
     # ---- serialization -------------------------------------------------
     def to_json(self) -> str:
         d = _asdict(self)
@@ -270,7 +288,10 @@ class SpatialRGPTConfig:
     @classmethod
     def load(cls, path: str) -> "SpatialRGPTConfig":
         with open(os.path.join(path, "config.json")) as f:
-            return cls.from_json(f.read())
+            d = json.loads(f.read())
+        if "llm_cfg" in d:  # reference LlavaConfig schema
+            return from_reference_composite(path)
+        return cls.from_json(json.dumps(d))
 
 
 def preset(name: str, **overrides) -> SpatialRGPTConfig:
@@ -284,3 +305,85 @@ def preset(name: str, **overrides) -> SpatialRGPTConfig:
     if overrides:
         cfg = cfg.replace(**overrides)
     return cfg
+
+
+def from_reference_composite(root: str) -> SpatialRGPTConfig:
+    """Build a SpatialRGPTConfig from a reference-layout checkpoint
+    directory: top-level LlavaConfig JSON (configuration_llava.py:4-59)
+    with HF sub-configs under ``llm/ vision_tower/ mm_projector/
+    region_extractor/`` (the layout llava/model/builder.py:142-159 +
+    llava_arch.py resume from).  This is the loader real released
+    SpatialRGPT checkpoints go through."""
+
+    def sub(name):
+        p = os.path.join(root, name, "config.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    with open(os.path.join(root, "config.json")) as f:
+        top = json.load(f)
+    llm_d = sub("llm")
+    vis_d = sub("vision_tower")
+    proj_d = sub("mm_projector")
+    reg_d = sub("region_extractor")
+
+    rope_scaling = llm_d.get("rope_scaling") or {}
+    llm = LlamaConfig(
+        vocab_size=llm_d.get("vocab_size", 32000),
+        hidden_size=llm_d.get("hidden_size", 4096),
+        intermediate_size=llm_d.get("intermediate_size", 11008),
+        num_hidden_layers=llm_d.get("num_hidden_layers", 32),
+        num_attention_heads=llm_d.get("num_attention_heads", 32),
+        num_key_value_heads=llm_d.get(
+            "num_key_value_heads", llm_d.get("num_attention_heads", 32)
+        ),
+        max_position_embeddings=llm_d.get("max_position_embeddings", 4096),
+        rms_norm_eps=llm_d.get("rms_norm_eps", 1e-5),
+        rope_theta=llm_d.get("rope_theta", 10000.0),
+        rope_scaling_factor=rope_scaling.get("factor"),
+        tie_word_embeddings=llm_d.get("tie_word_embeddings", False),
+        attention_bias=llm_d.get("attention_bias", False),
+        bos_token_id=llm_d.get("bos_token_id", 1),
+        eos_token_id=llm_d.get("eos_token_id", 2),
+        hidden_act=llm_d.get("hidden_act", "silu"),
+        sliding_window=llm_d.get("sliding_window"),
+    )
+    vision = SiglipVisionConfig(
+        hidden_size=vis_d.get("hidden_size", 1152),
+        intermediate_size=vis_d.get("intermediate_size", 4304),
+        num_hidden_layers=vis_d.get("num_hidden_layers", 27),
+        num_attention_heads=vis_d.get("num_attention_heads", 16),
+        image_size=vis_d.get("image_size", 384),
+        patch_size=vis_d.get("patch_size", 14),
+        layer_norm_eps=vis_d.get("layer_norm_eps", 1e-6),
+        select_layer=top.get("mm_vision_select_layer", -2),
+        select_feature=top.get("mm_vision_select_feature", "cls_patch"),
+    )
+    mm_hidden = top.get("mm_hidden_size") or vision.hidden_size
+    hidden = top.get("hidden_size") or llm.hidden_size
+    projector = ProjectorConfig(
+        projector_type=proj_d.get("mm_projector_type", "mlp_downsample"),
+        mm_hidden_size=mm_hidden,
+        hidden_size=hidden,
+    )
+    region = RegionExtractorConfig(mm_hidden_size=mm_hidden, hidden_size=hidden)
+    mask_id = vis_d.get("llm_mask_token_id", -1)
+    depth_id = vis_d.get("llm_depth_token_id", -1)
+    extra = 0
+    if mask_id >= llm.vocab_size or depth_id >= llm.vocab_size:
+        extra = max(mask_id, depth_id) + 1 - llm.vocab_size
+    return SpatialRGPTConfig(
+        llm=llm,
+        vision=vision,
+        projector=projector,
+        region=region,
+        enable_region=top.get("enable_region", True),
+        enable_depth=top.get("enable_depth", True),
+        mask_token_id=mask_id,
+        depth_token_id=depth_id,
+        image_aspect_ratio=top.get("image_aspect_ratio") or "resize",
+        model_max_length=top.get("model_max_length") or 4096,
+        num_extra_tokens=extra,
+    )

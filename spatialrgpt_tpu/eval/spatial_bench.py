@@ -157,7 +157,7 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
         prompts = build_round_prompts(bcfg.conv_mode, conversations)
         for qi, prompt in enumerate(prompts):
             work.append(
-                (line, prompt, conversations[qi * 2]["value"], conversations[qi * 2 + 1]["value"])
+                (line, qi, prompt, conversations[qi * 2]["value"], conversations[qi * 2 + 1]["value"])
             )
 
     for start in range(0, len(work), bcfg.batch_size):
@@ -165,7 +165,7 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
         records = []
         rows = []
         images, depths, mask_stacks, valids = [], [], [], []
-        for line, prompt, q_text, gt in chunk:
+        for line, qi, prompt, q_text, gt in chunk:
             image_path = os.path.join(bcfg.image_folder, line["image_info"]["file_path"])
             image = pp.process_image(image_path, processor, cfg.image_aspect_ratio)
             depth = None
@@ -195,13 +195,13 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
             depths.append(depth)
             mask_stacks.append(m)
             valids.append(v)
-            records.append((line, prompt, q_text, gt))
+            records.append((line, qi, prompt, q_text, gt))
 
         sb = expand_rows(
             rows,
             None,
             max_len=cfg.model_max_length,
-            tokens_per_image=NUM_TOKENS_PER_IMAGE,
+            tokens_per_image=cfg.tokens_per_image,
             mask_token_id=cfg.mask_token_id,
             depth_token_id=cfg.depth_token_id,
             regions_per_image=bcfg.regions_per_image,
@@ -235,8 +235,9 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
         )
         toks = np.asarray(result.tokens)
 
-        for i, (line, _prompt, q_text, gt) in enumerate(records):
-            out_ids = toks[i].tolist()
+        for i, (line, qi, _prompt, q_text, gt) in enumerate(records):
+            raw_ids = toks[i].tolist()
+            out_ids = raw_ids
             if cfg.llm.eos_token_id in out_ids:
                 out_ids = out_ids[: out_ids.index(cfg.llm.eos_token_id)]
             text = tokenizer.decode(out_ids, skip_special_tokens=True).strip()
@@ -246,9 +247,14 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
                 json.dumps(
                     {
                         "question_id": line["id"],
+                        "round": qi,
                         "image": line["image_info"]["file_path"],
                         "question": line.get("text_q", q_text),
                         "pred": text,
+                        # raw greedy ids (pre eos-cut) — the cross-framework
+                        # parity gate diffs these against the reference
+                        # driver's output_ids (tests/parity/ref_driver.py)
+                        "output_ids": raw_ids,
                         "gt": gt,
                         "model_id": get_model_name(bcfg.model_path),
                         "qa_info": line["qa_info"],

@@ -1,0 +1,222 @@
+"""Cross-framework parity gate: our full serving chain vs the PyTorch
+reference's OWN code (llava_arch / llava_llama / mm_utils / conversation),
+both running the SAME composite checkpoint.
+
+This is the BASELINE.json "exact-match answers vs the PyTorch reference"
+protocol run end to end through real state dicts: the checkpoint is
+written by ``utils/export.save_composite_hf`` in the reference's split HF
+layout (exercising every converter key-map in utils/export.py and
+utils/checkpoint.py), the reference side is driven by
+``tests/parity/ref_driver.py`` (a faithful CPU port of
+llava/eval/eval_spatial.py:109-260 calling the reference package), and our
+side is the production bench runner (eval/spatial_bench.py).
+
+Gates:
+  1. greedy output ids per (entry, round) — exact match,
+  2. prefill last-position logits — max |diff| small in fp32,
+  3. the multi-round accumulated-conversation prompt — byte-identical.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from fixture import export_tiny_checkpoint, write_bench_fixture  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def parity_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("parity")
+    ckpt = export_tiny_checkpoint(str(root / "ckpt"))
+    fx = write_bench_fixture(str(root))
+
+    ref_out = str(root / "ref_answers.jsonl")
+    ref_logits = str(root / "ref_logits.npz")
+    env = dict(os.environ)
+    env.update(
+        {
+            "HF_HUB_OFFLINE": "1",
+            "TRANSFORMERS_OFFLINE": "1",
+            "USE_TF": "0",
+            # keep the torch subprocess off any JAX/TPU plugin path
+            "JAX_PLATFORMS": "cpu",
+        }
+    )
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(HERE, "ref_driver.py"),
+            "--ckpt", ckpt,
+            "--annotations", fx["annotations"],
+            "--image-folder", fx["image_folder"],
+            "--depth-folder", fx["depth_folder"],
+            "--out", ref_out,
+            "--logits-out", ref_logits,
+            "--conv-mode", "v1",
+            "--max-new", "12",
+        ],
+        check=True,
+        env=env,
+        timeout=1200,
+    )
+    with open(ref_out) as f:
+        ref_records = [json.loads(l) for l in f]
+    assert len(ref_records) == 3
+
+    # ---- our side: the production bench runner on the same checkpoint ----
+    import jax.numpy as jnp
+
+    from spatialrgpt_tpu.eval.spatial_bench import BenchConfig, run_bench
+    from spatialrgpt_tpu.models.builder import load_pretrained_model
+
+    model = load_pretrained_model(ckpt, dtype=jnp.float32)
+    ours_out = str(root / "our_answers.jsonl")
+    run_bench(
+        BenchConfig(
+            model_path=ckpt,
+            annotation_file=fx["annotations"],
+            image_folder=fx["image_folder"],
+            depth_folder=fx["depth_folder"],
+            answers_file=ours_out,
+            conv_mode="v1",
+            batch_size=4,
+            max_new_tokens=12,
+            prompt_bucket=512,
+            regions_per_image=4,
+        ),
+        model=model,
+    )
+    with open(ours_out) as f:
+        our_records = [json.loads(l) for l in f]
+
+    return {
+        "ckpt": ckpt,
+        "fx": fx,
+        "model": model,
+        "ref": {(r["question_id"], r["round"]): r for r in ref_records},
+        "ours": {(r["question_id"], r["round"]): r for r in our_records},
+        "ref_logits": dict(np.load(ref_logits)),
+    }
+
+
+def test_prompts_match_reference(parity_run):
+    """Accumulated-conversation prompts must be byte-identical (the
+    round-1 multi-round bug regression gate)."""
+    from spatialrgpt_tpu.eval.spatial_bench import build_round_prompts
+
+    with open(parity_run["fx"]["annotations"]) as f:
+        annotations = json.load(f)
+    for line in annotations:
+        prompts = build_round_prompts("v1", line["conversations"])
+        for qi, p in enumerate(prompts):
+            ref = parity_run["ref"][(line["id"], qi)]["prompt"]
+            assert p == ref, f"{line['id']} round {qi}:\nours={p!r}\nref ={ref!r}"
+
+
+def test_greedy_ids_exact_match(parity_run):
+    """The headline gate: greedy tokens identical for every entry/round."""
+    mismatches = []
+    for key, ref in parity_run["ref"].items():
+        ours = parity_run["ours"][key]
+        if ours["output_ids"][: len(ref["output_ids"])] != ref["output_ids"]:
+            mismatches.append((key, ref["output_ids"], ours["output_ids"]))
+    assert not mismatches, f"greedy divergence: {mismatches}"
+
+
+def test_pred_text_matches(parity_run):
+    for key, ref in parity_run["ref"].items():
+        assert parity_run["ours"][key]["pred"] == ref["pred"], key
+
+
+def test_prefill_logits_close(parity_run):
+    """First-divergence tensor: last-prompt-position logits, fp32 both
+    sides, through preprocess -> tower x2 -> refine/pool -> splice ->
+    decoder."""
+    import jax.numpy as jnp
+
+    from spatialrgpt_tpu.eval import spatial_bench as sb
+    from spatialrgpt_tpu.data import preprocess as pp
+    from spatialrgpt_tpu.data.splice import expand_rows
+    from spatialrgpt_tpu.data.tokenize import tokenizer_image_token
+    from spatialrgpt_tpu.models import vlm
+
+    tokenizer, params, cfg, processor = parity_run["model"]
+    fx = parity_run["fx"]
+    with open(fx["annotations"]) as f:
+        annotations = json.load(f)
+
+    worst = 0.0
+    for line in annotations:
+        prompts = sb.build_round_prompts("v1", line["conversations"])
+        image = pp.process_image(
+            os.path.join(fx["image_folder"], line["image_info"]["file_path"]),
+            processor,
+            cfg.image_aspect_ratio,
+        )
+        depth = pp.process_depth(
+            os.path.join(
+                fx["depth_folder"],
+                os.path.splitext(line["image_info"]["file_path"])[0] + ".png",
+            ),
+            processor,
+            cfg.image_aspect_ratio,
+        )
+        raw_masks = sb.masks_for_line(line, cfg.image_aspect_ratio, True)
+        proc = pp.process_masks(raw_masks, processor, cfg.image_aspect_ratio)
+        m, v = pp.pad_masks_to_slots(proc, 4, processor.size)
+
+        for qi, prompt in enumerate(prompts):
+            ids = np.asarray(tokenizer_image_token(prompt, tokenizer), np.int64)
+            sbatch = expand_rows(
+                [ids],
+                None,
+                max_len=cfg.model_max_length,
+                tokens_per_image=cfg.tokens_per_image,
+                mask_token_id=cfg.mask_token_id,
+                depth_token_id=cfg.depth_token_id,
+                regions_per_image=4,
+                pad_to=512,
+            )
+            inputs = vlm.VLMInputs(
+                input_ids=jnp.asarray(sbatch.input_ids),
+                is_image=jnp.asarray(sbatch.is_image),
+                image_gather_idx=jnp.asarray(sbatch.image_gather_idx),
+                position_ids=jnp.asarray(sbatch.position_ids),
+                segment_ids=jnp.asarray(sbatch.segment_ids),
+                labels=None,
+                mask_slot=jnp.asarray(sbatch.mask_slot),
+                is_mask=jnp.asarray(sbatch.is_mask),
+                depth_slot=jnp.asarray(sbatch.depth_slot),
+                is_depth=jnp.asarray(sbatch.is_depth),
+                images=jnp.asarray(image[None], jnp.float32),
+                depths=jnp.asarray(depth[None], jnp.float32),
+                masks=jnp.asarray(m[None], jnp.float32),
+                mask_valid=jnp.asarray(v[None]),
+            )
+            logits = vlm.forward(params, cfg, inputs)
+            last = int(sbatch.segment_ids[0].sum()) - 1
+            ours = np.asarray(logits[0, last], np.float32)
+            ref = parity_run["ref_logits"][f"{line['id']}_r{qi}"]
+            d = float(np.abs(ours - ref).max())
+            worst = max(worst, d)
+            assert d < 2e-3, f"{line['id']} r{qi}: max logit diff {d}"
+    print(f"parity max logit diff: {worst:.2e}")
+
+
+def test_checkpoint_roundtrip_through_reference_layout(parity_run):
+    """Our loader consumed the reference-schema config.json (LlavaConfig
+    detection in SpatialRGPTConfig.load) and the split safetensors."""
+    _, params, cfg, _ = parity_run["model"]
+    assert cfg.mask_token_id == 259 and cfg.depth_token_id == 260
+    assert cfg.tokens_per_image == 196  # ada-pool 27 -> mlp_downsample
+    assert params["llm"]["embed_tokens"].shape[0] == 261
+    assert len(params["vision"]["layers"]) == 2
