@@ -39,7 +39,8 @@ def _block_attn(
     q: jax.Array,  # (B, Sq, Hq, D)
     k: jax.Array,  # (B, Sk, Hk, D)
     v: jax.Array,
-    mode: jax.Array,  # () int32: 0 = skip, 1 = causal (diagonal), 2 = full
+    mode: jax.Array,  # () int32: 0 = skip, 1 = causal (diagonal), 2 = full,
+    #                    3 = strict causal (qi > ki; striped layout off-diag)
     q_seg: Optional[jax.Array],  # (B, Sq)
     kv_seg: Optional[jax.Array],  # (B, Sk)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -61,8 +62,9 @@ def _block_attn(
 
     qi = jnp.arange(sq)[:, None]
     ki = jnp.arange(k.shape[1])[None, :]
-    causal_mask = qi >= ki
-    mask = jnp.where(mode == 1, causal_mask, mode == 2)[None, None, :, :]
+    mask = jnp.where(
+        mode == 1, qi >= ki, jnp.where(mode == 3, qi > ki, mode == 2)
+    )[None, None, :, :]
     if q_seg is not None:
         seg = (q_seg[:, :, None] == kv_seg[:, None, :]) & (q_seg != 0)[:, :, None]
         mask = mask & seg[:, None, :, :]
@@ -89,7 +91,21 @@ def _merge(m_a, l_a, o_a, m_b, l_b, o_b):
     return m_new, l_new, o_new
 
 
-def _ring_forward(q, k, v, segment_ids, axis_name):
+def _contig_mode(src, my):
+    """Contiguous layout: diagonal causal, below full, above skipped."""
+    return jnp.where(src == my, 1, jnp.where(src < my, 2, 0))
+
+
+def _stripe_mode(src, my):
+    """Striped layout (device r holds global tokens r, r+sp, ...): local
+    q index a vs kv index b map to globals a*sp+my / b*sp+src, so
+    causality is a >= b when my >= src and a > b otherwise — every step
+    is a near-full triangle (no skip, uniform load; the reference's
+    stripe_flash_attn schedule, ring/stripe_flash_attn.py)."""
+    return jnp.where(src <= my, 1, 3)
+
+
+def _ring_forward(q, k, v, segment_ids, axis_name, mode_fn=_contig_mode):
     """Ring loop; returns (out, lse (B,Hq,S,1) f32)."""
     sp = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
@@ -103,7 +119,7 @@ def _ring_forward(q, k, v, segment_ids, axis_name):
     kc, vc, seg_c = k, v, segment_ids
     for t in range(sp):  # static unroll: sp is a compile-time mesh size
         src = (my - t) % sp  # owner of the kv chunk currently held
-        mode = jnp.where(src == my, 1, jnp.where(src < my, 2, 0))
+        mode = mode_fn(src, my)
         m_b, l_b, o_b = _block_attn(q, kc, vc, mode, segment_ids, seg_c)
         m_acc, l_acc, o_acc = _merge(m_acc, l_acc, o_acc, m_b, l_b, o_b)
         if t < sp - 1:
@@ -135,7 +151,9 @@ def _block_bwd(q, kc, vc, g32, lse, delta, mode, q_seg, kv_seg):
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     qi = jnp.arange(sq)[:, None]
     ki = jnp.arange(k.shape[1])[None, :]
-    mask = jnp.where(mode == 1, qi >= ki, mode == 2)[None, None, :, :]
+    mask = jnp.where(
+        mode == 1, qi >= ki, jnp.where(mode == 3, qi > ki, mode == 2)
+    )[None, None, :, :]
     if q_seg is not None:
         seg = (q_seg[:, :, None] == kv_seg[:, None, :]) & (q_seg != 0)[:, :, None]
         mask = mask & seg[:, None, :, :]
@@ -154,16 +172,17 @@ def _block_bwd(q, kc, vc, g32, lse, delta, mode, q_seg, kv_seg):
     return dq, dk, dv
 
 
-def _make_ring_core(axis_name: str):
-    """custom_vjp ring attention bound to a mesh axis name."""
+def _make_ring_core(axis_name: str, mode_fn=_contig_mode):
+    """custom_vjp ring attention bound to a mesh axis name and a block
+    mode rule (contiguous or striped layout)."""
 
     @jax.custom_vjp
     def core(q, k, v, segment_ids):
-        out, _ = _ring_forward(q, k, v, segment_ids, axis_name)
+        out, _ = _ring_forward(q, k, v, segment_ids, axis_name, mode_fn)
         return out
 
     def fwd(q, k, v, segment_ids):
-        out, lse = _ring_forward(q, k, v, segment_ids, axis_name)
+        out, lse = _ring_forward(q, k, v, segment_ids, axis_name, mode_fn)
         return out, (q, k, v, segment_ids, out, lse)
 
     def bwd(res, g):
@@ -185,7 +204,7 @@ def _make_ring_core(axis_name: str):
         dv = jnp.zeros(v.shape, jnp.float32)
         for t in range(sp):
             src = (my - t) % sp
-            mode = jnp.where(src == my, 1, jnp.where(src < my, 2, 0))
+            mode = mode_fn(src, my)
             dq_p, dk_p, dv_p = _block_bwd(
                 q, kc, vc, g32, lse, delta, mode, segment_ids, seg_c
             )
@@ -231,6 +250,50 @@ def ring_attention(
 
         return causal_attention(q, k, v, segment_ids=segment_ids)
     return _make_ring_core(axis_name)(q, k, v, segment_ids)
+
+
+# ---------------------------------------------------------------------------
+# Striped layout (round-robin load-balanced causal ring)
+# ---------------------------------------------------------------------------
+
+
+def stripe_permutation(seq_len: int, sp: int):
+    """Global permutation for the striped layout: device i holds tokens
+    i, i+sp, i+2*sp, ... (round-robin).  Returns (perm, inv_perm):
+    ``x[:, perm]`` contiguously sharded over sp devices gives each device
+    its stripe; ``y[:, inv]`` restores global order."""
+    import numpy as np
+
+    assert seq_len % sp == 0
+    perm = np.concatenate([np.arange(i, seq_len, sp) for i in range(sp)])
+    inv = np.argsort(perm)
+    return perm, inv
+
+
+def stripe_ring_attention(
+    q: jax.Array,  # (B, S_local, Hq, D): stripe r of the global sequence
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,  # (B, S_local), striped too
+    axis_name: str = "sp",
+) -> jax.Array:
+    """Causal ring attention over the striped (round-robin) layout — the
+    reference's stripe_flash_attn variant
+    (llava/train/sequence_parallel/ring/stripe_flash_attn.py).
+
+    Load balance property: every (q-stripe, kv-stripe) block is a
+    triangle (inclusive when the kv stripe id <= the q stripe id, strict
+    otherwise), so no ring step is skipped or full — work per device per
+    step is uniform without zigzag's half-chunk bookkeeping.  Lay inputs
+    out with ``stripe_permutation``.  Differentiation uses the fused
+    flash-style ring backward (module docstring).
+    """
+    sp = jax.lax.axis_size(axis_name)
+    if sp == 1:
+        from spatialrgpt_tpu.ops.attention import causal_attention
+
+        return causal_attention(q, k, v, segment_ids=segment_ids)
+    return _make_ring_core(axis_name, _stripe_mode)(q, k, v, segment_ids)
 
 
 # ---------------------------------------------------------------------------

@@ -265,3 +265,55 @@ def test_tp_sharded_sparse_moe():
         sharded = mesh_lib.tp_shard_params({"llm": params}, mesh)["llm"]
         got = llama.forward_logits(sharded, cfg, input_ids=ids, position_ids=pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sp", [2, 4, 8])
+def test_stripe_ring_matches_global(sp):
+    from spatialrgpt_tpu.parallel.ring import stripe_permutation, stripe_ring_attention
+
+    rng = np.random.default_rng(7)
+    q, k, v, seg = _data(rng, S=64)
+    mesh = _mesh(sp)
+    perm, inv = stripe_permutation(64, sp)
+
+    sharded = shard_map(
+        lambda q, k, v, s: stripe_ring_attention(q, k, v, s, axis_name="sp"),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+    )
+    got = sharded(q[:, perm], k[:, perm], v[:, perm], seg[:, perm])[:, inv]
+    exp = causal_attention(q, k, v, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5, rtol=1e-4)
+
+
+def test_stripe_gradients_match_global():
+    """Fused stripe ring backward (same rotating-accumulator scheme as
+    contiguous, strict-causal off-diagonal blocks) matches global
+    gradients."""
+    from spatialrgpt_tpu.parallel.ring import stripe_permutation, stripe_ring_attention
+
+    rng = np.random.default_rng(8)
+    q, k, v, seg = _data(rng, S=32)
+    mesh = _mesh(4)
+    perm, inv = stripe_permutation(32, 4)
+
+    sp_fn = shard_map(
+        lambda q, k, v, s: stripe_ring_attention(q, k, v, s, axis_name="sp"),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+    )
+
+    def loss_sp(q, k, v):
+        return jnp.sum(jnp.square(sp_fn(q[:, perm], k[:, perm], v[:, perm], seg[:, perm])[:, inv]))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(causal_attention(q, k, v, segment_ids=seg)))
+
+    g_sp = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(g_sp, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4, err_msg=f"d{n}"
+        )
