@@ -45,19 +45,34 @@ UNIT_TO_METERS = {
 }
 
 _NUM_UNIT = re.compile(
-    r"(-?\d+(?:\.\d+)?)\s*(meters?|metres?|centimeters?|millimeters?|inches|inch|feet|foot|cm|mm|ft|m|in)\b",
+    r"(-?\d+(?:\.\d+)?)\s*(meters?|metres?|centimeters?|millimeters?|inches|inch|feet|foot|cm|mm|ft|m|in|\"|'')(?![a-z])",
     re.IGNORECASE,
 )
-_CLOCK = re.compile(r"(\d{1,2})\s*o'?\s*clock", re.IGNORECASE)
+_CLOCK = re.compile(r"(\d{1,2})\s*o'?\s*.?clock", re.IGNORECASE)
 
+# number words -> digits, applied before _NUM_UNIT ("two meters tall")
+_NUM_WORDS = {
+    "one": "1", "two": "2", "three": "3", "four": "4", "five": "5",
+    "six": "6", "seven": "7", "eight": "8", "nine": "9", "ten": "10",
+    "eleven": "11", "twelve": "12",
+}
+_HALF = re.compile(r"\b(?:a\s+)?half\s+(?:a\s+)?(meter|metre|foot|inch)\b", re.IGNORECASE)
+
+# qualitative predicate pairs: synonym/comparative sets per side
 QUAL_PAIRS = [
-    ("tall", "short", "tall/short"),
-    ("left", "right", "left/right"),
-    ("below", "above", "below/above"),
-    ("behind", "front", "behind/front"),
-    ("big", "small", "big/small"),
-    ("wide", "thin", "wide/thin"),
+    (("tall", "taller"), ("short", "shorter"), "tall/short"),
+    (("left",), ("right",), "left/right"),
+    (("below", "beneath", "under", "underneath", "lower"),
+     ("above", "over", "higher"), "below/above"),
+    (("behind", "back"), ("front",), "behind/front"),
+    (("big", "bigger", "large", "larger"), ("small", "smaller"), "big/small"),
+    (("wide", "wider", "broad", "broader"),
+     ("thin", "thinner", "narrow", "narrower"), "wide/thin"),
 ]
+
+# "not as tall", "isn't taller", "not wider" — the negated word counts
+# for the OPPOSITE side
+_NEGATED = re.compile(r"(?:not|n't|isn't|aren't)\s+(?:as\s+|the\s+)?(\w+)")
 
 QUANT_CATEGORY_NAMES = {
     "vertical_distance_data": "vertical_distance",
@@ -91,6 +106,13 @@ class LocalExtractor:
     qualitative matching."""
 
     def meters(self, text: str) -> Optional[float]:
+        text = _HALF.sub(lambda m: "0.5 " + m.group(1), text)
+        text = re.sub(
+            r"\b(" + "|".join(_NUM_WORDS) + r")\b",
+            lambda m: _NUM_WORDS[m.group(1).lower()],
+            text,
+            flags=re.IGNORECASE,
+        )
         m = _NUM_UNIT.search(text)
         if not m:
             # bare number fallback: treat as meters
@@ -98,6 +120,8 @@ class LocalExtractor:
             return float(m2.group(1)) if m2 else None
         value = float(m.group(1))
         unit = m.group(2).lower()
+        if unit in ('"', "''"):
+            unit = "in"
         return value * UNIT_TO_METERS.get(unit, 1.0)
 
     def clock(self, text: str) -> Optional[int]:
@@ -112,14 +136,21 @@ class LocalExtractor:
 
     def judge_qualitative(self, question, answer, response, category) -> int:
         """1 if the response agrees with the answer on the category's
-        predicate pair (e.g. both say 'left'), else 0."""
+        predicate pair (e.g. both say 'left'), else 0.  Synonyms and
+        comparatives count for their side; a negated word ("not as
+        tall") counts for the opposite side; when the response carries
+        no side word, fall through to yes/no agreement."""
         a, r = answer.lower(), response.lower()
-        for w1, w2, _ in QUAL_PAIRS:
-            if w1 in category or w2 in category or w1 in a or w2 in a:
-                a_side = _side(a, w1, w2)
-                r_side = _side(r, w1, w2)
-                if a_side is not None:
-                    return int(a_side == r_side)
+        cat = (category or "").lower()
+        for ws1, ws2, _ in QUAL_PAIRS:
+            hit = any(w in cat for w in ws1 + ws2) or _side(a, ws1, ws2) is not None
+            if not hit:
+                continue
+            a_side = _side(a, ws1, ws2)
+            r_side = _side(r, ws1, ws2)
+            if a_side is not None and r_side is not None:
+                return int(a_side == r_side)
+            break
         # yes/no fallback
         for word in ("yes", "no"):
             if a.strip().startswith(word):
@@ -127,11 +158,20 @@ class LocalExtractor:
         return int(a.strip() == r.strip())
 
 
-def _side(text: str, w1: str, w2: str) -> Optional[bool]:
-    h1, h2 = w1 in text, w2 in text
-    if h1 == h2:
+def _side(text: str, ws1, ws2) -> Optional[bool]:
+    """Which predicate side does ``text`` assert?  True = ws1 side."""
+    # words under negation flip: "not as tall" asserts the short side
+    negated = set(_NEGATED.findall(text))
+    s1 = s2 = 0
+    for w in ws1:
+        if re.search(rf"\b{w}\b", text):
+            s1 += -1 if w in negated else 1
+    for w in ws2:
+        if re.search(rf"\b{w}\b", text):
+            s2 += -1 if w in negated else 1
+    if s1 == s2:
         return None
-    return h1
+    return s1 > s2
 
 
 class GPT4Extractor:
@@ -182,8 +222,8 @@ class GPT4Extractor:
 
 
 def _qual_bucket(category: str) -> str:
-    for w1, w2, name in QUAL_PAIRS:
-        if w1 in category or w2 in category:
+    for ws1, ws2, name in QUAL_PAIRS:
+        if any(w in category for w in ws1 + ws2):
             return name
     raise ValueError(f"{category} not found")
 

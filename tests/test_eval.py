@@ -253,3 +253,34 @@ def test_judge_prompt_bank_covers_all_categories():
     # choice categories route to the choice block
     pc = build_qualitative_prompt("Which is taller?", "Region [0].", "Region [1].", "tall_choice")
     assert "Which one is taller, Region [0] or Region [1]?" in pc
+
+
+def test_local_extractor_calibration():
+    """Gold-set gate: phrasing variants (comparatives, synonyms, number
+    words, unit mixes, negation, yes/no fallback) must stay >= 0.95."""
+    from spatialrgpt_tpu.eval.judge import LocalExtractor
+    from spatialrgpt_tpu.eval.judge_calibration import calibrate
+
+    r = calibrate(LocalExtractor())
+    assert r["overall"] >= 0.95, r["failures"]
+
+
+def test_recorded_judgment_agreement(tmp_path):
+    from spatialrgpt_tpu.eval.judge_calibration import agreement_with_recorded
+
+    rows = [
+        {"category": "left_right", "question": "", "answer": "It is left.",
+         "response": "On the left.", "mark": 1},
+        {"category": "left_right", "question": "", "answer": "It is left.",
+         "response": "On the right.", "mark": 0},
+        # a row where GPT-4 would disagree with the regex matcher
+        {"category": "tall_short", "question": "", "answer": "Taller.",
+         "response": "The metal one.", "mark": 1},
+    ]
+    p = tmp_path / "recorded.jsonl"
+    import json
+
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    r = agreement_with_recorded(str(p))
+    assert r["per_category"]["left_right"]["agreement"] == 1.0
+    assert 0.0 <= r["overall"] <= 1.0
