@@ -176,6 +176,26 @@ def main():
     device_sync(state.params["projector"])
     step_s = (time.time() - t0) / iters
 
+    stages = {}
+    if os.environ.get("SRGPT_TRAIN_BENCH_STAGES") == "1" and STAGE == "align":
+        # decompose the step: tower/region/splice fwd, full fwd loss;
+        # bwd+opt is the remainder (optimizer is projector+region only)
+        embed_fn = jax.jit(lambda p, b: vlm.prepare_embeds(p, cfg, b))
+        e = embed_fn(state.params, batch)
+        device_sync(e)
+        stages["prepare_embeds_s"] = round(
+            time_fn(lambda: embed_fn(state.params, batch), iters=3, warmup=1), 4
+        )
+        fwd_fn = jax.jit(
+            lambda p, b: vlm.loss_fn(p, cfg, b, attn_impl=attn)[0]
+        )
+        l = fwd_fn(state.params, batch)
+        device_sync(l)
+        stages["fwd_loss_s"] = round(
+            time_fn(lambda: fwd_fn(state.params, batch), iters=3, warmup=1), 4
+        )
+        stages["bwd_opt_s"] = round(step_s - stages["fwd_loss_s"], 4)
+
     tokens = BATCH * SEQ
     tok_s = tokens / step_s
     # MFU estimate: frozen-llm step ~= fwd(2NT) + activation-bwd(2NT) on
@@ -196,6 +216,7 @@ def main():
                 "loss": float(metrics["loss"]),
                 "compile_s": round(compile_s, 1),
                 "init_s": round(init_s, 1),
+                **stages,
             }
         )
     )

@@ -70,9 +70,16 @@ def _attention(x, p, num_heads):
     q = linear(x, p["wq"]).reshape(B, S, num_heads, D)
     k = linear(x, p["wk"]).reshape(B, S, num_heads, D)
     v = linear(x, p["wv"]).reshape(B, S, num_heads, D)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores.astype(jnp.float32) * (D**-0.5), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    from spatialrgpt_tpu.ops.flash_attention import _on_tpu
+
+    if _on_tpu() and S >= 256:
+        from spatialrgpt_tpu.ops.vit_attention import vit_attention
+
+        out = vit_attention(q, k, v, block_h=4)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores.astype(jnp.float32) * (D**-0.5), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     return linear(out.reshape(B, S, C), p["wo"])
 
 

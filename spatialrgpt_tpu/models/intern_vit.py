@@ -102,9 +102,16 @@ def _attention(x: jax.Array, p: Params, cfg: InternVisionConfig) -> jax.Array:
         # qk-norm over the flattened (H*D) axis, then reshape back
         q = _rms(q.reshape(B, N, C), p["q_norm"], cfg.layer_norm_eps).reshape(B, N, H, D)
         k = _rms(k.reshape(B, N, C), p["k_norm"], cfg.layer_norm_eps).reshape(B, N, H, D)
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * (D**-0.5)
-    pr = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
-    o = jnp.einsum("bhqk,bkhd->bqhd", pr, v).reshape(B, N, C)
+    from spatialrgpt_tpu.ops.flash_attention import _on_tpu
+
+    if _on_tpu() and N >= 256:
+        from spatialrgpt_tpu.ops.vit_attention import vit_attention
+
+        o = vit_attention(q, k, v, block_h=4).reshape(B, N, C)
+    else:
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * (D**-0.5)
+        pr = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", pr, v).reshape(B, N, C)
     return linear(o, p["proj"])
 
 

@@ -103,31 +103,17 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
     k = linear(x, p["wk"]).reshape(B, S, num_heads, D)
     v = linear(x, p["wv"]).reshape(B, S, num_heads, D)
 
-    from spatialrgpt_tpu.ops.flash_attention import _on_tpu, flash_attention
+    from spatialrgpt_tpu.ops.flash_attention import _on_tpu
 
     if _on_tpu() and S >= 256:
-        # best measured config for S=729/D=72 at batch 64: q-block 384,
-        # whole-seq k-block, 4 heads per program (6.6 ms/layer vs 7.3 for
-        # whole-seq q and 9.0 for XLA materialized -- BASELINE.md; the
-        # VPU softmax exp count is the floor at these shapes)
-        block = 768 if S <= 768 else 384
-        S_pad = ((S + block - 1) // block) * block
-        pad = S_pad - S
-        if pad:
-            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        else:
-            qp, kp, vp = q, k, v
-        seg = jnp.concatenate(
-            [jnp.ones((B, S), jnp.int32), jnp.zeros((B, pad), jnp.int32)], axis=1
-        )
-        block_h = 4 if num_heads % 4 == 0 else 1
-        out = flash_attention(
-            qp, kp, vp, segment_ids=seg, causal=False,
-            block_q=min(block // 2, S_pad), block_k=min(block, S_pad),
-            block_h=block_h,
-        )[:, :S]
+        # layout-specialized one-pass kernel (ops/vit_attention.py): bf16
+        # MXU inputs, no online-softmax state, additive pad bias.  15.6 ms
+        # vs 20.7 (generic flash as previously wired) vs 41.0 (XLA
+        # materialized) at the so400m serving shape, 128 images
+        # (scripts/bench_vit_attn.py).
+        from spatialrgpt_tpu.ops.vit_attention import vit_attention
+
+        out = vit_attention(q, k, v, block_h=4)
     else:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores * (D**-0.5)

@@ -100,3 +100,52 @@ def test_fwd_block_h_multihead():
         q, k, v, segment_ids=seg, causal=False, block_q=64, block_k=64, block_h=1, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)
+
+
+def test_vit_attention_matches_xla_ragged():
+    # ragged S (90 -> padded 128 in-kernel), several block_h shapes
+    from spatialrgpt_tpu.ops.vit_attention import vit_attention
+
+    rng = np.random.default_rng(7)
+    q, k, v = _rand_qkv(rng, 2, 90, 8, 8, 24)
+    exp = _xla_noncausal(q, k, v)
+    for bh in (1, 4, 8):
+        got = vit_attention(q, k, v, block_h=bh, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(exp), atol=2e-5, rtol=2e-4
+        )
+
+
+def test_vit_attention_bf16_block_h_fallback():
+    from spatialrgpt_tpu.ops.vit_attention import vit_attention
+
+    rng = np.random.default_rng(8)
+    q, k, v = _rand_qkv(rng, 1, 64, 6, 6, 32)  # H=6: block_h 8 -> falls to 2
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    got = vit_attention(q, k, v, block_h=8, interpret=True)
+    exp = _xla_noncausal(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.astype(jnp.float32)), np.asarray(exp), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_vit_attention_grads_match_xla():
+    from spatialrgpt_tpu.ops.vit_attention import vit_attention
+
+    rng = np.random.default_rng(9)
+    q, k, v = _rand_qkv(rng, 1, 70, 4, 4, 16)
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(vit_attention(q, k, v, block_h=4, interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_noncausal(q, k, v) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4, err_msg=f"d{name}"
+        )
