@@ -184,6 +184,16 @@ def main():
         params = fast_init_quantized(cfg, w8a8)
     else:
         params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if os.environ.get("SRGPT_BENCH_FUSED", "0") == "1":
+        # fused wqkv / gate|up serving kernels (ops/quant.
+        # fuse_serving_kernels) — measured as a LOSS on the 8B config
+        # (1113 vs 1181 tok/s; prefill 1.79 vs 1.71 s, decode 14.1 vs
+        # 12.9 ms/step): XLA already overlaps the separate projections,
+        # and the fused output's q/k/v slices add layout copies.  Kept
+        # as an opt-in (greedy parity tested).
+        from spatialrgpt_tpu.ops.quant import fuse_serving_kernels
+
+        params = jax.jit(fuse_serving_kernels, donate_argnums=0)(params)
     device_sync(params["llm"]["final_ln"])
     init_s = time.time() - t0
 

@@ -15,6 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+import jax
 import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
@@ -86,6 +87,10 @@ def main():
     )
     rng = np.random.default_rng(0)
     params = bench.fast_init_quantized(cfg, w8a8=True)
+    if os.environ.get("SRGPT_BENCH_FUSED", "0") == "1":
+        from spatialrgpt_tpu.ops.quant import fuse_serving_kernels
+
+        params = jax.jit(fuse_serving_kernels, donate_argnums=0)(params)
     device_sync(params["llm"]["final_ln"])
 
     eng = ServingEngine(

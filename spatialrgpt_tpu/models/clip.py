@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from spatialrgpt_tpu.config import SiglipVisionConfig as CLIPVisionConfig
-from spatialrgpt_tpu.ops.layers import layer_norm, linear
+from spatialrgpt_tpu.ops.layers import layer_norm, linear, qkv_proj
 
 Params = Dict
 
@@ -67,9 +67,7 @@ def init_params(rng: jax.Array, cfg: CLIPVisionConfig, dtype=jnp.float32) -> Par
 def _attention(x, p, num_heads):
     B, S, C = x.shape
     D = C // num_heads
-    q = linear(x, p["wq"]).reshape(B, S, num_heads, D)
-    k = linear(x, p["wk"]).reshape(B, S, num_heads, D)
-    v = linear(x, p["wv"]).reshape(B, S, num_heads, D)
+    q, k, v = qkv_proj(x, p, num_heads, num_heads, D)
     from spatialrgpt_tpu.ops.flash_attention import _on_tpu
 
     if _on_tpu() and S >= 256:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from spatialrgpt_tpu.config import LlamaConfig
 from spatialrgpt_tpu.ops import attention as attn_ops
-from spatialrgpt_tpu.ops.layers import gelu_tanh, linear, rms_norm, silu
+from spatialrgpt_tpu.ops.layers import gelu_tanh, linear, qkv_proj, rms_norm, silu
 
 Params = Dict
 
@@ -165,9 +165,7 @@ def _attention_block(
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, S, H = x.shape
     Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = linear(x, p["wq"]).reshape(B, S, Hq, D)
-    k = linear(x, p["wk"]).reshape(B, S, Hk, D)
-    v = linear(x, p["wv"]).reshape(B, S, Hk, D)
+    q, k, v = qkv_proj(x, p, Hq, Hk, D)
     q, k = apply_rope(q, k, position_ids, cfg)
 
     if cache is not None:
@@ -189,6 +187,10 @@ def _attention_block(
 
 def _mlp_block(x: jax.Array, p: Params, act: str = "silu") -> jax.Array:
     a = silu if act == "silu" else gelu_tanh
+    if "gu" in p:  # serving-fused gate|up (ops/quant.fuse_serving_kernels)
+        h = linear(x, p["gu"])
+        gate, up = jnp.split(h, 2, axis=-1)
+        return linear(a(gate) * up, p["down"])
     return linear(a(linear(x, p["gate"])) * linear(x, p["up"]), p["down"])
 
 

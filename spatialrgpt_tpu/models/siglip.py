@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spatialrgpt_tpu.config import SiglipVisionConfig
-from spatialrgpt_tpu.ops.layers import gelu_tanh, layer_norm, linear
+from spatialrgpt_tpu.ops.layers import gelu_tanh, layer_norm, linear, qkv_proj
 
 Params = Dict
 
@@ -99,9 +99,7 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
     """
     B, S, C = x.shape
     D = C // num_heads
-    q = linear(x, p["wq"]).reshape(B, S, num_heads, D)
-    k = linear(x, p["wk"]).reshape(B, S, num_heads, D)
-    v = linear(x, p["wv"]).reshape(B, S, num_heads, D)
+    q, k, v = qkv_proj(x, p, num_heads, num_heads, D)
 
     from spatialrgpt_tpu.ops.flash_attention import _on_tpu
 

@@ -65,6 +65,31 @@ def linear(x: jax.Array, p) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def qkv_proj(x: jax.Array, p, hq: int, hk: int, d: int):
+    """Attention q/k/v projections over (B, S, C).
+
+    Consumes either separate ``wq``/``wk``/``wv`` entries or a
+    serving-fused ``wqkv`` (ops/quant.fuse_serving_kernels): one
+    activation pass + one MXU launch instead of three, with the W8A8
+    activation-quantization pass paid once.  Returns
+    ((B,S,hq,d), (B,S,hk,d), (B,S,hk,d))."""
+    B, S = x.shape[0], x.shape[1]
+    if "wqkv" in p:
+        fused = linear(x, p["wqkv"])
+        q = fused[..., : hq * d]
+        k = fused[..., hq * d : (hq + hk) * d]
+        v = fused[..., (hq + hk) * d :]
+    else:
+        q = linear(x, p["wq"])
+        k = linear(x, p["wk"])
+        v = linear(x, p["wv"])
+    return (
+        q.reshape(B, S, hq, d),
+        k.reshape(B, S, hk, d),
+        v.reshape(B, S, hk, d),
+    )
+
+
 def layer_norm(x: jax.Array, p, eps: float = 1e-6) -> jax.Array:
     """LayerNorm over the last axis with fp32 statistics."""
     xf = x.astype(jnp.float32)

@@ -113,6 +113,87 @@ def unpack_kv4(packed: jax.Array) -> jax.Array:
     return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
 
 
+def _try_fuse(entries):
+    """Concatenate a list of linear-param dicts along the output dim.
+
+    Supports plain bf16 ``kernel`` entries and per-channel int8
+    ``kernel_q`` entries (scales are per-output-channel, so they
+    concatenate alongside the payload).  Returns None when the entries
+    are not uniformly fusable (mixed formats, packed int4, >2D kernels,
+    inconsistent biases)."""
+    fmts = []
+    for e in entries:
+        if "kernel_q" in e:
+            if "orig_dim0" in e["kernel_q"]:
+                return None  # packed int4: payload rows are nibble pairs
+            fmts.append("int8")
+        elif "kernel" in e and getattr(e["kernel"], "ndim", 0) == 2:
+            fmts.append("dense")
+        else:
+            return None
+    if len(set(fmts)) != 1:
+        return None
+    has_bias = ["bias" in e and e["bias"] is not None for e in entries]
+    if any(has_bias) != all(has_bias):
+        return None
+    if fmts[0] == "dense":
+        out = {"kernel": jnp.concatenate([e["kernel"] for e in entries], axis=1)}
+    else:
+        qs = [e["kernel_q"] for e in entries]
+        kq = {
+            "q": jnp.concatenate([q["q"] for q in qs], axis=1),
+            "scale": jnp.concatenate([q["scale"] for q in qs], axis=1),
+        }
+        if all("a8" in q for q in qs):
+            kq["a8"] = np.zeros((), np.bool_)
+        out = {"kernel_q": kq}
+    if all(has_bias):
+        out["bias"] = jnp.concatenate([e["bias"] for e in entries])
+    return out
+
+
+def fuse_serving_kernels(params: Dict) -> Dict:
+    """Serving transform: fuse sibling projections into single matmuls.
+
+    - attention ``wq``/``wk``/``wv`` -> ``wqkv`` (consumed by
+      ops/layers.qkv_proj): one activation pass + one MXU launch instead
+      of three, and the W8A8 activation quantization is paid once,
+    - llama-family MLP ``gate``/``up`` -> ``gu``.
+
+    Works on bf16 and int8-quantized trees (per-channel scales
+    concatenate); packed-int4 entries are left unfused.  Apply AFTER
+    quantize_llm / stack_experts and only for single-chip serving — the
+    fused output dim interleaves q/k/v head groups, which breaks
+    parallel/mesh.py's per-kernel tp sharding rules.
+
+    MEASURED AS A LOSS on the llama3-8b serving config (2026-08-18,
+    BASELINE.md): 1113 vs 1181 tok/s/chip — XLA already overlaps the
+    separate projection streams, and slicing q/k/v out of the fused
+    output adds layout copies.  Kept as a tested opt-in
+    (SRGPT_BENCH_FUSED=1); greedy-token parity:
+    tests/test_generate.py::test_fused_serving_kernels_match_unfused."""
+
+    def visit(node):
+        if isinstance(node, dict):
+            node = {k: visit(v) for k, v in node.items()}
+            if {"wq", "wk", "wv"} <= set(node):
+                fused = _try_fuse([node["wq"], node["wk"], node["wv"]])
+                if fused is not None:
+                    node = {k: v for k, v in node.items() if k not in ("wq", "wk", "wv")}
+                    node["wqkv"] = fused
+            if {"gate", "up", "down"} <= set(node):
+                fused = _try_fuse([node["gate"], node["up"]])
+                if fused is not None:
+                    node = {k: v for k, v in node.items() if k not in ("gate", "up")}
+                    node["gu"] = fused
+            return node
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        return node
+
+    return visit(params)
+
+
 def quantize_llm(params: Dict, bits: int = 8, act_quant: bool = False) -> Dict:
     """Quantize every 2D kernel in an llm pytree; norms/embeds stay bf16
     (matching the reference's skip_modules behavior).

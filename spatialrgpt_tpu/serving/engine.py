@@ -644,13 +644,11 @@ def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
     """Decode attention where each slot has its own cache length; new kv is
     written at slot-specific positions via scatter on the length index."""
     from spatialrgpt_tpu.ops.attention import NEG_INF
-    from spatialrgpt_tpu.ops.layers import linear
+    from spatialrgpt_tpu.ops.layers import linear, qkv_proj
 
     B, S, H = x.shape  # S == 1
     Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = linear(x, p["wq"]).reshape(B, S, Hq, D)
-    k = linear(x, p["wk"]).reshape(B, S, Hk, D)
-    v = linear(x, p["wv"]).reshape(B, S, Hk, D)
+    q, k, v = qkv_proj(x, p, Hq, Hk, D)
     q, k = llama.apply_rope(q, k, pos, cfg)
 
     # per-slot scatter: position `lengths[b]` of row b gets the new kv
@@ -683,15 +681,13 @@ def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid):
     (same scheme as serving/generate.py::_cached_attention_quant, with
     the engine's per-slot scatter write)."""
     from spatialrgpt_tpu.ops.attention import NEG_INF
-    from spatialrgpt_tpu.ops.layers import linear
+    from spatialrgpt_tpu.ops.layers import linear, qkv_proj
     from spatialrgpt_tpu.ops.quant import quantize_kv
 
     k_q, k_s, v_q, v_s = layer_cache
     B, S, H = x.shape  # S == 1
     Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = linear(x, p["wq"]).reshape(B, S, Hq, D)
-    k = linear(x, p["wk"]).reshape(B, S, Hk, D)
-    v = linear(x, p["wv"]).reshape(B, S, Hk, D)
+    q, k, v = qkv_proj(x, p, Hq, Hk, D)
     q, k = llama.apply_rope(q, k, pos, cfg)
 
     nk_q, nk_s = quantize_kv(k)

@@ -281,13 +281,11 @@ def _rms(x, scale, eps):
 
 def _cached_attention(x, p, cfg, pos, cache, layer_idx, slot, valid):
     from spatialrgpt_tpu.ops.attention import NEG_INF
-    from spatialrgpt_tpu.ops.layers import linear
+    from spatialrgpt_tpu.ops.layers import linear, qkv_proj
 
     B, S, H = x.shape  # S == 1
     Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = linear(x, p["wq"]).reshape(B, S, Hq, D)
-    k = linear(x, p["wk"]).reshape(B, S, Hk, D)
-    v = linear(x, p["wv"]).reshape(B, S, Hk, D)
+    q, k, v = qkv_proj(x, p, Hq, Hk, D)
     q, k = llama.apply_rope(q, k, pos, cfg)
 
     ck = jax.lax.dynamic_update_slice_in_dim(cache.k[layer_idx], k, slot, axis=1)
@@ -328,15 +326,13 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
     only — it loses XLA's overlap with the weight streams.
     """
     from spatialrgpt_tpu.ops.attention import NEG_INF
-    from spatialrgpt_tpu.ops.layers import linear
+    from spatialrgpt_tpu.ops.layers import linear, qkv_proj
     from spatialrgpt_tpu.ops.quant import quantize_kv, quantize_kv4, unpack_kv4
 
     k_q, k_s, v_q, v_s = layer_cache
     B, S, H = x.shape  # S == 1
     Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = linear(x, p["wq"]).reshape(B, S, Hq, D)
-    k = linear(x, p["wk"]).reshape(B, S, Hk, D)
-    v = linear(x, p["wv"]).reshape(B, S, Hk, D)
+    q, k, v = qkv_proj(x, p, Hq, Hk, D)
     q, k = llama.apply_rope(q, k, pos, cfg)
 
     packed4 = k_q.shape[-1] * 2 == D  # int4 nibble-packed cache

@@ -228,6 +228,46 @@ def test_w8a8_generate_matches_bf16():
     assert mismatch == 0, (np.asarray(exact.tokens), np.asarray(quant.tokens))
 
 
+def test_fused_serving_kernels_match_unfused():
+    """fuse_serving_kernels (wqkv / gate|up concat) must not change the
+    generated tokens — bf16 tree and the W8A8 int8 tree, llm + vision,
+    through the full multimodal generate (the bench's default transform)."""
+    from spatialrgpt_tpu.ops.quant import fuse_serving_kernels, quantize_llm
+
+    p1 = np.array([5, IMAGE_TOKEN_INDEX, 60, 61, 8], np.int64)
+    p2 = np.array([IMAGE_TOKEN_INDEX, 7], np.int64)
+    sb, inputs = _inputs_for([p1, p2], n_images=2, pad_to=10)
+    params = vlm.init_params(jax.random.PRNGKey(7), TINY)
+    plens = jnp.asarray(sb.segment_ids.sum(axis=1), jnp.int32)
+
+    # bf16: fused vs unfused (concat along dout leaves per-column matmul
+    # reductions identical; greedy tokens must match exactly)
+    base = generate(params, TINY, inputs, plens, max_new_tokens=8, temperature=0.0, eos_token_id=-1)
+    fused = fuse_serving_kernels(params)
+    assert "wqkv" in fused["llm"]["layers"][0]["attn"]
+    assert "gu" in fused["llm"]["layers"][0]["mlp"]
+    assert "wqkv" in fused["vision"]["layers"][0]["attn"]
+    got = generate(fused, TINY, inputs, plens, max_new_tokens=8, temperature=0.0, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(base.tokens), np.asarray(got.tokens))
+
+    # int8 W8A8 + int8 KV: fused vs unfused quantized tree
+    qparams = dict(params)
+    qparams["llm"] = quantize_llm(params["llm"], bits=8, act_quant=True)
+    qparams["vision"] = quantize_llm(params["vision"], bits=8, act_quant=True)
+    qbase = generate(
+        qparams, TINY, inputs, plens, max_new_tokens=8, temperature=0.0,
+        eos_token_id=-1, kv_quant=True,
+    )
+    qfused = fuse_serving_kernels(qparams)
+    kq = qfused["llm"]["layers"][0]["attn"]["wqkv"]["kernel_q"]
+    assert "a8" in kq and kq["scale"].shape[0] == 1
+    qgot = generate(
+        qfused, TINY, inputs, plens, max_new_tokens=8, temperature=0.0,
+        eos_token_id=-1, kv_quant=True,
+    )
+    np.testing.assert_array_equal(np.asarray(qbase.tokens), np.asarray(qgot.tokens))
+
+
 def test_multi_token_stop_sequences():
     """stop_sequences halts a row right after the sequence appears in its
     output (KeywordsStoppingCriteria for multi-token keywords); unaffected

@@ -79,6 +79,28 @@ def test_continuous_batching_matches_lockstep():
         assert by_id[rid] == exp, (rid, by_id[rid], exp)
 
 
+def test_engine_fused_kernels_match_unfused():
+    """The engine's per-slot decode paths consume fused wqkv/gu trees
+    (bench_engine's default) — tokens must match the unfused engine."""
+    from spatialrgpt_tpu.ops.quant import fuse_serving_kernels
+
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    def run(p):
+        eng = ServingEngine(p, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=5)
+        ids = [eng.submit(inputs, plen, max_new_tokens=5) for inputs, plen in reqs]
+        done = eng.run_until_drained(max_steps=50)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    assert run(params) == run(fuse_serving_kernels(params))
+
+
 def test_continuous_batching_int8_kv_matches_bf16():
     """Engine with the int8 KV cache produces the same greedy tokens as
     the bf16-cache engine on the tiny model (same gate as
