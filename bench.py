@@ -45,7 +45,12 @@ N_REGIONS = 2
 # SRGPT_BENCH_PAD for long-context serving (where the Pallas flash
 # prefill overtakes XLA attention — SRGPT_BENCH_ATTN=pallas)
 PROMPT_TEXT_TOKENS = int(os.environ.get("SRGPT_BENCH_PROMPT_TOKENS", 96))
-PAD_BUCKET = int(os.environ.get("SRGPT_BENCH_PAD", 384))
+# The expanded prompt (1 bos + 8 text + 196 image tokens + 4 region
+# tokens + 96 question tokens = 305) buckets to 320, not 384 — the
+# coarser bucket was padding away 26% of every prefill.  Production
+# bucketing to the nearest 64 tokens is what the serving engine does;
+# the bench uses the same rule.
+PAD_BUCKET = int(os.environ.get("SRGPT_BENCH_PAD", 320))
 
 
 def fast_init_quantized(cfg, w8a8: bool, seed: int = 0):
@@ -203,11 +208,13 @@ def main():
     # 8 (default, exact greedy parity) or 4 (packed nibbles — halves the
     # cache stream again; lossy, opt-in)
     kv_bits = int(os.environ.get("SRGPT_BENCH_KV_BITS", 8))
-    # At the 384-token serving bucket XLA attention beats the Pallas flash
-    # kernel end-to-end (1314 vs 1252 tok/s measured, BASELINE.md) -- the
-    # S^2 savings that make flash win (2.4x at S=2048 microbench) don't
-    # materialize at short prefills.  Long-context serving should flip this.
-    attn = os.environ.get("SRGPT_BENCH_ATTN", "xla")
+    # Short-bucket prefill attention: the one-pass kernel (whole-sequence
+    # kv blocks, no HBM score tensor, no online-softmax chain) measures
+    # 45.1 vs 55.6 ms/layer against XLA attention at the 8B prefill shape
+    # (scripts/bench_prefill.py); XLA had been re-streaming the 1.2 GB
+    # f32 score tensor through the mask/softmax chain.  The generic flash
+    # kernel stays the long-context choice (SRGPT_BENCH_ATTN=pallas).
+    attn = os.environ.get("SRGPT_BENCH_ATTN", "onepass")
     run = lambda: generate(
         params,
         cfg,

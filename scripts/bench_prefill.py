@@ -89,12 +89,21 @@ def main():
         f"(int8 peak ~394)"
     )
 
-    # --- 2. one full decoder layer (fused params) -----------------------
+    # --- 2. one full decoder layer (unfused = committed config) ---------
     lp = {
         "input_ln": jnp.ones((H,), jnp.bfloat16),
         "post_ln": jnp.ones((H,), jnp.bfloat16),
-        "attn": {"wqkv": wqkv, "wo": wo},
-        "mlp": {"gu": gu, "down": down},
+        "attn": {
+            "wq": rand_q(keys[5], H, Q),
+            "wk": rand_q(keys[6], H, KV),
+            "wv": rand_q(keys[7], H, KV),
+            "wo": wo,
+        },
+        "mlp": {
+            "gate": rand_q(keys[5], H, I),
+            "up": rand_q(keys[6], H, I),
+            "down": down,
+        },
     }
     pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
     seg = jnp.ones((B, S), jnp.int32)
@@ -127,21 +136,38 @@ def main():
     t = timeit(attn_loop, x)
     print(f"attention sub-block: {t/ITERS*1000:.2f} ms/layer")
 
-    # --- 4. pallas flash attention variant -------------------------------
+    # --- 4. alternate attention impls ------------------------------------
+    for impl in ("pallas", "onepass"):
+
+        @jax.jit
+        def attn_loop_alt(x, impl=impl):
+            def body(_, h):
+                hn = llama._norm(h, lp["input_ln"], cfg)
+                a, _ = llama._attention_block(hn, lp["attn"], cfg, pos, seg, 0, None, impl)
+                return h + a
+
+            return jax.lax.fori_loop(0, ITERS, body, x)
+
+        try:
+            t = timeit(attn_loop_alt, x)
+            print(f"attention sub-block ({impl}): {t/ITERS*1000:.2f} ms/layer")
+        except Exception as e:  # noqa: BLE001
+            print(f"{impl} attention failed: {type(e).__name__}: {e}")
+
+    # --- 5. full layer with the onepass kernel ----------------------------
     @jax.jit
-    def attn_loop_pallas(x):
+    def layer_loop_onepass(x):
         def body(_, h):
-            hn = llama._norm(h, lp["input_ln"], cfg)
-            a, _ = llama._attention_block(hn, lp["attn"], cfg, pos, seg, 0, None, "pallas")
-            return h + a
+            h2, _, _ = llama._decoder_layer(h, lp, cfg, pos, seg, 0, None, "onepass")
+            return h2
 
         return jax.lax.fori_loop(0, ITERS, body, x)
 
-    try:
-        t = timeit(attn_loop_pallas, x)
-        print(f"attention sub-block (pallas): {t/ITERS*1000:.2f} ms/layer")
-    except Exception as e:  # noqa: BLE001
-        print(f"pallas attention failed: {type(e).__name__}: {e}")
+    t = timeit(layer_loop_onepass, x)
+    print(
+        f"full decoder layer (onepass): {t/ITERS*1000:.2f} ms/layer -> "
+        f"{t/ITERS*cfg.num_hidden_layers*1000:.0f} ms for {cfg.num_hidden_layers} layers"
+    )
 
 
 if __name__ == "__main__":

@@ -62,6 +62,17 @@ def causal_attention(
         from spatialrgpt_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, segment_ids=segment_ids, causal=True, window=window)
+    if impl == "onepass":
+        # short-bucket serving prefill: single-softmax-pass kernel with
+        # whole-sequence kv blocks (ops/prefill_attention.py) — no HBM
+        # score tensor, no online-softmax chain.  XLA fallback off-TPU.
+        from spatialrgpt_tpu.ops.flash_attention import _on_tpu
+
+        if _on_tpu():
+            from spatialrgpt_tpu.ops.prefill_attention import onepass_attention
+
+            return onepass_attention(q, k, v, segment_ids=segment_ids, window=window)
+        impl = "xla"
     if impl in ("ulysses", "ring", "hybrid"):
         return _sp_attention(q, k, v, segment_ids, impl)
     if impl != "xla":

@@ -149,3 +149,86 @@ def test_vit_attention_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4, err_msg=f"d{name}"
         )
+
+
+# ---------------------------------------------------------------------------
+# One-pass causal prefill kernel (ops/prefill_attention.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("hq,hk", [(4, 4), (8, 2)])
+def test_onepass_prefill_matches_xla(hq, hk):
+    """One-pass serving-prefill kernel vs the XLA oracle: causal, GQA."""
+    from spatialrgpt_tpu.ops.prefill_attention import onepass_attention
+
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng, 2, 128, hq, hk, 32)
+    got = onepass_attention(q, k, v, interpret=True)
+    exp = causal_attention(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5)
+
+
+def test_onepass_prefill_segments_padding_and_ragged():
+    """Packed segments + trailing padding + ragged (non-128-multiple) S;
+    padded rows come out exactly zero like the XLA path."""
+    from spatialrgpt_tpu.ops.prefill_attention import onepass_attention
+
+    rng = np.random.default_rng(1)
+    q, k, v = _rand_qkv(rng, 2, 100, 4, 2, 32)
+    seg = np.zeros((2, 100), np.int32)
+    seg[0, :40] = 1
+    seg[0, 40:80] = 2  # packed row: two segments + padding tail
+    seg[1, :70] = 1
+    seg = jnp.asarray(seg)
+    got = onepass_attention(q, k, v, segment_ids=seg, interpret=True)
+    exp = causal_attention(q, k, v, segment_ids=seg, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5)
+    assert np.all(np.asarray(got)[0, 80:] == 0.0)
+
+
+def test_onepass_prefill_sliding_window():
+    from spatialrgpt_tpu.ops.prefill_attention import onepass_attention
+
+    rng = np.random.default_rng(2)
+    q, k, v = _rand_qkv(rng, 1, 128, 4, 4, 32)
+    got = onepass_attention(q, k, v, window=16, interpret=True)
+    exp = causal_attention(q, k, v, impl="xla", window=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5)
+
+
+def test_onepass_prefill_gradients_match_xla():
+    """The XLA-recompute VJP reproduces the oracle's gradients (packed
+    segments + GQA), so the kernel is usable in short-bucket training."""
+    from spatialrgpt_tpu.ops.prefill_attention import onepass_attention
+
+    rng = np.random.default_rng(3)
+    q, k, v = _rand_qkv(rng, 2, 128, 4, 2, 16)
+    seg = np.zeros((2, 128), np.int32)
+    seg[0, :90] = 1
+    seg[1, :64] = 1
+    seg[1, 64:128] = 2
+    seg = jnp.asarray(seg)
+
+    def loss_kernel(q, k, v):
+        o = onepass_attention(q, k, v, segment_ids=seg, interpret=True)
+        return jnp.sum(o * o)
+
+    def loss_xla(q, k, v):
+        o = causal_attention(q, k, v, segment_ids=seg, impl="xla")
+        return jnp.sum(o * o)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_onepass_block_q_smaller_than_s():
+    """bq < S exercises the q-block grid dimension (the long-bucket path)."""
+    from spatialrgpt_tpu.ops.prefill_attention import onepass_attention
+
+    rng = np.random.default_rng(4)
+    q, k, v = _rand_qkv(rng, 1, 256, 4, 4, 32)
+    got = onepass_attention(q, k, v, block_q=128, interpret=True)
+    exp = causal_attention(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5)
