@@ -96,6 +96,8 @@ def main():
     eng = ServingEngine(
         params, cfg, num_slots=SLOTS, prompt_bucket=BUCKET,
         max_new_tokens=MAX_NEW, kv_quant=True,
+        # one-pass short-bucket prefill kernel (ops/prefill_attention.py)
+        attn_impl=os.environ.get("SRGPT_BENCH_ATTN", "onepass"),
     )
     reqs = [make_request(cfg, rng, int(rng.integers(48, 128))) for _ in range(REQS)]
 

@@ -136,7 +136,9 @@ def _onepass(q, k, v, segment_ids, sm_scale, window, block_q, interpret):
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
-    bq = min(block_q or 512, s_pad)
+    # default q block: whole bucket for short S, shrunk for long S so the
+    # (bq, S) f32 score + bias tiles stay within VMEM
+    bq = min(block_q or min(512, max(128, (1 << 20) // s_pad)), s_pad)
     while s_pad % bq:
         bq //= 2
 
