@@ -31,8 +31,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# 1024x1024 blocks measured best at the S=4096 training shape (the
+# per-grid-step overhead across (B,H,nq,nk) programs outweighs the finer
+# causal/segment skip granularity of 512 blocks: 4.39 vs 8.75 ms fwd,
+# 11.6 vs 22.0 ms fwd+bwd at B4 H20 D128 — scripts/bench_train_attn.py).
+# Short serving buckets are unaffected: blocks are clamped to S.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 
 
 def _on_tpu() -> bool:
@@ -43,10 +48,16 @@ def _on_tpu() -> bool:
 
 
 def _block_sizes(s_q: int, s_k: int, bq: Optional[int], bk: Optional[int]):
-    bq = bq or min(DEFAULT_BLOCK_Q, s_q)
-    bk = bk or min(DEFAULT_BLOCK_K, s_k)
-    bq = min(bq, s_q)
-    bk = min(bk, s_k)
+    def fit(b, s):
+        b = min(b, s)
+        # default blocks halve until they divide S (e.g. S=1536 -> 512);
+        # explicitly requested blocks must divide exactly (asserted below)
+        while s % b != 0 and b > 128:
+            b //= 2
+        return b
+
+    bq = fit(bq or DEFAULT_BLOCK_Q, s_q) if bq is None else min(bq, s_q)
+    bk = fit(bk or DEFAULT_BLOCK_K, s_k) if bk is None else min(bk, s_k)
     assert s_q % bq == 0, f"seq_q {s_q} % block_q {bq} != 0"
     assert s_k % bk == 0, f"seq_k {s_k} % block_k {bk} != 0"
     return bq, bk
@@ -96,6 +107,19 @@ def _fwd_kernel(
         run = (ki * block_k) <= (qi * block_q + block_q - 1)
         if window:
             run = run & ((qi * block_q) - (ki * block_k + block_k - 1) < window)
+    if qseg_ref is not None:
+        # dynamic cross-segment skip: a kv block whose segment-id range
+        # does not overlap the q block's range has an all-false mask —
+        # exact for any id layout (qs==ks implies range overlap).  With
+        # packed rows (4 samples/row at S=4096) this prunes ~2/3 of the
+        # causally-live blocks.
+        qs_blk = qseg_ref[0]
+        ks_blk = kseg_ref[0]
+        run = run & (
+            (jnp.min(qs_blk) <= jnp.max(ks_blk))
+            & (jnp.min(ks_blk) <= jnp.max(qs_blk))
+            & (jnp.max(qs_blk) > 0)
+        )
 
     @pl.when(run)
     def _body():
@@ -119,8 +143,12 @@ def _fwd_kernel(
             mask = seg if mask is None else (mask & seg)
 
         for h in range(block_h):
-            q = q_ref[0, h].astype(jnp.float32)
-            k = k_ref[0, h].astype(jnp.float32)
+            # native-dtype (bf16) MXU inputs, f32 accumulation: the f32
+            # upcast ran the QK matmul at the ~8x-slower f32 MXU rate and
+            # was the dominant cost of the S=4096 training step
+            # (scripts/bench_train_attn.py: 8.75 -> ~2 ms/call)
+            q = q_ref[0, h]
+            k = k_ref[0, h]
             s = jax.lax.dot_general(
                 q,
                 k,
@@ -187,8 +215,16 @@ def _fwd(
     def qmap(b, h, i, j):
         return (b, h, i, 0)
 
+    def _clamp_k(i, j):
+        # causal: kv blocks past the diagonal are predicated off in the
+        # kernel; clamp their index to the last live block so the pipeline
+        # re-fetches the same block and the DMA is elided
+        if causal:
+            return jnp.minimum(j, (i * block_q + block_q - 1) // block_k)
+        return j
+
     def kvmap(b, h, i, j):
-        return (b, h // group if block_h == 1 else h, j, 0)
+        return (b, h // group if block_h == 1 else h, _clamp_k(i, j), 0)
 
     in_specs = [
         pl.BlockSpec((1, block_h, block_q, D), qmap),
@@ -198,7 +234,9 @@ def _fwd(
     args = [q, k, v]
     if q_seg is not None:
         in_specs.append(pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, i)))
-        in_specs.append(pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, _clamp_k(i, j)))
+        )
         args.append(q_seg[:, None, :])
         args.append(kv_seg[:, None, :])
 
@@ -265,13 +303,23 @@ def _bwd_dkv_kernel(
     run = True
     if causal:
         run = (qi * block_q + block_q - 1) >= (ki * block_k)
+    if qseg_ref is not None:
+        qs_blk = qseg_ref[0]
+        ks_blk = kseg_ref[0]
+        run = run & (
+            (jnp.min(qs_blk) <= jnp.max(ks_blk))
+            & (jnp.min(ks_blk) <= jnp.max(qs_blk))
+            & (jnp.max(qs_blk) > 0)
+        )
 
     @pl.when(run)
     def _body():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        # bf16 MXU inputs, f32 accumulation (flash-attention-2 scheme:
+        # P and dS are cast back to the input dtype for their matmuls)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, 0, :][:, None]  # (bq, 1)
         delta = delta_ref[0, 0, 0, :][:, None]
 
@@ -298,7 +346,8 @@ def _bwd_dkv_kernel(
 
         # dV += P^T dO
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         # dP = dO V^T ; dS = P * (dP - delta)
         dp = jax.lax.dot_general(
@@ -307,7 +356,8 @@ def _bwd_dkv_kernel(
         ds = p * (dp - delta) * sm_scale
         # dK += dS^T Q
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(qi == num_q_blocks - 1)
@@ -331,13 +381,21 @@ def _bwd_dq_kernel(
     run = True
     if causal:
         run = (ki * block_k) <= (qi * block_q + block_q - 1)
+    if qseg_ref is not None:
+        qs_blk = qseg_ref[0]
+        ks_blk = kseg_ref[0]
+        run = run & (
+            (jnp.min(qs_blk) <= jnp.max(ks_blk))
+            & (jnp.min(ks_blk) <= jnp.max(qs_blk))
+            & (jnp.max(qs_blk) > 0)
+        )
 
     @pl.when(run)
     def _body():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, 0, :][:, None]
         delta = delta_ref[0, 0, 0, :][:, None]
 
@@ -366,7 +424,8 @@ def _bwd_dq_kernel(
         )
         ds = p * (dp - delta) * sm_scale
         dq_acc[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(ki == num_k_blocks - 1)
@@ -422,17 +481,26 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, window, block_h, r
         return (b, h, 0, j)
 
     # ---- dk / dv: grid (B, Hq, nk, nq) ----
+    def _clamp_q(i, j):
+        # causal: q blocks strictly above the kv block's diagonal are
+        # predicated off; clamp to the first live q block to elide DMA
+        if causal:
+            return jnp.maximum(j, (i * block_k) // block_q)
+        return j
+
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, j, 0)),  # q
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, _clamp_q(i, j), 0)),
         pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, i, 0)),  # k
         pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, i, 0)),  # v
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, j, 0)),  # do
-        pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, j)),  # lse
-        pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, j)),  # delta
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, _clamp_q(i, j), 0)),
+        pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, _clamp_q(i, j))),
+        pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, _clamp_q(i, j))),
     ]
     args = [q, k, v, do, lse[:, :, None, :], delta[:, :, None, :]]
     if q_seg is not None:
-        in_specs.append(pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, j)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, _clamp_q(i, j)))
+        )
         in_specs.append(pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, i)))
         args.append(q_seg[:, None, :])
         args.append(kv_seg[:, None, :])
@@ -475,10 +543,15 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, window, block_h, r
         dk, dv = dk_per_qhead, dv_per_qhead
 
     # ---- dq: grid (B, Hq, nq, nk) ----
+    def _clamp_kj(i, j):
+        if causal:
+            return jnp.minimum(j, (i * block_q + block_q - 1) // block_k)
+        return j
+
     in_specs = [
         pl.BlockSpec((1, 1, block_q, D), qmap),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, j, 0)),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, j, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, _clamp_kj(i, j), 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, _clamp_kj(i, j), 0)),
         pl.BlockSpec((1, 1, block_q, D), qmap),
         pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
         pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
@@ -486,7 +559,9 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, window, block_h, r
     args = [q, k, v, do, lse[:, :, None, :], delta[:, :, None, :]]
     if q_seg is not None:
         in_specs.append(pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, i)))
-        in_specs.append(pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, _clamp_kj(i, j)))
+        )
         args.append(q_seg[:, None, :])
         args.append(kv_seg[:, None, :])
 

@@ -73,7 +73,12 @@ def _block_attn(
     m = jnp.max(s, axis=-1, keepdims=True)  # (B,H,Sq,1); NEG_INF if empty
     p = jnp.where(mask, jnp.exp(s - jnp.where(m == NEG_INF, 0.0, m)), 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    # native-dtype (bf16) MXU inputs, f32 accumulation — upcasting v ran
+    # the PV matmul at the ~8x-slower f32 MXU rate (same scheme as
+    # ops/flash_attention.py; on f32 inputs this is a no-op)
+    o = jnp.einsum(
+        "bhqk,bkhd->bqhd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
     return m, l, o
 
 
@@ -160,11 +165,26 @@ def _block_bwd(q, kc, vc, g32, lse, delta, mode, q_seg, kv_seg):
     lse_safe = jnp.where(lse == NEG_INF, 0.0, lse)
     p = jnp.where(mask, jnp.exp(s - lse_safe), 0.0)  # (B,H,Sq,Sk)
 
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
+    # bf16 MXU inputs, f32 accumulation (P and dS cast to the input dtype
+    # for their matmuls — flash-attention-2 scheme; no-op on f32 inputs)
+    g_in = g32.astype(q.dtype)
+    dv = jnp.einsum(
+        "bhqk,bqhd->bkhd", p.astype(q.dtype), g_in, preferred_element_type=jnp.float32
+    )
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g_in, v, preferred_element_type=jnp.float32)
     ds = p * (dp - delta)  # delta (B,H,Sq,1)
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * scale
+    dq = (
+        jnp.einsum(
+            "bhqk,bkhd->bqhd", ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    dk = (
+        jnp.einsum(
+            "bhqk,bqhd->bkhd", ds.astype(q.dtype), q, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
     if n_rep > 1:
         sk = kc.shape[1]
         dk = dk.reshape(b, sk, hk, n_rep, d).sum(axis=3)
