@@ -98,6 +98,92 @@ def polygons_to_mask(polygons: Sequence[Sequence[float]], h: int, w: int) -> np.
 
 
 # ---------------------------------------------------------------------------
+# PIL-exact bicubic resampling (numpy)
+# ---------------------------------------------------------------------------
+#
+# The reference preprocessing is PIL bicubic end to end (Image.resize default
+# resample, llava/mm_utils.py:441; HF image processors round-trip numpy
+# arrays through PIL).  PIL Resample.c uses the Keys kernel with a=-0.5, a
+# support window scaled by the downscale factor, per-window weight
+# normalization, and — for 8-bit images — fixed-point int32 coefficients at
+# PRECISION_BITS with an intermediate uint8 image between the horizontal and
+# vertical passes.  cv2.INTER_CUBIC (a=-0.75, no support scaling) diverges by
+# up to ~1.0 in normalized units; this implementation matches PIL's uint8
+# output bit for bit (gated by tests/test_preprocess.py) and extends the
+# same math to float32/multichannel arrays PIL cannot represent.
+
+_PIL_PRECISION_BITS = 32 - 8 - 2  # Pillow src/libImaging/Resample.c
+
+
+def _bicubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    ax = np.abs(x)
+    head = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+    tail = (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a
+    return np.where(ax < 1.0, head, np.where(ax < 2.0, tail, 0.0))
+
+
+def _resample_matrix(in_size: int, out_size: int, support: float = 2.0):
+    """Dense (out_size, in_size) float64 weight matrix of PIL's bicubic
+    coefficients (normalized per clipped window), plus the fixed-point
+    int64 variant used for 8-bit images."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    supp = support * filterscale
+    inv = 1.0 / filterscale
+    m = np.zeros((out_size, in_size), np.float64)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = max(int(center - supp + 0.5), 0)
+        xmax = min(int(center + supp + 0.5), in_size)
+        k = _bicubic_kernel((np.arange(xmin, xmax) - center + 0.5) * inv)
+        m[xx, xmin:xmax] = k / k.sum()
+    # PIL rounds coefficients half-away-from-zero into fixed point
+    v = m * (1 << _PIL_PRECISION_BITS)
+    mi = np.where(v < 0, np.ceil(v - 0.5), np.floor(v + 0.5)).astype(np.int64)
+    return m, mi
+
+
+def _clip8(s: np.ndarray) -> np.ndarray:
+    out = s >> _PIL_PRECISION_BITS
+    out = np.where(s <= 0, 0, out)
+    out = np.where(s >= (256 << _PIL_PRECISION_BITS), 255, out)
+    return out.astype(np.uint8)
+
+
+def pil_bicubic_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Resize (H, W) or (H, W, C) numpy array with PIL-identical bicubic.
+
+    uint8 input reproduces Pillow's fixed-point path exactly (horizontal
+    pass, uint8 intermediate, vertical pass); float input follows Pillow's
+    32-bit-float path (double accumulation, float32 intermediate)."""
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    H, W, C = arr.shape
+    if arr.dtype == np.uint8:
+        bias = 1 << (_PIL_PRECISION_BITS - 1)
+        if W != out_w:
+            _, mh = _resample_matrix(W, out_w)
+            s = np.einsum("vw,hwc->hvc", mh, arr.astype(np.int64)) + bias
+            arr = _clip8(s)
+        if H != out_h:
+            _, mv = _resample_matrix(H, out_h)
+            s = np.einsum("vh,hwc->vwc", mv, arr.astype(np.int64)) + bias
+            arr = _clip8(s)
+    else:
+        work = arr.astype(np.float64)
+        if W != out_w:
+            mh, _ = _resample_matrix(W, out_w)
+            work = np.einsum("vw,hwc->hvc", mh, work).astype(np.float32)
+            work = work.astype(np.float64)
+        if H != out_h:
+            mv, _ = _resample_matrix(H, out_h)
+            work = np.einsum("vh,hwc->vwc", mv, work).astype(np.float32)
+        arr = work.astype(arr.dtype if arr.dtype != np.float64 else np.float32)
+    return arr[:, :, 0] if squeeze else arr
+
+
+# ---------------------------------------------------------------------------
 # Processor
 # ---------------------------------------------------------------------------
 
@@ -123,19 +209,13 @@ class SiglipProcessor:
             arr = np.asarray(self.resize_pil(image) if self.do_resize else image)
             arr = arr.astype(np.float32)
         else:
-            arr = np.asarray(image, np.float32)
+            arr = np.asarray(image)
             if self.do_resize and arr.shape[:2] != (self.size, self.size):
-                if cv2 is not None:
-                    arr = cv2.resize(
-                        arr, (self.size, self.size), interpolation=cv2.INTER_CUBIC
-                    )
-                else:
-                    arr = np.asarray(
-                        Image.fromarray(arr.astype(np.uint8)).resize(
-                            (self.size, self.size), Image.BICUBIC
-                        ),
-                        np.float32,
-                    )
+                # PIL-exact bicubic (the uint8 path is bit-identical to
+                # routing the array through PIL, like HF processors do)
+                src = arr if arr.dtype == np.uint8 else arr.astype(np.float32)
+                arr = pil_bicubic_resize(src, self.size, self.size)
+            arr = arr.astype(np.float32)
         if arr.ndim == 2:
             arr = arr[:, :, None]
         if self.do_rescale:

@@ -98,6 +98,9 @@ class ServingEngine:
 
         self.queue: collections.deque = collections.deque()
         self._ids = itertools.count()
+        # requests whose prefill token already terminated them (eos, or
+        # max_new_tokens == 1); drained by the next step() call
+        self._admit_finished: List[Request] = []
         self._build_fns()
 
     # ------------------------------------------------------------------
@@ -533,9 +536,7 @@ class ServingEngine:
                     jnp.asarray(plen + req.prompt_length, jnp.int32), tok[0],
                 )
                 req.tokens.append(int(tok[0]))
-                self.active[slot] = True
-                self.slot_req[slot] = req
-                self._set_slot_sampling(slot, req)
+                self._activate_or_finish(slot, req)
                 continue
 
             # batch only the front run of plain requests whose modality
@@ -570,9 +571,24 @@ class ServingEngine:
             toks_host = np.asarray(toks)
             for i, req in enumerate(reqs):
                 req.tokens.append(int(toks_host[i]))
-                self.active[slots[i]] = True
-                self.slot_req[slots[i]] = req
-                self._set_slot_sampling(int(slots[i]), req)
+                self._activate_or_finish(int(slots[i]), req)
+
+    def _activate_or_finish(self, slot: int, req: Request) -> None:
+        """Activate the freshly prefilled slot — unless the prefill token
+        already terminated the request.  generate() counts the
+        prefill-sampled token against max_new_tokens and stops on eos
+        (generate.py tokens0/done0); without this check a max_new_tokens=1
+        or instant-eos request would decode at least one extra token."""
+        if (
+            req.tokens[-1] == self.cfg.llm.eos_token_id
+            or len(req.tokens) >= req.max_new_tokens
+        ):
+            req.done = True
+            self._admit_finished.append(req)
+            return
+        self.active[slot] = True
+        self.slot_req[slot] = req
+        self._set_slot_sampling(slot, req)
 
     @staticmethod
     def _key_data(req: Request) -> np.ndarray:
@@ -596,8 +612,10 @@ class ServingEngine:
         num_steps=1, with 1/num_steps the scheduler sync overhead.
         """
         self._admit()
+        finished_at_admit = self._admit_finished
+        self._admit_finished = []
         if not self.active.any():
-            return []
+            return finished_at_admit
         active_mask = jnp.asarray(self.active)
         temps = jnp.asarray(self.slot_temp)
         top_ps = jnp.asarray(self.slot_top_p)
@@ -615,7 +633,7 @@ class ServingEngine:
             )(self.params, self.cache, self.lengths, self.last_token, active_mask,
               temps, top_ps, keys)
             toks_host = np.asarray(toks)
-        finished = []
+        finished = finished_at_admit
         eos = self.cfg.llm.eos_token_id
         for slot in np.flatnonzero(self.active):
             req = self.slot_req[slot]

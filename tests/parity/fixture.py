@@ -8,10 +8,11 @@ GPT2Tokenizer-format byte-level BPE with no merges) and our fast path
 through ``utils/export.save_composite_hf`` in the reference's own directory
 layout, and (c) a SpatialRGPT-Bench-format annotation/image/depth fixture.
 
-All fixture images are pre-sized to the processor resolution so the PIL
-bicubic resize both frameworks apply degenerates to the identity — the
-parity gate then measures the model chain (preprocess normalize -> tower ->
-refine/pool -> splice -> decode), not resize-kernel differences.
+Fixture images are written at NON-native sizes: our numpy preprocess
+reproduces PIL's fixed-point bicubic bit-for-bit
+(data/preprocess.pil_bicubic_resize, gated by test_preprocess.py), so the
+parity gate covers the full chain including the resize kernel — no
+pre-sizing crutch.
 """
 
 from __future__ import annotations
@@ -139,7 +140,8 @@ def export_tiny_checkpoint(root: str) -> str:
 
 
 def write_bench_fixture(root: str) -> dict:
-    """Images/depths at processor resolution + bench-format annotations.
+    """Images/depths at NON-native sizes + bench-format annotations (both
+    frameworks must run their real bicubic resize; ours is PIL-bit-exact).
     Entry 1 has two QA rounds (exercising the accumulated-conversation
     semantics, eval_spatial.py:200-211) and RLE masks; entry 2 uses bbox
     fallback masks."""
@@ -152,21 +154,22 @@ def write_bench_fixture(root: str) -> dict:
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(depth_dir, exist_ok=True)
     rng = np.random.RandomState(7)
-    S = IMAGE_SIZE
+    sizes = [(130, 110), (87, 143)]  # (H, W), both != IMAGE_SIZE
 
-    for i in range(2):
-        img = rng.randint(0, 256, (S, S, 3), dtype=np.uint8)
+    for i, (h, w) in enumerate(sizes):
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
         Image.fromarray(img).save(os.path.join(img_dir, f"img{i}.png"))
-        dep = rng.randint(0, 256, (S, S), dtype=np.uint8)
+        dep = rng.randint(0, 256, (h, w), dtype=np.uint8)
         Image.fromarray(np.stack([dep] * 3, -1)).save(
             os.path.join(depth_dir, f"img{i}.png")
         )
 
-    m0 = np.zeros((S, S), np.uint8)
+    H0, W0 = sizes[0]
+    m0 = np.zeros((H0, W0), np.uint8)
     m0[10:50, 12:44] = 1
-    m1 = np.zeros((S, S), np.uint8)
+    m1 = np.zeros((H0, W0), np.uint8)
     m1[40:90, 55:92] = 1
-    m2 = np.zeros((S, S), np.uint8)
+    m2 = np.zeros((H0, W0), np.uint8)
     m2[5:30, 60:95] = 1
 
     # Contract (implied by llava_arch.py:478-483 mask_embed[:num_mask]):
@@ -175,7 +178,7 @@ def write_bench_fixture(root: str) -> dict:
     annotations = [
         {
             "id": "p0",
-            "image_info": {"file_path": "img0.png", "height": S, "width": S},
+            "image_info": {"file_path": "img0.png", "height": H0, "width": W0},
             "rle": [rle_encode(np.asfortranarray(m)) for m in (m0, m1, m2)],
             "qa_info": {"type": "qualitative", "category": "left_right"},
             "conversations": [
@@ -190,7 +193,11 @@ def write_bench_fixture(root: str) -> dict:
         },
         {
             "id": "p1",
-            "image_info": {"file_path": "img1.png", "height": S, "width": S},
+            "image_info": {
+                "file_path": "img1.png",
+                "height": sizes[1][0],
+                "width": sizes[1][1],
+            },
             "bbox": [[8, 6, 40, 60], [50, 30, 95, 80]],
             "qa_info": {"type": "quantitative", "category": "distance"},
             "conversations": [

@@ -34,7 +34,46 @@ def test_processor_matches_hf(hf_processor):
     img = Image.fromarray(rng.integers(0, 255, (70, 90, 3), np.uint8))
     ours = SiglipProcessor(size=56)(img)
     theirs = hf_processor.preprocess(img, return_tensors="np")["pixel_values"][0]
-    np.testing.assert_allclose(ours.transpose(2, 0, 1), theirs, atol=2e-2, rtol=1e-2)
+    # identical uint8 resample -> only f32 normalize rounding remains
+    np.testing.assert_allclose(ours.transpose(2, 0, 1), theirs, atol=1e-6)
+
+
+def test_processor_numpy_input_matches_hf(hf_processor):
+    """uint8 numpy arrays at non-native sizes must match HF bit-for-bit:
+    HF routes arrays through PIL bicubic; our numpy path reproduces PIL's
+    fixed-point resample exactly (no more cv2 INTER_CUBIC drift)."""
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 255, (70, 90, 3), np.uint8)
+    ours = SiglipProcessor(size=56)(arr)
+    theirs = hf_processor.preprocess(Image.fromarray(arr), return_tensors="np")[
+        "pixel_values"
+    ][0]
+    np.testing.assert_allclose(ours.transpose(2, 0, 1), theirs, atol=1e-6)
+
+
+def test_pil_bicubic_resize_exact():
+    """pil_bicubic_resize == PIL Image.resize(BICUBIC), exact uint8
+    equality, across up/down/asymmetric scales and channel counts."""
+    from spatialrgpt_tpu.data.preprocess import pil_bicubic_resize
+
+    rng = np.random.default_rng(3)
+    cases = [
+        ((100, 60), (56, 56)),   # downscale, non-square input
+        ((40, 40), (384, 384)),  # upscale
+        ((383, 385), (384, 384)),  # near-native odd sizes
+        ((720, 1280), (384, 384)),  # photo-like downscale
+        ((30, 200), (200, 30)),  # extreme aspect swap
+    ]
+    for (h, w), (oh, ow) in cases:
+        for c in (1, 3):
+            arr = rng.integers(0, 256, (h, w, c), np.uint8)
+            pil = Image.fromarray(arr[:, :, 0] if c == 1 else arr)
+            exp = np.asarray(pil.resize((ow, oh), Image.BICUBIC))
+            if c == 1:
+                exp = exp[:, :, None]
+            got = pil_bicubic_resize(arr, oh, ow)
+            assert got.dtype == np.uint8
+            np.testing.assert_array_equal(got, exp, err_msg=f"{(h, w, c)}->{(oh, ow)}")
 
 
 def test_process_image_resize_matches_reference_flow(hf_processor):

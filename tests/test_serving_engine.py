@@ -339,6 +339,41 @@ def test_submit_capacity_overflow_rejected():
     assert len(done) == 1 and len(done[0].tokens) == 4
 
 
+def test_output_length_parity_with_generate():
+    """The prefill-sampled token counts against max_new_tokens and stops
+    on eos, exactly like generate() (tokens0/done0 in generate.py).
+    Regression for the off-by-one where a max_new_tokens=1 request decoded
+    an extra token because the budget check only ran on decode tokens."""
+    import dataclasses
+
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    inputs, plen = _make_request([5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8], 0)
+
+    # max_new_tokens=1: exactly the prefill token, nothing decoded
+    eng = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=4)
+    rid = eng.submit(inputs, plen, max_new_tokens=1)
+    done = eng.run_until_drained(max_steps=10)
+    assert len(done) == 1 and done[0].request_id == rid
+    r = generate(
+        params, CFG, inputs, jnp.asarray([plen], jnp.int32),
+        max_new_tokens=1, temperature=0.0, eos_token_id=-1,
+    )
+    assert done[0].tokens == [int(np.asarray(r.tokens)[0, 0])]
+    assert not eng.active.any()
+
+    # eos at the prefill token: finished at admission, slot never activates
+    tok0 = done[0].tokens[0]
+    cfg_eos = dataclasses.replace(
+        CFG, llm=dataclasses.replace(CFG.llm, eos_token_id=tok0)
+    )
+    eng2 = ServingEngine(params, cfg_eos, num_slots=2, prompt_bucket=32, max_new_tokens=4)
+    rid2 = eng2.submit(inputs, plen, max_new_tokens=4)
+    done2 = eng2.run_until_drained(max_steps=10)
+    assert len(done2) == 1 and done2[0].request_id == rid2
+    assert done2[0].tokens == [tok0]
+    assert not eng2.active.any()
+
+
 def test_sampled_decode_slot_churn_invariant():
     """Per-request sampling streams are keyed by (seed, position), not by
     slot or step count — the same request must emit identical sampled
