@@ -8,10 +8,13 @@ consumes (eval/judge.py).
 TPU-first differences from the reference:
   - prompts are bucketed and decoded in fixed-shape batches inside one
     compiled while_loop (no per-sample HF generate),
-  - depth maps come from a precomputed depth directory (or the
-    Depth-Anything JAX port in models/depth_anything.py when weights are
-    available); the RGB image is reused as fake depth otherwise, matching
-    the training-side fallback (dataset.py:1840-1845).
+  - depth maps follow the reference protocol by default: Depth-Anything
+    (models/depth_anything.py DepthPredictor) runs once per unique image,
+    batched by resized shape, and the colorized uint8x3 map feeds the
+    image processor exactly like eval_spatial.py:192-198.  A precomputed
+    depth folder overrides per image; reusing RGB as fake depth (the
+    training-side fallback, dataset.py:1840-1845) requires the explicit
+    ``depth_source="rgb"`` flag.
 """
 
 from __future__ import annotations
@@ -55,6 +58,12 @@ class BenchConfig:
     w8a8: bool = False  # quantize llm+vision to int8 weights with dynamic
     # int8 activations on expanding kernels (the bench.py serving default;
     # greedy-lossless on the test model — test_w8a8_generate_matches_bf16)
+    depth_source: str = "model"  # "model": run Depth-Anything per unique
+    # image (the reference's ALWAYS-on protocol, eval_spatial.py:92-106);
+    # "rgb": reuse the RGB tensor as fake depth (explicit opt-in only).
+    # A depth_folder, when provided, overrides either source per image.
+    depth_model_path: str = ""  # HF DepthAnythingForDepthEstimation dir
+    # to convert when no predictor instance is passed to run_bench
 
 
 def get_chunk(lst: List, n: int, k: int) -> List:
@@ -123,11 +132,48 @@ def masks_for_line(line: Dict, image_aspect_ratio: str, use_mask: bool) -> List[
     return masks
 
 
-def run_bench(bcfg: BenchConfig, model=None) -> str:
+def _build_depth_predictor(bcfg: BenchConfig, depth_model):
+    """Resolve the eval-time depth source.  Returns a DepthPredictor, or
+    None when depth comes from the folder/rgb paths."""
+    if bcfg.depth_source == "rgb":
+        return None
+    if bcfg.depth_source != "model":
+        raise ValueError(f"unknown depth_source {bcfg.depth_source!r}")
+    if depth_model is not None:
+        return depth_model
+    from spatialrgpt_tpu.models import depth_anything as da
+
+    if bcfg.depth_model_path:
+        import torch
+        from safetensors import safe_open
+
+        dacfg = da.DepthAnythingConfig()
+        path = bcfg.depth_model_path
+        sd = {}
+        st = os.path.join(path, "model.safetensors")
+        if os.path.exists(st):
+            with safe_open(st, framework="pt") as f:
+                sd = {k: f.get_tensor(k) for k in f.keys()}
+        else:
+            sd = torch.load(
+                os.path.join(path, "pytorch_model.bin"), map_location="cpu"
+            )
+        params = da.convert_depth_anything(sd, dacfg)
+        return da.DepthPredictor(params, dacfg)
+    raise ValueError(
+        "depth_source='model' (the reference protocol) needs a depth "
+        "predictor: pass depth_model=, set depth_model_path, or opt out "
+        "explicitly with depth_source='rgb' / a depth_folder covering "
+        "every image"
+    )
+
+
+def run_bench(bcfg: BenchConfig, model=None, depth_model=None) -> str:
     """Execute the benchmark; returns the answers file path.
 
     ``model`` may be a preloaded (tokenizer, params, cfg, processor)
-    tuple to skip checkpoint loading (tests)."""
+    tuple to skip checkpoint loading (tests); ``depth_model`` a
+    DepthPredictor instance (models/depth_anything.py)."""
     if model is None:
         from spatialrgpt_tpu.models.builder import load_pretrained_model
 
@@ -160,22 +206,58 @@ def run_bench(bcfg: BenchConfig, model=None) -> str:
                 (line, qi, prompt, conversations[qi * 2]["value"], conversations[qi * 2 + 1]["value"])
             )
 
+    predictor = None
     for start in range(0, len(work), bcfg.batch_size):
         chunk = work[start : start + bcfg.batch_size]
+
+        # depth inference batch: every unique image in the chunk without a
+        # precomputed depth file runs through Depth-Anything ONCE (the
+        # predictor memoizes by path and batches same-shaped images)
+        need_depth = {}
+        for line, *_ in chunk:
+            fp = line["image_info"]["file_path"]
+            if bcfg.depth_folder and os.path.exists(
+                os.path.join(bcfg.depth_folder, os.path.splitext(fp)[0] + ".png")
+            ):
+                continue
+            if bcfg.depth_source == "model" and fp not in need_depth:
+                need_depth[fp] = os.path.join(bcfg.image_folder, fp)
+        depth_maps: Dict[str, np.ndarray] = {}
+        if need_depth:
+            if predictor is None:
+                predictor = _build_depth_predictor(bcfg, depth_model)
+            from PIL import Image as PILImage
+
+            raws = [
+                np.asarray(PILImage.open(p).convert("RGB"))
+                for p in need_depth.values()
+            ]
+            cols = predictor.predict_colorized(raws, keys=list(need_depth))
+            depth_maps = dict(zip(need_depth, cols))
+
         records = []
         rows = []
         images, depths, mask_stacks, valids = [], [], [], []
         for line, qi, prompt, q_text, gt in chunk:
-            image_path = os.path.join(bcfg.image_folder, line["image_info"]["file_path"])
+            fp = line["image_info"]["file_path"]
+            image_path = os.path.join(bcfg.image_folder, fp)
             image = pp.process_image(image_path, processor, cfg.image_aspect_ratio)
             depth = None
             if bcfg.depth_folder:
                 dp = os.path.join(
-                    bcfg.depth_folder,
-                    os.path.splitext(line["image_info"]["file_path"])[0] + ".png",
+                    bcfg.depth_folder, os.path.splitext(fp)[0] + ".png"
                 )
                 if os.path.exists(dp):
                     depth = pp.process_depth(dp, processor, cfg.image_aspect_ratio)
+            if depth is None and fp in depth_maps:
+                # reference protocol: the colorized map goes through the
+                # IMAGE processor (eval_spatial.py:196-198 process_images)
+                from PIL import Image as PILImage
+
+                depth = pp.process_image(
+                    PILImage.fromarray(depth_maps[fp]), processor,
+                    cfg.image_aspect_ratio,
+                )
             if depth is None:
                 depth = image.copy()
 

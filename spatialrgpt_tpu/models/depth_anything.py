@@ -256,6 +256,97 @@ def colorize_depth(depth: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Eval-time depth predictor (the reference bench protocol)
+# ---------------------------------------------------------------------------
+
+_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def _constrain_to_multiple_of(x: float, multiple: int, min_val: int) -> int:
+    """Depth-Anything's Resize.constrain_to_multiple_of with lower_bound
+    semantics (round to multiple, ceil if under the minimum)."""
+    y = int(round(x / multiple) * multiple)
+    if y < min_val:
+        y = int(np.ceil(x / multiple) * multiple)
+    return y
+
+
+def resize_lower_bound_hw(h: int, w: int, target: int = 518, multiple: int = 14):
+    """The reference depth transform's output size: keep-aspect
+    'lower_bound' scaling so the SHORT side reaches >= target, each dim
+    snapped to a multiple of the patch size (eval_spatial.py:41-52 ->
+    depth_anything.util.transform.Resize)."""
+    scale_h = target / h
+    scale_w = target / w
+    scale = max(scale_h, scale_w)
+    return (
+        _constrain_to_multiple_of(scale * h, multiple, target),
+        _constrain_to_multiple_of(scale * w, multiple, target),
+    )
+
+
+class DepthPredictor:
+    """Batched TPU equivalent of the reference's eval-time depth path
+    (eval_spatial.py:29-57 get_depth_predictor + :92-106 get_depth_map):
+    rescale 1/255 -> keep-aspect lower-bound cv2-cubic resize to a
+    multiple of 14 -> ImageNet normalize -> DA forward -> bilinear
+    (half-pixel) resize back to the original size -> min-max colorize to
+    uint8 x3.  Images with the same resized shape batch into one jitted
+    forward; results are memoized by a caller-supplied key."""
+
+    def __init__(self, params: Params, cfg: DepthAnythingConfig, target: int = 518):
+        self.params = params
+        self.cfg = cfg
+        self.target = target
+        self._cache: Dict[str, np.ndarray] = {}
+        self._fwd = jax.jit(lambda p, x: forward_depth(p, x, cfg))
+
+    def _preprocess(self, raw_image: np.ndarray) -> np.ndarray:
+        img = np.asarray(raw_image, np.float32) / 255.0
+        h, w = img.shape[:2]
+        oh, ow = resize_lower_bound_hw(h, w, self.target, self.cfg.patch_size)
+        if (oh, ow) != (h, w):
+            try:
+                import cv2 as _cv2
+
+                img = _cv2.resize(img, (ow, oh), interpolation=_cv2.INTER_CUBIC)
+            except ImportError:  # pragma: no cover
+                from spatialrgpt_tpu.data.preprocess import pil_bicubic_resize
+
+                img = pil_bicubic_resize(img, oh, ow)
+        return (img - _IMAGENET_MEAN) / _IMAGENET_STD
+
+    def predict_colorized(
+        self, raw_images: Sequence[np.ndarray], keys: Sequence[str] = ()
+    ) -> List[np.ndarray]:
+        """(H, W, 3) uint8 RGB arrays -> colorized uint8 x3 depth maps at
+        the original sizes.  ``keys`` (e.g. file paths) memoize repeats."""
+        keys = list(keys) if keys else [None] * len(raw_images)
+        out: List[np.ndarray] = [None] * len(raw_images)
+        # group uncached images by resized shape so each shape is one
+        # batched device call
+        groups: Dict[tuple, list] = {}
+        for i, (img, key) in enumerate(zip(raw_images, keys)):
+            if key is not None and key in self._cache:
+                out[i] = self._cache[key]
+                continue
+            pre = self._preprocess(np.asarray(img))
+            groups.setdefault(pre.shape, []).append((i, key, np.asarray(img), pre))
+        for shape, items in groups.items():
+            batch = jnp.asarray(np.stack([p for _, _, _, p in items]))
+            depth = self._fwd(self.params, batch)  # (B, h', w')
+            for (i, key, img, _), d in zip(items, depth):
+                oh, ow = img.shape[:2]
+                d = jax.image.resize(d, (oh, ow), method="bilinear")
+                col = np.asarray(colorize_depth(d))
+                out[i] = col
+                if key is not None:
+                    self._cache[key] = col
+        return out
+
+
+# ---------------------------------------------------------------------------
 # Init (training / tests: the metric-head canonical-depth net is fit in
 # JAX directly; real released weights go through convert_depth_anything)
 # ---------------------------------------------------------------------------

@@ -114,6 +114,14 @@ def test_bench_runner_end_to_end(tmp_path):
     ann_file = tmp_path / "ann.json"
     ann_file.write_text(json.dumps(ann))
 
+    # depth_source defaults to "model" (the reference's always-on
+    # Depth-Anything protocol) — run it with a tiny DA predictor
+    from spatialrgpt_tpu.models import depth_anything as da
+    from test_depth_anything import TINY as DA_TINY
+
+    da_params = da.init_params(jax.random.PRNGKey(7), DA_TINY)
+    predictor = da.DepthPredictor(da_params, DA_TINY, target=DA_TINY.patch_size * 4)
+
     bcfg = BenchConfig(
         model_path="",
         annotation_file=str(ann_file),
@@ -125,7 +133,7 @@ def test_bench_runner_end_to_end(tmp_path):
         prompt_bucket=256,
         regions_per_image=2,
     )
-    out = run_bench(bcfg, model=(tok, params, cfg, processor))
+    out = run_bench(bcfg, model=(tok, params, cfg, processor), depth_model=predictor)
     lines = [json.loads(l) for l in open(out)]
     assert len(lines) == 2  # one record per conversation round
     assert lines[0]["gt"] == "1.0 meters"
@@ -133,10 +141,23 @@ def test_bench_runner_end_to_end(tmp_path):
     assert lines[0]["qa_info"]["category"] == "width_data"
     assert isinstance(lines[0]["pred"], str)
 
-    # quantized serving mode through the same loop (W8A8 + int8 KV)
+    # without a predictor the model default must refuse rather than
+    # silently fall back to RGB-as-depth
+    import pytest
+
+    with pytest.raises(ValueError, match="depth_source"):
+        run_bench(
+            dataclasses.replace(
+                bcfg, answers_file=str(tmp_path / "out" / "answers_x.jsonl")
+            ),
+            model=(tok, params, cfg, processor),
+        )
+
+    # quantized serving mode through the same loop (W8A8 + int8 KV);
+    # rgb fallback is an explicit opt-in
     bcfg2 = dataclasses.replace(
         bcfg, answers_file=str(tmp_path / "out" / "answers_q.jsonl"),
-        w8a8=True, kv_quant=True,
+        w8a8=True, kv_quant=True, depth_source="rgb",
     )
     out2 = run_bench(bcfg2, model=(tok, params, cfg, processor))
     lines2 = [json.loads(l) for l in open(out2)]
