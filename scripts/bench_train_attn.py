@@ -25,6 +25,8 @@ H = int(os.environ.get("H", 20))
 D = int(os.environ.get("D", 128))
 BQ = int(os.environ.get("BQ", 0)) or None
 BK = int(os.environ.get("BK", 0)) or None
+BQB = int(os.environ.get("BQB", 0)) or None  # bwd-kernel q block
+BKB = int(os.environ.get("BKB", 0)) or None  # bwd-kernel k block
 BH = int(os.environ.get("BH", 1))
 ITERS = int(os.environ.get("ITERS", 20))
 
@@ -71,7 +73,8 @@ def main():
     g = jax.jit(
         jax.grad(
             lambda q, k, v, s: flash_attention(
-                q, k, v, segment_ids=s, causal=True, block_q=BQ, block_k=BK
+                q, k, v, segment_ids=s, causal=True, block_q=BQ, block_k=BK,
+                block_q_bwd=BQB, block_k_bwd=BKB,
             ).astype(jnp.float32).sum(),
             argnums=(0, 1, 2),
         )

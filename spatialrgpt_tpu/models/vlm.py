@@ -286,9 +286,11 @@ def loss_fn(
     seg_ok = inputs.segment_ids[:, 1:] == inputs.segment_ids[:, :-1]
     valid = (tgt != IGNORE_INDEX) & (inputs.segment_ids[:, 1:] != 0) & seg_ok
     lg = logits[:, :-1].astype(jnp.float32)
-    logp = jax.nn.log_softmax(lg, axis=-1)
+    # lse form of log_softmax-take: only (B, S) tensors materialize beyond
+    # the logits themselves (the full (B, S, V) f32 logp is never built)
+    lse = jax.nn.logsumexp(lg, axis=-1)
     tgt_safe = jnp.where(valid, tgt, 0)
-    tok_logp = jnp.take_along_axis(logp, tgt_safe[..., None], axis=-1)[..., 0]
+    tok_logp = jnp.take_along_axis(lg, tgt_safe[..., None], axis=-1)[..., 0] - lse
     n_valid = jnp.maximum(valid.sum(), 1)
     loss = -(tok_logp * valid).sum() / n_valid
     metrics = {"loss": loss, "num_tokens": n_valid}

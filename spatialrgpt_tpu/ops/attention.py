@@ -59,9 +59,18 @@ def causal_attention(
     window: Optional[int] = None,  # sliding-window attention (mistral)
 ) -> jax.Array:
     if impl == "pallas":
+        import os
+
         from spatialrgpt_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, segment_ids=segment_ids, causal=True, window=window)
+        # bwd-kernel block overrides (trace-time env knobs for the training
+        # block sweep, scripts/bench_train_attn.py / BASELINE.md)
+        bqb = int(os.environ.get("SRGPT_FLASH_BQ_BWD", 0)) or None
+        bkb = int(os.environ.get("SRGPT_FLASH_BK_BWD", 0)) or None
+        return flash_attention(
+            q, k, v, segment_ids=segment_ids, causal=True, window=window,
+            block_q_bwd=bqb, block_k_bwd=bkb,
+        )
     if impl == "onepass":
         # short-bucket serving prefill: single-softmax-pass kernel with
         # whole-sequence kv blocks (ops/prefill_attention.py) — no HBM

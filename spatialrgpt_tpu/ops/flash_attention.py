@@ -443,9 +443,9 @@ def _drop_seg_bwd(kernel, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13)
 )
-def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window, block_h):
+def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window, block_h, block_q_bwd, block_k_bwd):
     out, _ = _fwd(
         q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
@@ -455,7 +455,7 @@ def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret
     return out
 
 
-def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window, block_h):
+def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, interpret, window, block_h, block_q_bwd, block_k_bwd):
     out, lse = _fwd(
         q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
@@ -465,8 +465,13 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k, inter
     return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, window, block_h, res, do):
+def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, window, block_h, block_q_bwd, block_k_bwd, res, do):
     q, k, v, q_seg, kv_seg, out, lse = res
+    # the two bwd kernels have different data-reuse patterns than the fwd
+    # (dkv iterates q blocks innermost, dq iterates kv blocks): their block
+    # shapes are tunable independently (scripts/bench_train_attn.py sweep)
+    block_q = block_q_bwd or block_q
+    block_k = block_k_bwd or block_k
     B, Hq, Sq, D = q.shape
     Hk, Sk = k.shape[1], k.shape[2]
     group = Hq // Hk
@@ -609,6 +614,8 @@ def flash_attention(
     interpret: Optional[bool] = None,
     window: Optional[int] = None,  # sliding-window (mistral); causal only
     block_h: int = 1,  # heads per program (amortizes overhead; fwd only)
+    block_q_bwd: Optional[int] = None,  # bwd-kernel blocks (default: fwd's)
+    block_k_bwd: Optional[int] = None,
 ) -> jax.Array:
     """Flash attention over (B, S, H, D) tensors; differentiable.
 
@@ -620,13 +627,16 @@ def flash_attention(
     if interpret is None:
         interpret = not _on_tpu()
     bq, bk = _block_sizes(S, k.shape[1], block_q, block_k)
+    bqb = bkb = 0
+    if block_q_bwd or block_k_bwd:
+        bqb, bkb = _block_sizes(S, k.shape[1], block_q_bwd or bq, block_k_bwd or bk)
 
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     seg = segment_ids.astype(jnp.int32) if segment_ids is not None else None
 
-    out = _flash(qt, kt, vt, seg, seg, causal, sm_scale, bq, bk, interpret, window or 0, block_h)
+    out = _flash(qt, kt, vt, seg, seg, causal, sm_scale, bq, bk, interpret, window or 0, block_h, bqb, bkb)
     out = jnp.transpose(out, (0, 2, 1, 3))
     if segment_ids is not None:
         out = out * (segment_ids != 0)[:, :, None, None].astype(out.dtype)
