@@ -123,6 +123,65 @@ def tiny_config():
     )
 
 
+def scale_config():
+    """Release-shape synthetic config for the scale-parity fixture
+    (VERDICT r2 #2): the REAL SigLIP-so400m tower dims (27L / hidden 1152 /
+    ffn 4304 / 16 heads / 384px / patch 14 -> 729 tower tokens, the
+    production tokens-per-image contract) on top of a 16-layer hidden-2048
+    GQA decoder (16q/8kv, ffn 5632) — deep/wide enough that bf16
+    accumulation drift across the stack is measured, not extrapolated,
+    while staying runnable on the offline single-core host (~1.2B params).
+    Weights are synthetic (fixed seed); the released checkpoints cannot be
+    fetched offline."""
+    from spatialrgpt_tpu.config import (
+        LlamaConfig,
+        ProjectorConfig,
+        RegionExtractorConfig,
+        SiglipVisionConfig,
+        SpatialRGPTConfig,
+    )
+
+    return SpatialRGPTConfig(
+        llm=LlamaConfig(
+            vocab_size=259,
+            hidden_size=2048,
+            intermediate_size=5632,
+            num_hidden_layers=16,
+            num_attention_heads=16,
+            num_key_value_heads=8,
+            max_position_embeddings=4096,
+            rms_norm_eps=1e-5,
+            rope_theta=500000.0,
+            bos_token_id=1,
+            eos_token_id=2,
+        ),
+        vision=SiglipVisionConfig(),  # stock so400m dims incl. 384px
+        projector=ProjectorConfig(mm_hidden_size=1152, hidden_size=2048),
+        region=RegionExtractorConfig(mm_hidden_size=1152, hidden_size=2048),
+        mask_token_id=259,
+        depth_token_id=260,
+        image_aspect_ratio="resize",
+        model_max_length=4096,
+        num_extra_tokens=2,
+    )
+
+
+def export_scale_checkpoint(root: str) -> str:
+    """Init scale-fixture params (fixed seed, f32 master so both frameworks
+    cast identically) and write the reference-layout composite checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from spatialrgpt_tpu.models import vlm
+    from spatialrgpt_tpu.utils.export import save_composite_hf
+
+    cfg = scale_config()
+    params = vlm.init_params(jax.random.PRNGKey(TINY_SEED), cfg, dtype=jnp.float32)
+    save_composite_hf(root, params, cfg)
+    write_byte_tokenizer(os.path.join(root, "llm"))
+    return root
+
+
 def export_tiny_checkpoint(root: str) -> str:
     """Init tiny params (fixed seed) and write the reference-layout HF
     composite checkpoint + tokenizer.  Returns ``root``."""

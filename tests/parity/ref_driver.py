@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--logits-out", default="")
     ap.add_argument("--conv-mode", default="v1")
     ap.add_argument("--max-new", type=int, default=12)
+    ap.add_argument(
+        "--dtype",
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="model compute dtype (the scale-parity fixture runs bf16 legs "
+        "to measure accumulated release-shape drift, PARITY.md)",
+    )
     args = ap.parse_args()
 
     import torch
@@ -72,11 +79,12 @@ def main():
     from llava.model.language_model.llava_llama import LlavaLlamaModel
     from pycocotools import mask as cocomask  # the _stubs RLE shim
 
+    dtype = {"float32": torch.float32, "bfloat16": torch.bfloat16}[args.dtype]
     cfg = AutoConfig.from_pretrained(args.ckpt)
     cfg.resume_path = args.ckpt
-    cfg.model_dtype = "torch.float32"
+    cfg.model_dtype = f"torch.{args.dtype}"
     cfg._name_or_path = args.ckpt
-    model = LlavaLlamaModel(config=cfg).eval()
+    model = LlavaLlamaModel(config=cfg).eval().to(dtype)
     tokenizer = model.tokenizer
     image_processor = model.vision_tower.image_processor
 
@@ -125,7 +133,7 @@ def main():
                 ][0]
                 for m in masks
             ]
-            masks_t = torch.vstack(pts).float()
+            masks_t = torch.vstack(pts).to(dtype)
         else:
             masks_t = None
 
@@ -135,8 +143,8 @@ def main():
         )
         depth = Image.open(depth_path).convert("RGB")
 
-        images_tensor = process_images([image], image_processor, model.config).float()
-        depths_tensor = process_images([depth], image_processor, model.config).float()
+        images_tensor = process_images([image], image_processor, model.config).to(dtype)
+        depths_tensor = process_images([depth], image_processor, model.config).to(dtype)
 
         conv = conv_templates[args.conv_mode].copy()
         conversations = line["conversations"]
@@ -181,6 +189,11 @@ def main():
                     logits = model.llm(inputs_embeds=inputs_embeds).logits
                     logit_dumps[f"{line['id']}_r{qi}"] = (
                         logits[0, -1].float().numpy()
+                    )
+                    # spliced pre-decoder embeddings: localizes any drift
+                    # to towers/projector/region/splice vs the decoder
+                    logit_dumps[f"{line['id']}_r{qi}_embeds"] = (
+                        inputs_embeds[0].float().numpy()
                     )
 
             text = tokenizer.batch_decode(out, skip_special_tokens=True)[0].strip()
