@@ -37,9 +37,14 @@ import os
 import subprocess
 import sys
 
-# a CPU measurement (the TPU chip stays free for the serving/train benches);
-# must be set before any jax import
+# a CPU measurement (the TPU chip stays free for the serving/train benches).
+# The environment preloads jax with the TPU platform plugin, so the env var
+# alone is too late — steer via jax.config right after import (conftest.py
+# does the same for the test suite).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.abspath(os.path.join(_HERE, ".."))

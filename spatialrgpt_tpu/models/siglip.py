@@ -103,7 +103,10 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
 
     from spatialrgpt_tpu.ops.flash_attention import _on_tpu
 
-    if _on_tpu() and S >= 256:
+    if _on_tpu() and S >= 256 and q.dtype == jnp.bfloat16:
+        # (bf16-only: the kernel's whole-row VMEM residency is sized for
+        # 2-byte elements — f32 inputs exceed the scoped-vmem limit at
+        # so400m shapes and belong on the XLA path, e.g. fp32 parity legs)
         # layout-specialized one-pass kernel (ops/vit_attention.py): bf16
         # MXU inputs, no online-softmax state, additive pad bias.  15.6 ms
         # vs 20.7 (generic flash as previously wired) vs 41.0 (XLA
