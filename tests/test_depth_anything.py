@@ -127,6 +127,7 @@ def test_resize_lower_bound_matches_reference_transform():
     assert resize_lower_bound_hw(518, 518) == (518, 518)
 
 
+@pytest.mark.slow
 def test_depth_predictor_matches_reference_colorize_flow():
     """DepthPredictor output == the reference get_depth_map flow
     (eval_spatial.py:92-106) run step by step on the same JAX forward:

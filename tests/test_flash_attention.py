@@ -54,6 +54,7 @@ def test_fwd_gqa_and_segments():
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_grads_match_xla():
     rng = np.random.default_rng(2)
     q, k, v = _rand_qkv(rng, 1, 128, 4, 2, 32)
@@ -196,6 +197,7 @@ def test_onepass_prefill_sliding_window():
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_onepass_prefill_gradients_match_xla():
     """The XLA-recompute VJP reproduces the oracle's gradients (packed
     segments + GQA), so the kernel is usable in short-bucket training."""

@@ -66,6 +66,7 @@ def test_logits_parity(torch_llama):
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_packed_segments_match_separate_rows(torch_llama):
     """Two sequences packed into one row with segment ids must produce the
     same logits as the two rows run separately."""
@@ -101,6 +102,7 @@ def test_packed_segments_match_separate_rows(torch_llama):
     np.testing.assert_allclose(packed[0, 7:12], separate[1], atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_kv_cache_decode_matches_full_forward(torch_llama):
     """Prefill + token-by-token decode must reproduce the full-sequence
     forward logits at every position."""

@@ -101,6 +101,7 @@ def test_quantize_llm_act_quant_marks_all_kernels():
     assert (jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_dpo_loss_prefers_chosen():
     from spatialrgpt_tpu.train.dpo import dpo_loss
 
@@ -174,6 +175,7 @@ def test_quantized_linear_transparent_forward():
     assert (jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_preference_dataset_and_dpo_step(tmp_path):
     """DPO end-to-end pieces behind the train CLI --dpo_enable branch:
     PreferenceDataset pairs -> Collator -> make_dpo_step updates the

@@ -64,6 +64,7 @@ def test_mistral_parity_with_sliding_window():
     np.testing.assert_allclose(got, expected, atol=3e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_gemma_parity():
     import torch
     from transformers import GemmaConfig, GemmaForCausalLM
@@ -107,6 +108,7 @@ def test_gemma_parity():
     np.testing.assert_allclose(got, expected, atol=5e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_mixtral_parity():
     import torch
     from transformers import MixtralConfig, MixtralForCausalLM
@@ -151,6 +153,7 @@ def test_mixtral_parity():
     np.testing.assert_allclose(got, expected, atol=5e-4, rtol=3e-3)
 
 
+@pytest.mark.slow
 def test_moe_sparse_matches_dense():
     """Grouped-GEMM sparse MoE (lax.ragged_dot, models/llama.py::
     _moe_block_sparse) must reproduce the dense reference execution:

@@ -75,6 +75,7 @@ def _queries(rng, nq=3, T=8):
     return ids, mask
 
 
+@pytest.mark.slow
 def test_owlvit_detection_parity(hf_owl):
     import torch
 
@@ -100,6 +101,7 @@ def test_owlvit_detection_parity(hf_owl):
     np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_make_detector_contract(hf_owl):
     """detector(image, classes) -> [(label, xyxy within image, score>th)]."""
     params = convert_owlvit(hf_owl.state_dict(), TINY)
@@ -129,6 +131,7 @@ def test_make_detector_contract(hf_owl):
     assert det_hi(img, ["cat"]) == []
 
 
+@pytest.mark.slow
 def test_owlvit_init_structure(hf_owl):
     params = init_params(jax.random.PRNGKey(0), TINY)
     conv = convert_owlvit(hf_owl.state_dict(), TINY)

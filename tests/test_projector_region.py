@@ -188,6 +188,7 @@ def test_extract_regions_shapes_and_projectors():
     np.testing.assert_allclose(np.asarray(mask_embeds[0]), expected, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_refine_and_pool_chunked_matches_unchunked():
     """vlm._refine_and_pool chunks refinement over images at large N (the
     serving HBM-peak fix); results must be identical to the direct path."""

@@ -2,6 +2,7 @@
 splice (models/vlm.py)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,6 +128,7 @@ def _make_inputs(sb, n_images=1, n_regions=2):
     )
 
 
+@pytest.mark.slow
 def test_vlm_splice_places_embeds_correctly():
     ids = np.array([5, IMAGE_TOKEN_INDEX, 60, 61, 8], np.int64)
     sb = expand_rows(
