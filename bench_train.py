@@ -45,6 +45,7 @@ STAGE = os.environ.get("SRGPT_TRAIN_BENCH_STAGE", "align")  # align | qlora
 BATCH = int(os.environ.get("SRGPT_TRAIN_BENCH_BATCH", 4))
 SEQ = int(os.environ.get("SRGPT_TRAIN_BENCH_SEQ", 4096))
 REMAT = os.environ.get("SRGPT_TRAIN_BENCH_REMAT", "1") == "1"
+QUANT = os.environ.get("SRGPT_TRAIN_BENCH_QUANT", "0") == "1"  # W8A8 frozen backbone
 N_REGIONS = 2
 SAMPLES_PER_ROW = 4
 
@@ -148,12 +149,37 @@ def main():
             tune_region_extractor=True,
             total_steps=100,
         )
-        optimizer = build_optimizer(params, ocfg)
-        state = create_train_state(params, optimizer)
-        step_fn = make_train_step(
-            cfg, optimizer, attn_impl=attn, remat=REMAT, frozen=("llm", "vision"),
-            donate=True,
-        )
+        if QUANT:  # W8A8 frozen backbone (QLoRA-style treatment of the
+            # align stage): the frozen decoder+towers run on the int8 MXU
+            # path fwd + remat-recompute; dX flows via the STE backward
+            # (ops/layers._w8a8_dot). SRGPT_TRAIN_BENCH_QUANT=1.
+            from spatialrgpt_tpu.ops.quant import quantize_llm
+            from spatialrgpt_tpu.train.step import make_frozen_base_train_step
+
+            base = dict(params)
+            trainable = {
+                "projector": base.pop("projector"),
+                "region": base.pop("region"),
+            }
+            base["llm"] = quantize_llm(base["llm"], act_quant=True)
+            base["vision"] = quantize_llm(base["vision"], act_quant=True)
+            # drop the bf16 backbone: params["llm"/"vision"] would otherwise
+            # keep the 6.3 GB bf16 tree alive next to the int8 copy -> OOM
+            del params
+            jax.block_until_ready(base["llm"]["final_ln"])
+            optimizer = build_optimizer(trainable, ocfg)
+            state = create_train_state(trainable, optimizer)
+            frozen_step = make_frozen_base_train_step(
+                cfg, optimizer, attn_impl=attn, remat=REMAT, donate=True
+            )
+            step_fn = lambda s, b: frozen_step(s, base, b)
+        else:
+            optimizer = build_optimizer(params, ocfg)
+            state = create_train_state(params, optimizer)
+            step_fn = make_train_step(
+                cfg, optimizer, attn_impl=attn, remat=REMAT, frozen=("llm", "vision"),
+                donate=True,
+            )
     batch = build_batch(cfg, rng)
 
     t0 = time.time()
@@ -180,19 +206,20 @@ def main():
     if os.environ.get("SRGPT_TRAIN_BENCH_STAGES") == "1" and STAGE == "align":
         # decompose the step: tower/region/splice fwd, full fwd loss;
         # bwd+opt is the remainder (optimizer is projector+region only)
+        full = {**base, **state.params} if QUANT else state.params
         embed_fn = jax.jit(lambda p, b: vlm.prepare_embeds(p, cfg, b))
-        e = embed_fn(state.params, batch)
+        e = embed_fn(full, batch)
         device_sync(e)
         stages["prepare_embeds_s"] = round(
-            time_fn(lambda: embed_fn(state.params, batch), iters=3, warmup=1), 4
+            time_fn(lambda: embed_fn(full, batch), iters=3, warmup=1), 4
         )
         fwd_fn = jax.jit(
             lambda p, b: vlm.loss_fn(p, cfg, b, attn_impl=attn)[0]
         )
-        l = fwd_fn(state.params, batch)
+        l = fwd_fn(full, batch)
         device_sync(l)
         stages["fwd_loss_s"] = round(
-            time_fn(lambda: fwd_fn(state.params, batch), iters=3, warmup=1), 4
+            time_fn(lambda: fwd_fn(full, batch), iters=3, warmup=1), 4
         )
         stages["bwd_opt_s"] = round(step_s - stages["fwd_loss_s"], 4)
 
@@ -208,7 +235,8 @@ def main():
         json.dumps(
             {
                 "metric": f"{STAGE}-step tokens/sec/chip ({MODEL}, batch {BATCH}x{SEQ}, "
-                f"{SAMPLES_PER_ROW} samples/row, RGB+depth, 2 regions)",
+                f"{SAMPLES_PER_ROW} samples/row, RGB+depth, 2 regions"
+                + (", w8a8 frozen backbone" if QUANT else "") + ")",
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
                 "step_s": round(step_s, 4),

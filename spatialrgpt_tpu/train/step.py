@@ -162,6 +162,47 @@ def make_lora_train_step(
     return train_step
 
 
+def make_frozen_base_train_step(
+    cfg: SpatialRGPTConfig,
+    optimizer: optax.GradientTransformation,
+    attn_impl: str = "xla",
+    remat: bool = False,
+    donate: bool = True,
+):
+    """Align-style step over a *materially* frozen base: ``state.params``
+    holds only the trainable modules (projector/region in the stage-1
+    align, reference train.py:609-629 tune_mm_mlp_adapter); ``frozen``
+    holds everything else — including int8/W8A8-quantized decoders and
+    towers (ops/quant.quantize_llm(act_quant=True)), whose integer leaves
+    cannot sit inside value_and_grad's differentiated tree.
+
+    With a W8A8 frozen decoder the forward and the remat recompute run on
+    the int8 MXU path (2x bf16 peak) while dX flows through the
+    straight-through backward (ops/layers._w8a8_dot) — the QLoRA-style
+    memory/speed treatment applied to the align stage.
+
+    Signature: train_step(state, frozen, batch) -> (state, metrics).
+    """
+
+    def loss_fn(trainable, frozen, batch: vlm.VLMInputs):
+        params = dict(jax.lax.stop_gradient(frozen))
+        params.update(trainable)
+        return vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl, remat=remat)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, frozen, batch: vlm.VLMInputs):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen, batch
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_opt), metrics
+
+    return train_step
+
+
 def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place params + optimizer state with FSDP sharding over the mesh."""
     params = mesh_lib.shard_params(state.params, mesh)

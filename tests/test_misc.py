@@ -231,3 +231,117 @@ def test_preference_dataset_and_dpo_step(tmp_path):
         lambda a, b: float(jnp.abs(a - b).max()), new_state.ref_params, ref
     )
     assert max(jax.tree_util.tree_leaves(same)) == 0
+
+
+def test_w8a8_dot_ste_gradient_matches_dequant_oracle():
+    """The straight-through backward of the W8A8 MXU dot (ops/layers._w8a8_dot)
+    must equal the gradient of x @ dequant(W): the align/QLoRA training
+    paths differentiate *through* frozen W8A8 layers to reach the tuned
+    projector, so dx must be the dequantized-weight matmul, not the zero
+    that round/clip would otherwise propagate."""
+    from spatialrgpt_tpu.ops.layers import _w8a8_dot
+    from spatialrgpt_tpu.ops.quant import dequantize
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((48, 80)), jnp.float32)
+    qw = quantize_int8(w, act_quant=True)
+    x = jnp.asarray(rng.standard_normal((6, 48)), jnp.bfloat16)
+    co = jnp.asarray(rng.standard_normal((6, 80)), jnp.float32)
+
+    g_ste = jax.grad(lambda x: (_w8a8_dot(x, qw["q"], qw["scale"]) * co).sum())(x)
+    wd = dequantize(qw, jnp.bfloat16)
+    g_ref = jax.grad(
+        lambda x: (jnp.dot(x, wd, preferred_element_type=jnp.float32) * co).sum()
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_ste, np.float32), np.asarray(g_ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
+def _tiny_align_batch():
+    from spatialrgpt_tpu.constants import IGNORE_INDEX
+    from spatialrgpt_tpu.data.splice import expand_rows
+    from tests.test_splice import TINY, TOKENS_PER_IMAGE, _make_inputs
+
+    ids = np.array([5, -200, 60, 61, 8, 9, 10, 12, 13], np.int64)
+    ids[1] = __import__("spatialrgpt_tpu.constants", fromlist=["IMAGE_TOKEN_INDEX"]).IMAGE_TOKEN_INDEX
+    labels = np.where(np.isin(ids, [8, 9, 10, 12, 13]), ids, IGNORE_INDEX)
+    sb = expand_rows(
+        [ids], [labels], max_len=64, tokens_per_image=TOKENS_PER_IMAGE,
+        mask_token_id=60, depth_token_id=61, regions_per_image=2,
+    )
+    return TINY, _make_inputs(sb)
+
+
+def test_frozen_base_w8a8_align_step_gradient_fidelity():
+    """make_frozen_base_train_step with a W8A8-quantized frozen backbone:
+    the projector/region gradients must stay directionally aligned with
+    the bf16 align step's (cosine > 0.95 per major leaf) — the W8A8
+    training treatment (bench_train.py SRGPT_TRAIN_BENCH_QUANT=1) changes
+    numerics QLoRA-style, not the training signal."""
+    from spatialrgpt_tpu.train.optimizer import OptimizerConfig, build_optimizer
+    from spatialrgpt_tpu.train.step import (
+        create_train_state, make_frozen_base_train_step, make_train_step,
+    )
+    cfg, batch = _tiny_align_batch()
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+    def grads_bf16():
+        def loss(p):
+            p = {k: (jax.lax.stop_gradient(v) if k in ("llm", "vision") else v)
+                 for k, v in p.items()}
+            return vlm.loss_fn(p, cfg, batch)[0]
+        g = jax.grad(loss)(params)
+        return g["projector"], g["region"]
+
+    def grads_w8a8():
+        base = dict(params)
+        trainable = {"projector": base.pop("projector"), "region": base.pop("region")}
+        base["llm"] = quantize_llm(base["llm"], act_quant=True)
+        base["vision"] = quantize_llm(base["vision"], act_quant=True)
+
+        def loss(t):
+            p = dict(jax.lax.stop_gradient(base))
+            p.update(t)
+            return vlm.loss_fn(p, cfg, batch)[0]
+        g = jax.grad(loss)(trainable)
+        return g["projector"], g["region"]
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads_bf16()),
+                    jax.tree_util.tree_leaves(grads_w8a8())):
+        af = np.asarray(a, np.float64).ravel()
+        bf = np.asarray(b, np.float64).ravel()
+        na, nb = np.linalg.norm(af), np.linalg.norm(bf)
+        if na < 1e-9 and nb < 1e-9:
+            continue
+        cos = float(af @ bf / max(na * nb, 1e-12))
+        assert cos > 0.95, (a.shape, cos)
+
+
+def test_frozen_base_train_step_runs_and_updates():
+    """End-to-end step through make_frozen_base_train_step: loss finite,
+    trainable params move, frozen int8 base untouched."""
+    from spatialrgpt_tpu.train.optimizer import OptimizerConfig, build_optimizer
+    from spatialrgpt_tpu.train.step import create_train_state, make_frozen_base_train_step
+    cfg, batch = _tiny_align_batch()
+    params = vlm.init_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    base = dict(params)
+    trainable = {"projector": base.pop("projector"), "region": base.pop("region")}
+    base["llm"] = quantize_llm(base["llm"], act_quant=True)
+    ocfg = OptimizerConfig(
+        learning_rate=1e-3, tune_mm_projector=True, tune_region_extractor=True,
+        tune_language_model=False, tune_vision_tower=False, total_steps=10,
+    )
+    optimizer = build_optimizer(trainable, ocfg)
+    state = create_train_state(trainable, optimizer)
+    step = make_frozen_base_train_step(cfg, optimizer, donate=False)
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.params)
+    state2, metrics = step(state, base, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(state2.params))
+    )
+    assert moved
