@@ -45,7 +45,10 @@ STAGE = os.environ.get("SRGPT_TRAIN_BENCH_STAGE", "align")  # align | qlora
 BATCH = int(os.environ.get("SRGPT_TRAIN_BENCH_BATCH", 4))
 SEQ = int(os.environ.get("SRGPT_TRAIN_BENCH_SEQ", 4096))
 REMAT = os.environ.get("SRGPT_TRAIN_BENCH_REMAT", "1") == "1"
-QUANT = os.environ.get("SRGPT_TRAIN_BENCH_QUANT", "0") == "1"  # W8A8 frozen backbone
+CE_CHUNK = int(os.environ.get("SRGPT_TRAIN_BENCH_CE_CHUNK", 1024))  # 0 = unchunked
+_QUANT_ENV = os.environ.get("SRGPT_TRAIN_BENCH_QUANT", "0")
+QUANT = _QUANT_ENV in ("1", "2")  # W8A8 frozen backbone
+QUANT_BWD8 = _QUANT_ENV == "2"  # + int8 dx backward (SwitchBack-style)
 N_REGIONS = 2
 SAMPLES_PER_ROW = 4
 
@@ -137,7 +140,7 @@ def main():
         ocfg = OptimizerConfig(learning_rate=2e-5, total_steps=100)
         optimizer = build_optimizer(trainable, ocfg)
         state = create_train_state(trainable, optimizer)
-        lora_step = make_lora_train_step(cfg, optimizer, lcfg, attn_impl=attn, remat=REMAT)
+        lora_step = make_lora_train_step(cfg, optimizer, lcfg, attn_impl=attn, remat=REMAT, ce_chunk=CE_CHUNK)
         step_fn = lambda s, b: lora_step(s, base, b)
     else:
         # stage-1 align: freeze llm + vision tower, tune projector (+ region), lr 1e-3
@@ -156,6 +159,10 @@ def main():
             from spatialrgpt_tpu.ops.quant import quantize_llm
             from spatialrgpt_tpu.train.step import make_frozen_base_train_step
 
+            if QUANT_BWD8:
+                from spatialrgpt_tpu.ops.layers import enable_int8_backward
+
+                enable_int8_backward(True)
             base = dict(params)
             trainable = {
                 "projector": base.pop("projector"),
@@ -170,7 +177,8 @@ def main():
             optimizer = build_optimizer(trainable, ocfg)
             state = create_train_state(trainable, optimizer)
             frozen_step = make_frozen_base_train_step(
-                cfg, optimizer, attn_impl=attn, remat=REMAT, donate=True
+                cfg, optimizer, attn_impl=attn, remat=REMAT, donate=True,
+                ce_chunk=CE_CHUNK,
             )
             step_fn = lambda s, b: frozen_step(s, base, b)
         else:
@@ -178,7 +186,7 @@ def main():
             state = create_train_state(params, optimizer)
             step_fn = make_train_step(
                 cfg, optimizer, attn_impl=attn, remat=REMAT, frozen=("llm", "vision"),
-                donate=True,
+                donate=True, ce_chunk=CE_CHUNK,
             )
     batch = build_batch(cfg, rng)
 
@@ -214,7 +222,7 @@ def main():
             time_fn(lambda: embed_fn(full, batch), iters=3, warmup=1), 4
         )
         fwd_fn = jax.jit(
-            lambda p, b: vlm.loss_fn(p, cfg, b, attn_impl=attn)[0]
+            lambda p, b: vlm.loss_fn(p, cfg, b, attn_impl=attn, ce_chunk=CE_CHUNK)[0]
         )
         l = fwd_fn(full, batch)
         device_sync(l)
@@ -236,7 +244,7 @@ def main():
             {
                 "metric": f"{STAGE}-step tokens/sec/chip ({MODEL}, batch {BATCH}x{SEQ}, "
                 f"{SAMPLES_PER_ROW} samples/row, RGB+depth, 2 regions"
-                + (", w8a8 frozen backbone" if QUANT else "") + ")",
+                + ((", w8a8 frozen backbone" + (" + int8 bwd" if QUANT_BWD8 else "")) if QUANT else "") + ")",
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
                 "step_s": round(step_s, 4),

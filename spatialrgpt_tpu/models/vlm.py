@@ -269,12 +269,66 @@ def loss_fn(
     inputs: VLMInputs,
     attn_impl: str = "xla",
     remat: bool = False,
+    ce_chunk: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Next-token cross entropy with IGNORE_INDEX masking, mean over valid
     target tokens (HF CausalLM shift-loss semantics).  MoE decoders add
     router_aux_loss_coef x load-balancing loss (the reference's
-    load_balancing_loss_func, modeling_mixtral_long_context.py:75-140)."""
+    load_balancing_loss_func, modeling_mixtral_long_context.py:75-140).
+
+    ``ce_chunk > 0`` computes the CE per sequence chunk under a
+    rematerialized scan: the (B, S, V) logits never exist — per chunk the
+    lm_head matmul, logsumexp and target gather run and die (fwd), and the
+    backward recomputes them chunk-wise to form d(hidden) incrementally.
+    At B4-8 x S4096 x V32000 this removes the step's largest activations
+    (f32 + bf16 logits, 3-7 GB) for ~zero extra time — the recompute is
+    one extra lm_head matmul (<2%% of step FLOPs).  Same math as the
+    unchunked lse form; exact equality is test-gated."""
     aux = None
+    if ce_chunk and not cfg.llm.is_moe:
+        embeds = prepare_embeds(params, cfg, inputs)
+        h, _ = llama.forward(
+            params["llm"], cfg.llm, inputs_embeds=embeds,
+            position_ids=inputs.position_ids, segment_ids=inputs.segment_ids,
+            attn_impl=attn_impl, remat=remat,
+        )
+        B, S = inputs.labels.shape
+        if S % ce_chunk:
+            raise ValueError(f"ce_chunk {ce_chunk} must divide S {S}")
+        # shift applied up front so chunks are self-contained: target at
+        # position t is labels[t+1]; position S-1 (and segment ends) invalid
+        tgt = jnp.concatenate(
+            [inputs.labels[:, 1:], jnp.full((B, 1), IGNORE_INDEX, inputs.labels.dtype)],
+            axis=1,
+        )
+        seg_ok = jnp.concatenate(
+            [inputs.segment_ids[:, 1:] == inputs.segment_ids[:, :-1],
+             jnp.zeros((B, 1), bool)], axis=1,
+        )
+        seg_nz = jnp.concatenate(
+            [inputs.segment_ids[:, 1:] != 0, jnp.zeros((B, 1), bool)], axis=1
+        )
+        valid = (tgt != IGNORE_INDEX) & seg_nz & seg_ok
+        n_chunks = S // ce_chunk
+        h_c = h.reshape(B, n_chunks, ce_chunk, -1).swapaxes(0, 1)
+        tgt_c = tgt.reshape(B, n_chunks, ce_chunk).swapaxes(0, 1)
+        val_c = valid.reshape(B, n_chunks, ce_chunk).swapaxes(0, 1)
+
+        def body(carry, xs):
+            hc, tc, vc = xs
+            lg = llama.logits(params["llm"], hc, cfg.llm)  # (B, C, V) f32
+            lse = jax.nn.logsumexp(lg, axis=-1)
+            tok = jnp.take_along_axis(
+                lg, jnp.where(vc, tc, 0)[..., None], axis=-1
+            )[..., 0] - lse
+            return carry + (tok * vc).sum(), None
+
+        total, _ = jax.lax.scan(
+            jax.checkpoint(body), jnp.zeros((), jnp.float32), (h_c, tgt_c, val_c)
+        )
+        n_valid = jnp.maximum(valid.sum(), 1)
+        loss = -total / n_valid
+        return loss, {"loss": loss, "num_tokens": n_valid}
     if cfg.llm.is_moe:
         logits, aux = forward(
             params, cfg, inputs, attn_impl=attn_impl, remat=remat, with_aux=True

@@ -46,16 +46,44 @@ def _w8a8_dot_fwd(x, q, scale):
     return _w8a8_dot(x, q, scale), (q, scale, jnp.zeros((0,), x.dtype))
 
 
+_W8A8_INT8_BWD = False  # set by enable_int8_backward(); module-level because
+# it selects which vjp math traces — flip BEFORE tracing the train step
+
+
+def enable_int8_backward(on: bool = True) -> None:
+    """Run the W8A8 STE backward's dx matmul on the int8 MXU too
+    (SwitchBack-style): fold the weight's per-channel scale into dy,
+    re-quantize per-token, int8 x int8 dot against the stored q.  2x the
+    bf16 backward rate at ~0.4% extra relative gradient noise (gated by
+    the cosine-fidelity test).  Affects subsequently TRACED train steps."""
+    global _W8A8_INT8_BWD
+    _W8A8_INT8_BWD = on
+
+
 def _w8a8_dot_bwd(res, dy):
     q, scale, xwit = res
     xdtype = xwit.dtype
-    # bf16 MXU backward (mixed-precision standard; dy arrives f32 from the
-    # fp32-accumulated forward)
-    w = (q.astype(jnp.float32) * scale.astype(jnp.float32)).astype(jnp.bfloat16)
-    dx = jax.lax.dot_general(
-        dy.astype(jnp.bfloat16), w, (((dy.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(xdtype)
+    if _W8A8_INT8_BWD:
+        # dx_j = sum_k dy_k * q_jk * scale_k: the per-OUTPUT-channel weight
+        # scale varies over the contracted axis, so fold it into dy first,
+        # then dynamic per-token int8 re-quantization of the scaled dy
+        dyf = dy.astype(jnp.float32) * scale.astype(jnp.float32)  # (..., dout)
+        gmax = jnp.max(jnp.abs(dyf), axis=-1, keepdims=True)
+        gscale = jnp.maximum(gmax / 127.0, 1e-30)
+        dyq = jnp.clip(jnp.round(dyf / gscale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            dyq, q, (((dyq.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dx = (acc.astype(jnp.float32) * gscale).astype(xdtype)
+    else:
+        # bf16 MXU backward (mixed-precision standard; dy arrives f32 from
+        # the fp32-accumulated forward)
+        w = (q.astype(jnp.float32) * scale.astype(jnp.float32)).astype(jnp.bfloat16)
+        dx = jax.lax.dot_general(
+            dy.astype(jnp.bfloat16), w, (((dy.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xdtype)
     return (
         dx,
         np.zeros(q.shape, jax.dtypes.float0),  # int primal -> float0 zero

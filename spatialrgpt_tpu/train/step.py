@@ -78,6 +78,7 @@ def make_train_step(
     remat: bool = False,
     frozen: Tuple[str, ...] = (),
     donate: bool = False,
+    ce_chunk: int = 0,
 ):
     """Build the jitted train step.  Shardings come from the arrays
     themselves (jit propagates NamedShardings), so the same step works on
@@ -97,7 +98,9 @@ def make_train_step(
                 k: (jax.lax.stop_gradient(v) if k in frozen else v)
                 for k, v in params.items()
             }
-        loss, metrics = vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl, remat=remat)
+        loss, metrics = vlm.loss_fn(
+            params, cfg, batch, attn_impl=attn_impl, remat=remat, ce_chunk=ce_chunk
+        )
         return loss, metrics
 
     # donate=True: old params/opt-state buffers are reused for the update
@@ -128,6 +131,7 @@ def make_lora_train_step(
     attn_impl: str = "xla",
     remat: bool = False,
     donate: bool = True,
+    ce_chunk: int = 0,
 ):
     """LoRA/QLoRA step (reference train.py:550-589 lora_enable / :401-421
     4/8-bit): ``state.params`` holds the trainable tree ({"adapters": ...}
@@ -146,7 +150,9 @@ def make_lora_train_step(
         params = {k: v for k, v in frozen.items() if k != "llm"}
         params.update({k: v for k, v in trainable.items() if k != "adapters"})
         params["llm"] = apply_lora(frozen["llm"], trainable["adapters"], lcfg)
-        return vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl, remat=remat)
+        return vlm.loss_fn(
+            params, cfg, batch, attn_impl=attn_impl, remat=remat, ce_chunk=ce_chunk
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, frozen, batch: vlm.VLMInputs):
@@ -168,6 +174,7 @@ def make_frozen_base_train_step(
     attn_impl: str = "xla",
     remat: bool = False,
     donate: bool = True,
+    ce_chunk: int = 0,
 ):
     """Align-style step over a *materially* frozen base: ``state.params``
     holds only the trainable modules (projector/region in the stage-1
@@ -187,7 +194,9 @@ def make_frozen_base_train_step(
     def loss_fn(trainable, frozen, batch: vlm.VLMInputs):
         params = dict(jax.lax.stop_gradient(frozen))
         params.update(trainable)
-        return vlm.loss_fn(params, cfg, batch, attn_impl=attn_impl, remat=remat)
+        return vlm.loss_fn(
+            params, cfg, batch, attn_impl=attn_impl, remat=remat, ce_chunk=ce_chunk
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, frozen, batch: vlm.VLMInputs):

@@ -345,3 +345,35 @@ def test_frozen_base_train_step_runs_and_updates():
                         jax.tree_util.tree_leaves(state2.params))
     )
     assert moved
+
+
+def test_w8a8_int8_backward_gradient_close_to_oracle():
+    """enable_int8_backward: the SwitchBack-style int8 dx matmul stays
+    within quantization tolerance of the dequant-matmul gradient (per-token
+    dy quantization noise ~1/127 relative)."""
+    from spatialrgpt_tpu.ops import layers
+    from spatialrgpt_tpu.ops.quant import dequantize
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((48, 80)), jnp.float32)
+    qw = quantize_int8(w, act_quant=True)
+    x = jnp.asarray(rng.standard_normal((6, 48)), jnp.bfloat16)
+    co = jnp.asarray(rng.standard_normal((6, 80)), jnp.float32)
+
+    layers.enable_int8_backward(True)
+    try:
+        g_i8 = jax.grad(
+            lambda x: (layers._w8a8_dot(x, qw["q"], qw["scale"]) * co).sum()
+        )(x)
+    finally:
+        layers.enable_int8_backward(False)
+    wd = dequantize(qw, jnp.bfloat16)
+    g_ref = jax.grad(
+        lambda x: (jnp.dot(x, wd, preferred_element_type=jnp.float32) * co).sum()
+    )(x)
+    a = np.asarray(g_i8, np.float64)
+    b = np.asarray(g_ref, np.float64)
+    rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+    assert rel < 0.03, rel
+    cos = float((a.ravel() @ b.ravel()) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999, cos

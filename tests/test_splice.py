@@ -204,3 +204,31 @@ def test_expand_rows_multiple_images_one_row():
     # two images -> gather indices 0..1 then 2..3
     idx = sb.image_gather_idx[0][sb.is_image[0]]
     np.testing.assert_array_equal(idx, [0, 1, 2, 3])
+
+
+def test_chunked_ce_matches_unchunked_loss_and_grads():
+    """ce_chunk computes the identical loss (same lse math, chunk-local
+    reductions) and identical projector gradients as the unchunked path —
+    it only changes what materializes (no (B, S, V) logits)."""
+    ids = np.array([5, IMAGE_TOKEN_INDEX, 60, 61, 8, 9, 10, 11, 12], np.int64)
+    labels = np.where(np.isin(ids, [8, 9, 10, 11, 12]), ids, IGNORE_INDEX)
+    sb = expand_rows(
+        [ids], [labels], max_len=16, tokens_per_image=TOKENS_PER_IMAGE,
+        mask_token_id=60, depth_token_id=61, regions_per_image=2,
+    )
+    inputs = _make_inputs(sb)
+    assert inputs.labels.shape[1] % 4 == 0, inputs.labels.shape
+    params = vlm.init_params(jax.random.PRNGKey(2), TINY)
+
+    l_ref, m_ref = vlm.loss_fn(params, TINY, inputs)
+    l_chk, m_chk = vlm.loss_fn(params, TINY, inputs, ce_chunk=4)
+    np.testing.assert_allclose(float(l_ref), float(l_chk), rtol=1e-6)
+    assert int(m_ref["num_tokens"]) == int(m_chk["num_tokens"])
+
+    g_ref = jax.grad(lambda p: vlm.loss_fn(p, TINY, inputs)[0])(params)
+    g_chk = jax.grad(lambda p: vlm.loss_fn(p, TINY, inputs, ce_chunk=4)[0])(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref["projector"]),
+        jax.tree_util.tree_leaves(g_chk["projector"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
