@@ -169,6 +169,25 @@ def main():
         f"{t/ITERS*cfg.num_hidden_layers*1000:.0f} ms for {cfg.num_hidden_layers} layers"
     )
 
+    # --- 6. onepass kernel alone: folded-G matmul vs per-head loop -------
+    from spatialrgpt_tpu.ops.prefill_attention import onepass_attention
+
+    hq, hk, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = jax.random.normal(keys[0], (B, S, hq, d), jnp.bfloat16)
+    k = jax.random.normal(keys[1], (B, S, hk, d), jnp.bfloat16)
+    v = jax.random.normal(keys[2], (B, S, hk, d), jnp.bfloat16)
+    for fold in (False, True):
+
+        @jax.jit
+        def kern_loop(q, fold=fold):
+            def body(_, h):
+                return onepass_attention(h, k, v, fold_g=fold).astype(h.dtype)
+
+            return jax.lax.fori_loop(0, ITERS, body, q)
+
+        t = timeit(kern_loop, q)
+        print(f"onepass kernel only (fold_g={fold}): {t/ITERS*1000:.2f} ms/layer")
+
 
 if __name__ == "__main__":
     main()

@@ -53,10 +53,34 @@ def _kernel(
     *,
     sm_scale: float,
     g: int,
+    fold_g: bool,
 ):
     bias = bias_ref[0]  # (bq, S)
     k = k_ref[0, 0]  # (S, D) bf16
     v = v_ref[0, 0]
+    if fold_g:
+        # one (G*bq, D) x (D, S) matmul instead of G small ones: the
+        # grouped query heads share this program's kv head, so they fold
+        # into the matmul M dimension (kernel 6.84 -> 5.74 ms/layer at
+        # the 8B b64/S384 serving shape — BASELINE.md r3)
+        bq, d = q_ref.shape[3], q_ref.shape[4]
+        q = q_ref[0, 0].reshape(g * bq, d)  # (G*bq, D) bf16
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s.reshape(g, bq, -1) * sm_scale + bias[None]
+        m = jnp.max(s, axis=2, keepdims=True)  # (G, bq, 1)
+        # rows with no valid key at all (segment-id 0 padding) have
+        # m == NEG_INF; zero them at the end like the XLA path does
+        live = (m > NEG_INF * 0.5).astype(jnp.float32)
+        p = jnp.exp(s - m)  # masked cols underflow to exactly 0
+        l = jnp.sum(p, axis=2, keepdims=True)
+        o = jax.lax.dot_general(
+            p.reshape(g * bq, -1).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0] = (o.reshape(g, bq, d) / l * live).astype(out_ref.dtype)
+        return
     for h in range(g):
         q = q_ref[0, 0, h]  # (bq, D) bf16
         s = jax.lax.dot_general(
@@ -64,10 +88,8 @@ def _kernel(
         )
         s = s * sm_scale + bias
         m = jnp.max(s, axis=1, keepdims=True)
-        # rows with no valid key at all (segment-id 0 padding) have
-        # m == NEG_INF; zero them at the end like the XLA path does
         live = (m > NEG_INF * 0.5).astype(jnp.float32)  # (bq, 1)
-        p = jnp.exp(s - m)  # masked cols underflow to exactly 0
+        p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -102,8 +124,8 @@ def _xla_reference(q, k, v, segment_ids, sm_scale, window):
     return out.reshape(b, s, hq, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _onepass(q, k, v, segment_ids, sm_scale, window, block_q, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _onepass(q, k, v, segment_ids, sm_scale, window, block_q, interpret, fold_g):
     B, S, Hq, D = q.shape
     Hk = k.shape[2]
     G = Hq // Hk
@@ -146,7 +168,7 @@ def _onepass(q, k, v, segment_ids, sm_scale, window, block_q, interpret):
     kvspec = pl.BlockSpec((1, 1, s_pad, D), lambda b, h, i: (b, h, 0, 0))
     bspec = pl.BlockSpec((1, bq, s_pad), lambda b, h, i: (b, i, 0))
     out = pl.pallas_call(
-        functools.partial(_kernel, sm_scale=sm_scale, g=G),
+        functools.partial(_kernel, sm_scale=sm_scale, g=G, fold_g=fold_g),
         grid=(B, Hk, s_pad // bq),
         in_specs=[bspec, qspec, kvspec, kvspec],
         out_specs=qspec,
@@ -160,12 +182,12 @@ def _onepass(q, k, v, segment_ids, sm_scale, window, block_q, interpret):
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-def _onepass_fwd(q, k, v, segment_ids, sm_scale, window, block_q, interpret):
-    out = _onepass(q, k, v, segment_ids, sm_scale, window, block_q, interpret)
+def _onepass_fwd(q, k, v, segment_ids, sm_scale, window, block_q, interpret, fold_g):
+    out = _onepass(q, k, v, segment_ids, sm_scale, window, block_q, interpret, fold_g)
     return out, (q, k, v, segment_ids)
 
 
-def _onepass_bwd(sm_scale, window, block_q, interpret, res, do):
+def _onepass_bwd(sm_scale, window, block_q, interpret, fold_g, res, do):
     q, k, v, segment_ids = res
     b, s, hq, d = q.shape
     hk = k.shape[2]
@@ -212,6 +234,7 @@ def onepass_attention(
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
     interpret: bool = False,
+    fold_g: bool = True,
 ) -> jax.Array:
     """Causal (packed-segment, optionally sliding-window) attention with a
     single softmax pass per q block — for short serving/prefill buckets
@@ -219,4 +242,4 @@ def onepass_attention(
     Differentiable via an XLA-recompute VJP."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    return _onepass(q, k, v, segment_ids, sm_scale, window, block_q, interpret)
+    return _onepass(q, k, v, segment_ids, sm_scale, window, block_q, interpret, fold_g)

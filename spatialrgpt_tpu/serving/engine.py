@@ -57,9 +57,13 @@ class ServingEngine:
         # dominant HBM stream; same layout as serving/generate.py)
         prefix_bucket: int = 0,  # reserve cache room for shared-prefix KV
         # (register_prefix); 0 disables prefix caching
+        admit_width: int = 8,  # max requests per batched prefill admission
+        # (each power-of-2 width compiles its own prefill; wider batches
+        # cut host round trips — the dominant cost on a tunneled link)
     ):
         self.params = params
         self.cfg = cfg
+        self.admit_width = admit_width
         self.B = num_slots
         self.S = prompt_bucket
         self.P = prefix_bucket
@@ -428,12 +432,22 @@ class ServingEngine:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        prefetch: bool = False,
     ) -> int:
         """Queue a request.  Raises ValueError when the request cannot fit
         the engine's cache capacity — without this check a slot whose
         length reaches capacity would silently stop writing KV (the
         per-slot scatter matches nothing) and decode against a cache
-        missing its most recent tokens."""
+        missing its most recent tokens.
+
+        ``prefetch=True`` starts an async host->device copy of the heavy
+        pixel fields (images/depths/masks) at submit time, so the
+        transfer overlaps in-flight decode/prefill compute instead of
+        stalling this request's admission (vLLM-style input prefetch; on
+        a tunneled link the transfer is the dominant admission cost —
+        BASELINE.md r3).  Device-resident fields are concatenated on
+        device at admission; the small token/index fields stay host-side
+        numpy either way."""
         width = inputs.input_ids.shape[1]
         if width > self.S:
             raise ValueError(
@@ -452,6 +466,14 @@ class ServingEngine:
                 f"engine capacity is {self.capacity}"
             )
         rid = next(self._ids)
+        if prefetch:
+            inputs = inputs._replace(
+                **{
+                    f: jax.device_put(getattr(inputs, f))
+                    for f in self._HEAVY_FIELDS
+                    if getattr(inputs, f) is not None
+                }
+            )
         self.queue.append(
             Request(
                 rid, inputs, prompt_length, max_new_tokens, prefix_id=prefix_id,
@@ -459,6 +481,9 @@ class ServingEngine:
             )
         )
         return rid
+
+    # pixel-sized fields: worth prefetching / concatenating on device
+    _HEAVY_FIELDS = ("images", "depths", "masks")
 
     @staticmethod
     def _modality_signature(x: vlm.VLMInputs) -> tuple:
@@ -493,13 +518,12 @@ class ServingEngine:
         for x in inputs_list:
             for f in vlm.VLMInputs._fields:
                 v = getattr(x, f)
-                if v is not None:
-                    # host-side concat: a device concatenate here would be
-                    # ~14 tiny device dispatches per admission (each a full
-                    # round trip on a tunneled link); numpy keeps admission
-                    # at exactly one device call (the jitted prefill).
-                    # Callers queueing many requests should submit host
-                    # (numpy) arrays.
+                if v is not None and f not in ServingEngine._HEAVY_FIELDS:
+                    # host-side concat for the small token/index fields: a
+                    # device concatenate here would be ~10 tiny device
+                    # dispatches per admission (each a full round trip on
+                    # a tunneled link); numpy keeps them at exactly one
+                    # device call (the jitted prefill)
                     v = np.asarray(v)
                 if v is not None and f == "image_gather_idx":
                     v = v + img_count * t_img
@@ -507,12 +531,20 @@ class ServingEngine:
                     v = v + img_count * r_slots
                 cols[f].append(v)
             img_count += x.images.shape[0] if x.images is not None else 0
-        return vlm.VLMInputs(
-            **{
-                f: (np.concatenate(vs, axis=0) if vs[0] is not None else None)
-                for f, vs in cols.items()
-            }
-        )
+
+        def cat(f, vs):
+            if vs[0] is None:
+                return None
+            if f in ServingEngine._HEAVY_FIELDS and any(
+                isinstance(v, jax.Array) for v in vs
+            ):
+                # prefetched (device-resident) pixels: concatenate on
+                # device — np.asarray here would pull every prefetched
+                # transfer back through the link
+                return jnp.concatenate([jnp.asarray(v) for v in vs], axis=0)
+            return np.concatenate([np.asarray(v) for v in vs], axis=0)
+
+        return vlm.VLMInputs(**{f: cat(f, vs) for f, vs in cols.items()})
 
     def _admit(self):
         while self.queue and not self.active.all():
@@ -552,7 +584,7 @@ class ServingEngine:
                 plain += 1
             cap = min(len(free), plain)
             n = 1
-            while n * 2 <= min(cap, 8):
+            while n * 2 <= min(cap, self.admit_width):
                 n *= 2
             reqs = [self.queue.popleft() for _ in range(n)]
             slots = free[:n].astype(np.int32)

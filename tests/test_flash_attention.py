@@ -157,14 +157,16 @@ def test_vit_attention_grads_match_xla():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.parametrize("fold_g", [True, False])
 @pytest.mark.parametrize("hq,hk", [(4, 4), (8, 2)])
-def test_onepass_prefill_matches_xla(hq, hk):
-    """One-pass serving-prefill kernel vs the XLA oracle: causal, GQA."""
+def test_onepass_prefill_matches_xla(hq, hk, fold_g):
+    """One-pass serving-prefill kernel vs the XLA oracle: causal, GQA,
+    both the folded-G single-matmul path and the per-head loop."""
     from spatialrgpt_tpu.ops.prefill_attention import onepass_attention
 
     rng = np.random.default_rng(0)
     q, k, v = _rand_qkv(rng, 2, 128, hq, hk, 32)
-    got = onepass_attention(q, k, v, interpret=True)
+    got = onepass_attention(q, k, v, interpret=True, fold_g=fold_g)
     exp = causal_attention(q, k, v, impl="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5)
 
@@ -181,10 +183,11 @@ def test_onepass_prefill_segments_padding_and_ragged():
     seg[0, 40:80] = 2  # packed row: two segments + padding tail
     seg[1, :70] = 1
     seg = jnp.asarray(seg)
-    got = onepass_attention(q, k, v, segment_ids=seg, interpret=True)
     exp = causal_attention(q, k, v, segment_ids=seg, impl="xla")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5)
-    assert np.all(np.asarray(got)[0, 80:] == 0.0)
+    for fold_g in (True, False):
+        got = onepass_attention(q, k, v, segment_ids=seg, interpret=True, fold_g=fold_g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-5)
+        assert np.all(np.asarray(got)[0, 80:] == 0.0)
 
 
 def test_onepass_prefill_sliding_window():

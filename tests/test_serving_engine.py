@@ -227,6 +227,54 @@ def test_batched_admission_matches_sequential():
     assert sequential == batched
 
 
+def test_wide_admission_matches_narrow():
+    """admit_width > 8 (bench_engine's tunneled-link configuration) must
+    produce identical tokens to width-1 admission — 16 requests through
+    16 slots prefill as one 16-way batch."""
+    params = vlm.init_params(jax.random.PRNGKey(0), CFG)
+    reqs = [
+        _make_request([1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 5 + i], i)
+        for i in range(16)
+    ]
+
+    def run(width):
+        eng = ServingEngine(
+            params, CFG, num_slots=16, prompt_bucket=32, max_new_tokens=4,
+            admit_width=width,
+        )
+        for inputs, plen in reqs:
+            eng.submit(inputs, plen, max_new_tokens=4)
+        done = eng.run_until_drained()
+        return {r.request_id: r.tokens for r in done}
+
+    assert run(16) == run(1)
+
+
+def test_prefetch_submit_matches_host_submit():
+    """submit(prefetch=True) (async device upload of the pixel fields at
+    submit time + device-side concat at admission) must produce identical
+    tokens to host-side numpy submission."""
+    params = vlm.init_params(jax.random.PRNGKey(0), CFG)
+    reqs = [
+        _make_request([1, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 5 + i], i)
+        for i in range(3)
+    ]
+
+    def run(prefetch):
+        eng = ServingEngine(params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=4)
+        for inputs, plen in reqs:
+            if not prefetch:  # force host numpy arrays
+                inputs = vlm.VLMInputs(
+                    **{f: None if getattr(inputs, f) is None else np.asarray(getattr(inputs, f))
+                       for f in vlm.VLMInputs._fields}
+                )
+            eng.submit(inputs, plen, max_new_tokens=4, prefetch=prefetch)
+        done = eng.run_until_drained()
+        return {r.request_id: r.tokens for r in done}
+
+    assert run(True) == run(False)
+
+
 def test_multistep_scheduling_matches_single_step():
     """step(num_steps=k) (fused decode window, one host sync) yields the
     same per-request tokens as step-by-step scheduling."""
