@@ -39,6 +39,11 @@ MULTI = int(os.environ.get("SRGPT_ENGINE_MULTISTEP", 8))  # fused decode
 # measurable here at all)
 ADMIT = int(os.environ.get("SRGPT_ENGINE_ADMIT", 8))  # max batched-prefill
 # admission width (power-of-2 buckets; wider = fewer host round trips)
+ASYNC = os.environ.get("SRGPT_ENGINE_ASYNC", "0") == "1"  # async scheduling:
+# readbacks lag launches one entry so link RTT overlaps device compute
+TRACE = os.environ.get("SRGPT_ENGINE_TRACE", "0") == "1"  # per-fn stage
+# timing (block_until_ready around each engine jit) — diagnostic only,
+# the synchronization inflates wall; read stage totals from stderr
 
 
 def make_request(cfg, rng, n_text):
@@ -100,8 +105,14 @@ def main():
         max_new_tokens=MAX_NEW, kv_quant=True, admit_width=ADMIT,
         # one-pass short-bucket prefill kernel (ops/prefill_attention.py)
         attn_impl=os.environ.get("SRGPT_BENCH_ATTN", "onepass"),
+        async_readback=ASYNC,
     )
-    reqs = [make_request(cfg, rng, int(rng.integers(48, 128))) for _ in range(REQS)]
+    # text lengths bounded so the expanded prompt (~n_text + 200 tokens:
+    # 196 image + region/special tokens) fits the bucket — keeps the
+    # engine's prefill shapes comparable to bench.py's lockstep number
+    # when BUCKET matches its PAD_BUCKET (320)
+    n_hi = min(128, BUCKET - 208)
+    reqs = [make_request(cfg, rng, int(rng.integers(48, n_hi))) for _ in range(REQS)]
 
     # stage the pixel fields on device before the timed region — the same
     # protocol as bench.py's lockstep number (inputs device-resident before
@@ -138,6 +149,38 @@ def main():
     eng.lengths = jnp.zeros((eng.B,), jnp.int32)
     print(f"warmup/compile: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    stage_t = {}
+    if TRACE:
+        def timed(name, fn):
+            def wrap(*a, **kw):
+                jax.block_until_ready(a[1] if name != "insert" else a[0])
+                s = time.time()
+                out = fn(*a, **kw)
+                jax.block_until_ready(out)
+                stage_t[name] = stage_t.get(name, 0.0) + (time.time() - s)
+                return out
+            return wrap
+
+        eng._prefill_batch = timed("prefill", eng._prefill_batch)
+        _ib, _dm = eng._insert_batch, eng._decode_multi
+        eng._insert_batch = lambda n: timed("insert", _ib(n))
+        eng._decode_multi = lambda k: timed("decode", _dm(k))
+        _d = eng._decode
+        eng._decode = timed("decode", _d)
+
+    # measure the host<->device round-trip cost this link pays per
+    # scheduler sync (a tiny jit + host readback, same protocol as the
+    # engine's toks_host pull) so the engine-vs-lockstep gap can be
+    # decomposed into scheduling vs link latency quantitatively
+    tiny = jax.jit(lambda x: x + 1)
+    _ = np.asarray(tiny(jnp.zeros((), jnp.int32)))  # compile outside
+    rtts = []
+    for _ in range(5):
+        r0 = time.time()
+        _ = np.asarray(tiny(jnp.zeros((), jnp.int32)))
+        rtts.append(time.time() - r0)
+    sync_rtt = sorted(rtts)[len(rtts) // 2]
+
     t0 = time.time()
     submit_t = {}
     finish_t = {}
@@ -145,8 +188,10 @@ def main():
         rid = eng.submit(inputs, plen, max_new_tokens=MAX_NEW, prefetch=not prestage)
         submit_t[rid] = time.time()
     done = []
+    n_syncs = 0
     while len(done) < REQS:
         fin = eng.step(MULTI)
+        n_syncs += 1
         now = time.time()
         for r in fin:
             finish_t[r.request_id] = now
@@ -157,6 +202,16 @@ def main():
 
     total_tokens = sum(len(r.tokens) for r in done)
     lat = sorted(finish_t[r.request_id] - submit_t[r.request_id] for r in done)
+    # each step() pays one decode-token readback round trip; each batched
+    # admission inside it pays another (prefill-token readback).  On a
+    # local chip sync_rtt is ~1 ms; through the tunnel it is ~0.2-0.5 s,
+    # so report the link-latency-adjusted throughput alongside the raw.
+    import math
+
+    n_prefills = math.ceil(REQS / ADMIT)
+    sync_overhead = (n_syncs + n_prefills) * sync_rtt
+    if TRACE:
+        print(f"stage totals: {stage_t}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -168,6 +223,13 @@ def main():
                 "latency_p50_s": round(lat[len(lat) // 2], 3),
                 "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
                 "prestaged_inputs": prestage,
+                "async_readback": ASYNC,
+                "n_scheduler_syncs": n_syncs + n_prefills,
+                "sync_rtt_s": round(sync_rtt, 4),
+                "sync_overhead_s": round(sync_overhead, 2),
+                "tok_s_sync_adjusted": round(
+                    total_tokens / max(wall - sync_overhead, 1e-9), 2
+                ),
             }
         )
     )

@@ -17,6 +17,7 @@ All device work is jitted once; the scheduler is ordinary Python.
 from __future__ import annotations
 
 import collections
+import functools
 import itertools
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -60,6 +61,15 @@ class ServingEngine:
         admit_width: int = 8,  # max requests per batched prefill admission
         # (each power-of-2 width compiles its own prefill; wider batches
         # cut host round trips — the dominant cost on a tunneled link)
+        async_readback: bool = False,  # defer token readbacks one scheduler
+        # entry deep: decode windows / prefill batches are launched ahead
+        # (JAX dispatch is async) and their token arrays are pulled back
+        # one step() later, so the host<->device round trip overlaps the
+        # next window's compute (vLLM-style async scheduling).  Device
+        # state is exact; only the host's completion DETECTION lags one
+        # window — rows finishing mid-flight keep decoding into their own
+        # slot and the host truncates at eos, the same contract as
+        # multi-step scheduling.  Identical tokens to the sync scheduler.
     ):
         self.params = params
         self.cfg = cfg
@@ -105,6 +115,15 @@ class ServingEngine:
         # requests whose prefill token already terminated them (eos, or
         # max_new_tokens == 1); drained by the next step() call
         self._admit_finished: List[Request] = []
+        self.async_readback = async_readback
+        # FIFO of launched-but-unread token arrays (async_readback):
+        # ("prefill", toks_dev, reqs, slots) and
+        # ("decode", toks_dev, active_snapshot, slot_req_snapshot)
+        self._pending: collections.deque = collections.deque()
+        # device-resident copies of the scheduler arrays (active mask +
+        # per-slot sampling state), rebuilt only when scheduling state
+        # changes — every host->device upload pays link latency per window
+        self._dev_sched = None
         self._build_fns()
 
     # ------------------------------------------------------------------
@@ -142,7 +161,14 @@ class ServingEngine:
             return kv, toks
 
         def make_insert_batch(n):
-            @jax.jit
+            # donate the cache (and the prefill kv chunk, dead after the
+            # insert): without donation the multi-GB slot cache exists
+            # twice across every jit boundary — both an HBM copy per call
+            # and the peak-memory reason large slot counts OOM.
+            # last_token is NOT donated: under async_readback the decode
+            # window's token array IS self.last_token, and the pending
+            # queue still needs to read it back after this insert
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
             def insert_batch(cache, kv, lengths, last_token, slots, plens, toks):
                 def put(c, new, i, slot):
                     pad_widths = ((0, 0), (0, self.capacity - new.shape[1])) + (
@@ -232,7 +258,7 @@ class ServingEngine:
             )
             return new_cache, tok
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 3))
         def insert_full(cache, ks, vs, lengths, last_token, slot, total_len, tok):
             """Insert a capacity-length cache row (prefix+suffix) into a slot."""
 
@@ -261,7 +287,7 @@ class ServingEngine:
             last_token = last_token.at[slot].set(tok)
             return cache, lengths, last_token
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def insert(cache, kv, lengths, last_token, slot, prompt_len, tok):
             def put(c, new):
                 pad_widths = ((0, 0), (0, self.capacity - self.S)) + ((0, 0),) * (
@@ -366,10 +392,10 @@ class ServingEngine:
                 )
             return new_cache, lengths, tok
 
-        decode = jax.jit(_decode_once)
+        decode = jax.jit(_decode_once, donate_argnums=(1, 2))
 
         def make_decode_multi(k):
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
             def decode_multi(params, cache, lengths, last_token, active_mask,
                              temps, top_ps, keys):
                 """k fused decode steps per host round trip (multi-step
@@ -600,10 +626,23 @@ class ServingEngine:
                 self.cache, kv, self.lengths, self.last_token,
                 jnp.asarray(slots), plens, toks,
             )
-            toks_host = np.asarray(toks)
-            for i, req in enumerate(reqs):
-                req.tokens.append(int(toks_host[i]))
-                self._activate_or_finish(int(slots[i]), req)
+            if self.async_readback:
+                # optimistic activation: the prefill token is read back one
+                # scheduler entry later; an instant-eos row decodes one
+                # wasted window into its own slot and is truncated then
+                for i, req in enumerate(reqs):
+                    slot = int(slots[i])
+                    self.active[slot] = True
+                    self.slot_req[slot] = req
+                    self._set_slot_sampling(slot, req)
+                self._pending.append(
+                    ("prefill", toks, list(reqs), [int(s) for s in slots])
+                )
+            else:
+                toks_host = np.asarray(toks)
+                for i, req in enumerate(reqs):
+                    req.tokens.append(int(toks_host[i]))
+                    self._activate_or_finish(int(slots[i]), req)
 
     def _activate_or_finish(self, slot: int, req: Request) -> None:
         """Activate the freshly prefilled slot — unless the prefill token
@@ -633,6 +672,49 @@ class ServingEngine:
         self.slot_temp[slot] = req.temperature
         self.slot_top_p[slot] = req.top_p
         self.slot_key[slot] = self._key_data(req)
+        self._dev_sched = None
+
+    def _finish_and_free(self, slot: int, req: Request, out: List[Request]):
+        req.done = True
+        out.append(req)
+        if self.slot_req[slot] is req:
+            self.active[slot] = False
+            self.slot_req[slot] = None
+            self._dev_sched = None
+
+    def _process_pending(self, leave: int = 0) -> List[Request]:
+        """Read back and apply launched-but-unread token arrays (oldest
+        first), leaving the newest ``leave`` entries in flight.  Each
+        entry carries the slot->request mapping AT LAUNCH, so a slot
+        recycled by a later admission never receives an older window's
+        tokens."""
+        finished: List[Request] = []
+        eos = self.cfg.llm.eos_token_id
+        while len(self._pending) > leave:
+            kind, toks, a, b = self._pending.popleft()
+            toks_host = np.asarray(toks)
+            if kind == "prefill":
+                reqs, slots = a, b
+                for i, (req, slot) in enumerate(zip(reqs, slots)):
+                    req.tokens.append(int(toks_host[i]))
+                    if (
+                        req.tokens[-1] == eos
+                        or len(req.tokens) >= req.max_new_tokens
+                    ):
+                        self._finish_and_free(slot, req, finished)
+            else:  # decode window: toks (B,) or (B, k)
+                active_snap, req_snap = a, b
+                toks_host = toks_host.reshape(self.B, -1)
+                for slot in np.flatnonzero(active_snap):
+                    req = req_snap[slot]
+                    if req is None or req.done:
+                        continue
+                    for t in toks_host[slot]:
+                        req.tokens.append(int(t))
+                        if int(t) == eos or len(req.tokens) >= req.max_new_tokens:
+                            self._finish_and_free(slot, req, finished)
+                            break
+        return finished
 
     def step(self, num_steps: int = 1) -> List[Request]:
         """Admit queued requests, run ``num_steps`` fused decode steps
@@ -642,29 +724,53 @@ class ServingEngine:
         keep decoding into their own slot (never visible to other slots)
         and the host truncates their output at eos — identical tokens to
         num_steps=1, with 1/num_steps the scheduler sync overhead.
+
+        With ``async_readback`` the readbacks lag the launches by one
+        entry: this call first applies the previous windows' tokens
+        (overlapped with the device computing the last-launched window),
+        then admits, then launches the next window without blocking on it.
         """
+        if self.async_readback:
+            # apply all but the newest in-flight entry; if admission is
+            # starved for slots, drain fully to discover completions
+            finished_pre = self._process_pending(leave=1)
+            if self.queue and self.active.all():
+                finished_pre += self._process_pending(leave=0)
+        else:
+            finished_pre = []
         self._admit()
-        finished_at_admit = self._admit_finished
+        finished_at_admit = finished_pre + self._admit_finished
         self._admit_finished = []
         if not self.active.any():
+            finished_at_admit += self._process_pending(leave=0)
             return finished_at_admit
-        active_mask = jnp.asarray(self.active)
-        temps = jnp.asarray(self.slot_temp)
-        top_ps = jnp.asarray(self.slot_top_p)
-        keys = jnp.asarray(self.slot_key)
+        if self._dev_sched is None:
+            self._dev_sched = (
+                jnp.asarray(self.active),
+                jnp.asarray(self.slot_temp),
+                jnp.asarray(self.slot_top_p),
+                jnp.asarray(self.slot_key),
+            )
+        active_mask, temps, top_ps, keys = self._dev_sched
         if num_steps == 1:
             self.cache, self.lengths, tok = self._decode(
                 self.params, self.cache, self.lengths, self.last_token, active_mask,
                 temps, top_ps, keys,
             )
             self.last_token = tok
-            toks_host = np.asarray(tok)[:, None]
+            toks_dev = tok
         else:
             self.cache, self.lengths, self.last_token, toks = self._decode_multi(
                 num_steps
             )(self.params, self.cache, self.lengths, self.last_token, active_mask,
               temps, top_ps, keys)
-            toks_host = np.asarray(toks)
+            toks_dev = toks
+        if self.async_readback:
+            self._pending.append(
+                ("decode", toks_dev, self.active.copy(), list(self.slot_req))
+            )
+            return finished_at_admit
+        toks_host = np.asarray(toks_dev).reshape(self.B, -1)
         finished = finished_at_admit
         eos = self.cfg.llm.eos_token_id
         for slot in np.flatnonzero(self.active):
@@ -676,6 +782,7 @@ class ServingEngine:
                     finished.append(req)
                     self.active[slot] = False
                     self.slot_req[slot] = None
+                    self._dev_sched = None
                     break
         return finished
 
@@ -685,7 +792,7 @@ class ServingEngine:
         out = []
         for _ in range(max_steps):
             out.extend(self.step(num_steps))
-            if not self.queue and not self.active.any():
+            if not self.queue and not self.active.any() and not self._pending:
                 break
         return out
 
@@ -701,11 +808,18 @@ def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
     q, k, v = qkv_proj(x, p, Hq, Hk, D)
     q, k = llama.apply_rope(q, k, pos, cfg)
 
-    # per-slot scatter: position `lengths[b]` of row b gets the new kv
-    slot_ids = jnp.arange(cache.k[layer_idx].shape[1])
-    write = (slot_ids[None, :] == lengths[:, None])[:, :, None, None]
-    ck = jnp.where(write, k.astype(cache.k[layer_idx].dtype), cache.k[layer_idx])
-    cv = jnp.where(write, v.astype(cache.v[layer_idx].dtype), cache.v[layer_idx])
+    # per-slot scatter: position `lengths[b]` of row b gets the new kv.
+    # One-row-per-slot scatter (unique (b, lengths[b]) indices) — NOT a
+    # jnp.where over the whole tensor, which would re-write the entire
+    # multi-GB cache every decode step (measured 44 ms/step vs 15.5
+    # lockstep at 8B b96 before this; BASELINE.md r3)
+    bidx = jnp.arange(B)
+    ck = cache.k[layer_idx].at[bidx, lengths].set(
+        k[:, 0].astype(cache.k[layer_idx].dtype), unique_indices=True
+    )
+    cv = cache.v[layer_idx].at[bidx, lengths].set(
+        v[:, 0].astype(cache.v[layer_idx].dtype), unique_indices=True
+    )
 
     if Hq == Hk:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, ck, preferred_element_type=jnp.float32)
@@ -742,12 +856,13 @@ def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid):
 
     nk_q, nk_s = quantize_kv(k)
     nv_q, nv_s = quantize_kv(v)
-    slot_ids = jnp.arange(k_q.shape[1])
-    write = (slot_ids[None, :] == lengths[:, None])[:, :, None]
-    ck_q = jnp.where(write[..., None], nk_q, k_q)
-    ck_s = jnp.where(write, nk_s, k_s)
-    cv_q = jnp.where(write[..., None], nv_q, v_q)
-    cv_s = jnp.where(write, nv_s, v_s)
+    # one-row-per-slot scatter (see _per_slot_attention): rewriting the
+    # whole cache via jnp.where cost 3x the decode's HBM stream
+    bidx = jnp.arange(B)
+    ck_q = k_q.at[bidx, lengths].set(nk_q[:, 0], unique_indices=True)
+    ck_s = k_s.at[bidx, lengths].set(nk_s[:, 0], unique_indices=True)
+    cv_q = v_q.at[bidx, lengths].set(nv_q[:, 0], unique_indices=True)
+    cv_s = v_s.at[bidx, lengths].set(nv_s[:, 0], unique_indices=True)
 
     if Hq == Hk:
         scores = jnp.einsum(

@@ -274,6 +274,7 @@ def _tiny_align_batch():
     return TINY, _make_inputs(sb)
 
 
+@pytest.mark.slow
 def test_frozen_base_w8a8_align_step_gradient_fidelity():
     """make_frozen_base_train_step with a W8A8-quantized frozen backbone:
     the projector/region gradients must stay directionally aligned with

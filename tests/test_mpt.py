@@ -38,6 +38,7 @@ def test_mpt_parity():
     np.testing.assert_allclose(got, expected, atol=3e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_mpt_composite_vlm_forward():
     import jax
     import numpy as np

@@ -494,3 +494,58 @@ def test_mixed_modality_admission_batches_separately():
     done = {r.request_id: r.tokens for r in eng.run_until_drained()}
     assert done[r1] == exp_nd, (done[r1], exp_nd)
     assert done[r2] == exp_wd, (done[r2], exp_wd)
+
+
+def test_async_readback_matches_sync_scheduler():
+    """async_readback defers token readbacks one scheduler entry (launch
+    window k+1 before reading window k); tokens, output lengths, and eos
+    truncation must match the synchronous scheduler exactly — including
+    slot churn (more requests than slots) and multi-step windows."""
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+        [7, IMAGE_TOKEN_INDEX, 23, 24],
+        [IMAGE_TOKEN_INDEX, 25],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    def run(async_mode, num_steps):
+        eng = ServingEngine(
+            params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=6,
+            admit_width=2, async_readback=async_mode,
+        )
+        ids = [
+            eng.submit(inputs, plen, max_new_tokens=3 + (i % 4))
+            for i, (inputs, plen) in enumerate(reqs)
+        ]
+        done = eng.run_until_drained(max_steps=80, num_steps=num_steps)
+        assert len(done) == len(reqs)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    for num_steps in (1, 2):
+        assert run(True, num_steps) == run(False, num_steps), num_steps
+
+
+def test_async_readback_instant_finish_requests():
+    """max_new_tokens=1 requests finish at the prefill token; under async
+    scheduling they are activated optimistically and must still be
+    truncated to exactly one token and their slots recycled."""
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+    eng = ServingEngine(
+        params, CFG, num_slots=1, prompt_bucket=32, max_new_tokens=4,
+        async_readback=True,
+    )
+    ids = [eng.submit(inputs, plen, max_new_tokens=1) for inputs, plen in reqs]
+    done = eng.run_until_drained(max_steps=40)
+    assert len(done) == 3
+    assert all(len(r.tokens) == 1 for r in done)
+    assert not eng.active.any() and not eng._pending

@@ -206,6 +206,7 @@ def test_expand_rows_multiple_images_one_row():
     np.testing.assert_array_equal(idx, [0, 1, 2, 3])
 
 
+@pytest.mark.slow
 def test_chunked_ce_matches_unchunked_loss_and_grads():
     """ce_chunk computes the identical loss (same lse math, chunk-local
     reductions) and identical projector gradients as the unchunked path —

@@ -61,6 +61,7 @@ def test_warp_zoom_matches_vfov_ratio():
     ).sum()
 
 
+@pytest.mark.slow
 def test_camera_net_fits_warp_labels():
     """A tiny CameraNet trained on the warp data path learns the labels:
     loss drops and held-out roll/pitch MAE beats the
