@@ -111,7 +111,8 @@ def main():
     # 196 image + region/special tokens) fits the bucket — keeps the
     # engine's prefill shapes comparable to bench.py's lockstep number
     # when BUCKET matches its PAD_BUCKET (320)
-    n_hi = min(128, BUCKET - 208)
+    # clamp: small pad buckets (<=256) would otherwise make the range empty
+    n_hi = max(49, min(128, BUCKET - 208))
     reqs = [make_request(cfg, rng, int(rng.integers(48, n_hi))) for _ in range(REQS)]
 
     # stage the pixel fields on device before the timed region — the same
@@ -168,6 +169,17 @@ def main():
         _d = eng._decode
         eng._decode = timed("decode", _d)
 
+    # count actual batched-prefill launches (slot churn caps admission
+    # widths below ADMIT, so ceil(REQS/ADMIT) underestimates — advisor r3)
+    prefill_calls = [0]
+    _pb = eng._prefill_batch
+
+    def _counted_prefill(*a, **kw):
+        prefill_calls[0] += 1
+        return _pb(*a, **kw)
+
+    eng._prefill_batch = _counted_prefill
+
     # measure the host<->device round-trip cost this link pays per
     # scheduler sync (a tiny jit + host readback, same protocol as the
     # engine's toks_host pull) so the engine-vs-lockstep gap can be
@@ -206,10 +218,11 @@ def main():
     # admission inside it pays another (prefill-token readback).  On a
     # local chip sync_rtt is ~1 ms; through the tunnel it is ~0.2-0.5 s,
     # so report the link-latency-adjusted throughput alongside the raw.
-    import math
-
-    n_prefills = math.ceil(REQS / ADMIT)
-    sync_overhead = (n_syncs + n_prefills) * sync_rtt
+    # Under async_readback neither readback blocks the host (they lag the
+    # launches by one entry), so the overhead is reported as 0 and
+    # tok_s_sync_adjusted equals the raw number (advisor r3).
+    n_prefills = prefill_calls[0]
+    sync_overhead = 0.0 if ASYNC else (n_syncs + n_prefills) * sync_rtt
     if TRACE:
         print(f"stage totals: {stage_t}", file=sys.stderr)
     print(

@@ -101,9 +101,16 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
     D = C // num_heads
     q, k, v = qkv_proj(x, p, num_heads, num_heads, D)
 
+    import os
+
     from spatialrgpt_tpu.ops.flash_attention import _on_tpu
 
-    if _on_tpu() and S >= 256 and q.dtype == jnp.bfloat16:
+    if (
+        _on_tpu()
+        and S >= 256
+        and q.dtype == jnp.bfloat16
+        and os.environ.get("SRGPT_VIT_XLA_ATTN") != "1"
+    ):
         # (bf16-only: the kernel's whole-row VMEM residency is sized for
         # 2-byte elements — f32 inputs exceed the scoped-vmem limit at
         # so400m shapes and belong on the XLA path, e.g. fp32 parity legs)
@@ -114,7 +121,11 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
         # (scripts/bench_vit_attn.py).
         from spatialrgpt_tpu.ops.vit_attention import vit_attention
 
-        out = vit_attention(q, k, v, block_h=4)
+        bh = int(os.environ.get("SRGPT_VIT_BLOCK_H", 4))
+        bq = os.environ.get("SRGPT_VIT_BLOCK_Q")
+        out = vit_attention(
+            q, k, v, block_h=bh, block_q=int(bq) if bq else None
+        )
     else:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores * (D**-0.5)

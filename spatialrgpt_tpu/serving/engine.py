@@ -61,6 +61,16 @@ class ServingEngine:
         admit_width: int = 8,  # max requests per batched prefill admission
         # (each power-of-2 width compiles its own prefill; wider batches
         # cut host round trips — the dominant cost on a tunneled link)
+        mesh: Optional["jax.sharding.Mesh"] = None,  # tensor-parallel
+        # serving: a mesh with a 'tp' axis.  Params are placed per
+        # parallel/mesh.py::tp_param_spec (QKV/gate/up fan-out sharded,
+        # wo/down fan-in partial-sum — 2 all-reduces/layer over ICI), the
+        # KV cache shards its kv-head axis, and scheduler arrays
+        # replicate; the host scheduler itself is device-count-agnostic.
+        # This is what serves models larger than one chip's HBM (the
+        # reference gets the equivalent from HF device_map/DeepSpeed
+        # inference sharding).  Token parity vs the single-device engine
+        # is test-gated on the CPU mesh (tests/test_serving_engine.py).
         async_readback: bool = False,  # defer token readbacks one scheduler
         # entry deep: decode windows / prefill batches are launched ahead
         # (JAX dispatch is async) and their token arrays are pulled back
@@ -71,6 +81,23 @@ class ServingEngine:
         # slot and the host truncates at eos, the same contract as
         # multi-step scheduling.  Identical tokens to the sync scheduler.
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from spatialrgpt_tpu.parallel.mesh import tp_shard_params
+
+            if cfg.llm.num_key_value_heads % mesh.shape.get("tp", 1):
+                raise ValueError(
+                    f"kv heads {cfg.llm.num_key_value_heads} must divide tp="
+                    f"{mesh.shape.get('tp', 1)}"
+                )
+            params = tp_shard_params(params, mesh)
+            self._rep = NamedSharding(mesh, PartitionSpec())
+            self._kv_sharding = NamedSharding(
+                mesh, PartitionSpec(None, None, "tp", None)
+            )
+            self._ks_sharding = NamedSharding(mesh, PartitionSpec(None, None, "tp"))
         self.params = params
         self.cfg = cfg
         self.admit_width = admit_width
@@ -93,16 +120,21 @@ class ServingEngine:
             from spatialrgpt_tpu.serving.generate import QuantKVCache
 
             self.cache = QuantKVCache(
-                tuple(jnp.zeros(shape_q, jnp.int8) for _ in range(L)),
-                tuple(jnp.ones(shape_s, jnp.float32) for _ in range(L)),
-                tuple(jnp.zeros(shape_q, jnp.int8) for _ in range(L)),
-                tuple(jnp.ones(shape_s, jnp.float32) for _ in range(L)),
-                jnp.asarray(0, jnp.int32),
+                tuple(self._kv(jnp.zeros(shape_q, jnp.int8)) for _ in range(L)),
+                tuple(self._ks(jnp.ones(shape_s, jnp.float32)) for _ in range(L)),
+                tuple(self._kv(jnp.zeros(shape_q, jnp.int8)) for _ in range(L)),
+                tuple(self._ks(jnp.ones(shape_s, jnp.float32)) for _ in range(L)),
+                self._put(jnp.asarray(0, jnp.int32)),
             )
         else:
-            self.cache = llama.KVCache.init(cfg.llm, self.B, self.capacity, dtype)
-        self.lengths = jnp.zeros((self.B,), jnp.int32)  # tokens in cache per slot
-        self.last_token = jnp.zeros((self.B,), jnp.int32)
+            cache0 = llama.KVCache.init(cfg.llm, self.B, self.capacity, dtype)
+            self.cache = llama.KVCache(
+                tuple(self._kv(t) for t in cache0.k),
+                tuple(self._kv(t) for t in cache0.v),
+                self._put(cache0.length),
+            )
+        self.lengths = self._put(jnp.zeros((self.B,), jnp.int32))  # tokens per slot
+        self.last_token = self._put(jnp.zeros((self.B,), jnp.int32))
         self.active = np.zeros((self.B,), bool)  # host-side slot occupancy
         self.slot_req: List[Optional[Request]] = [None] * self.B
         # per-slot sampling state (host-side; shipped with each decode call)
@@ -125,6 +157,22 @@ class ServingEngine:
         # changes — every host->device upload pays link latency per window
         self._dev_sched = None
         self._build_fns()
+
+    # ------------------------------------------------------------------
+    def _put(self, x):
+        """Place a scheduler/state array: replicated over the TP mesh, or a
+        plain transfer on one device.  Every device-resident array the
+        engine's jits consume must live on the SAME device set as the
+        sharded params, or jit rejects the mix."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, self._rep)
+
+    def _kv(self, x):
+        return x if self.mesh is None else jax.device_put(x, self._kv_sharding)
+
+    def _ks(self, x):
+        return x if self.mesh is None else jax.device_put(x, self._ks_sharding)
 
     # ------------------------------------------------------------------
     def _build_fns(self):
@@ -392,9 +440,16 @@ class ServingEngine:
                 )
             return new_cache, lengths, tok
 
+        # INVARIANT: last_token (arg 3) must never be donated here or in
+        # decode_multi/insert_batch — under async_readback the pending
+        # queue holds the returned token array, which at num_steps=1 IS
+        # self.last_token; a donation would corrupt pending readbacks on
+        # real TPUs (donation is a no-op on CPU, so no test would catch
+        # it).  step() additionally stores a defensive copy.
         decode = jax.jit(_decode_once, donate_argnums=(1, 2))
 
         def make_decode_multi(k):
+            # last_token must not be donated (see the decode jit above)
             @functools.partial(jax.jit, donate_argnums=(1, 2))
             def decode_multi(params, cache, lengths, last_token, active_mask,
                              temps, top_ps, keys):
@@ -493,9 +548,14 @@ class ServingEngine:
             )
         rid = next(self._ids)
         if prefetch:
+            put = (
+                (lambda t: jax.device_put(t, self._rep))
+                if self.mesh is not None
+                else jax.device_put
+            )
             inputs = inputs._replace(
                 **{
-                    f: jax.device_put(getattr(inputs, f))
+                    f: put(getattr(inputs, f))
                     for f in self._HEAVY_FIELDS
                     if getattr(inputs, f) is not None
                 }
@@ -582,16 +642,17 @@ class ServingEngine:
                 slot = int(free[0])
                 pk, pv, plen = self.prefixes[req.prefix_id]
                 new_cache, tok = self._prefill_with_prefix(
-                    self.params, pk, pv, jnp.asarray(plen, jnp.int32),
-                    req.inputs, jnp.asarray(req.prompt_length, jnp.int32),
-                    jnp.asarray([req.temperature], jnp.float32),
-                    jnp.asarray([req.top_p], jnp.float32),
-                    jnp.asarray(self._key_data(req)[None]),
+                    self.params, pk, pv, self._put(jnp.asarray(plen, jnp.int32)),
+                    req.inputs, self._put(jnp.asarray(req.prompt_length, jnp.int32)),
+                    self._put(jnp.asarray([req.temperature], jnp.float32)),
+                    self._put(jnp.asarray([req.top_p], jnp.float32)),
+                    self._put(jnp.asarray(self._key_data(req)[None])),
                 )
                 self.cache, self.lengths, self.last_token = self._insert_full(
                     self.cache, new_cache.k, new_cache.v,
-                    self.lengths, self.last_token, jnp.asarray(slot),
-                    jnp.asarray(plen + req.prompt_length, jnp.int32), tok[0],
+                    self.lengths, self.last_token, self._put(jnp.asarray(slot)),
+                    self._put(jnp.asarray(plen + req.prompt_length, jnp.int32)),
+                    tok[0],
                 )
                 req.tokens.append(int(tok[0]))
                 self._activate_or_finish(slot, req)
@@ -615,16 +676,24 @@ class ServingEngine:
             reqs = [self.queue.popleft() for _ in range(n)]
             slots = free[:n].astype(np.int32)
             batched = self._concat_inputs([r.inputs for r in reqs])
-            plens = jnp.asarray([r.prompt_length for r in reqs], jnp.int32)
+            if self.mesh is not None:
+                # device-resident fields must live on the mesh's device set
+                batched = jax.tree_util.tree_map(
+                    lambda t: (
+                        jax.device_put(t, self._rep) if isinstance(t, jax.Array) else t
+                    ),
+                    batched,
+                )
+            plens = self._put(jnp.asarray([r.prompt_length for r in reqs], jnp.int32))
             kv, toks = self._prefill_batch(
                 self.params, batched, plens,
-                jnp.asarray([r.temperature for r in reqs], jnp.float32),
-                jnp.asarray([r.top_p for r in reqs], jnp.float32),
-                jnp.asarray(np.stack([self._key_data(r) for r in reqs])),
+                self._put(jnp.asarray([r.temperature for r in reqs], jnp.float32)),
+                self._put(jnp.asarray([r.top_p for r in reqs], jnp.float32)),
+                self._put(jnp.asarray(np.stack([self._key_data(r) for r in reqs]))),
             )
             self.cache, self.lengths, self.last_token = self._insert_batch(n)(
                 self.cache, kv, self.lengths, self.last_token,
-                jnp.asarray(slots), plens, toks,
+                self._put(jnp.asarray(slots)), plens, toks,
             )
             if self.async_readback:
                 # optimistic activation: the prefill token is read back one
@@ -746,10 +815,10 @@ class ServingEngine:
             return finished_at_admit
         if self._dev_sched is None:
             self._dev_sched = (
-                jnp.asarray(self.active),
-                jnp.asarray(self.slot_temp),
-                jnp.asarray(self.slot_top_p),
-                jnp.asarray(self.slot_key),
+                self._put(jnp.asarray(self.active)),
+                self._put(jnp.asarray(self.slot_temp)),
+                self._put(jnp.asarray(self.slot_top_p)),
+                self._put(jnp.asarray(self.slot_key)),
             )
         active_mask, temps, top_ps, keys = self._dev_sched
         if num_steps == 1:
@@ -758,7 +827,10 @@ class ServingEngine:
                 temps, top_ps, keys,
             )
             self.last_token = tok
-            toks_dev = tok
+            # defensive copy: the pending entry must not alias
+            # self.last_token (a future donation of it in any engine jit
+            # would otherwise corrupt queued readbacks — advisor r3)
+            toks_dev = tok + 0 if self.async_readback else tok
         else:
             self.cache, self.lengths, self.last_token, toks = self._decode_multi(
                 num_steps

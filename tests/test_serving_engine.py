@@ -549,3 +549,92 @@ def test_async_readback_instant_finish_requests():
     assert len(done) == 3
     assert all(len(r.tokens) == 1 for r in done)
     assert not eng.active.any() and not eng._pending
+
+
+def test_engine_tp2_matches_single_device():
+    """Tensor-parallel serving (VERDICT r3 next-#2): an engine constructed
+    with a tp=2 mesh — params sharded per tp_param_spec, KV cache sharded
+    over kv heads, 2 all-reduces/layer inserted by GSPMD — must emit the
+    same tokens as the single-device engine, through slot churn and
+    batched admission."""
+    from spatialrgpt_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+        [7, IMAGE_TOKEN_INDEX, 23, 24],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    def run(mesh):
+        eng = ServingEngine(
+            params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=5,
+            admit_width=2, mesh=mesh,
+        )
+        ids = [eng.submit(inputs, plen, max_new_tokens=5) for inputs, plen in reqs]
+        done = eng.run_until_drained(max_steps=80)
+        assert len(done) == len(reqs)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    assert run(make_mesh(tp=2)) == run(None)
+
+
+def test_engine_tp2_kv_quant_matches_single_device():
+    """TP + int8 KV cache (the production serving configuration)."""
+    from spatialrgpt_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    def run(mesh):
+        eng = ServingEngine(
+            params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=4,
+            kv_quant=True, mesh=mesh,
+        )
+        ids = [eng.submit(inputs, plen, max_new_tokens=4) for inputs, plen in reqs]
+        done = eng.run_until_drained(max_steps=60)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    assert run(make_mesh(tp=2)) == run(None)
+
+
+def test_generate_tp2_matches_single_device():
+    """serving/generate.py with tp-sharded params: the lockstep batched
+    generate (the eval/spatial_bench path) must produce identical greedy
+    tokens when the params are sharded over a tp mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from spatialrgpt_tpu.parallel.mesh import make_mesh, tp_shard_params
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    inputs, plen = _make_request([5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8], seed=0)
+    plens = jnp.asarray([plen], jnp.int32)
+
+    ref = generate(
+        params, CFG, inputs, plens, max_new_tokens=5, temperature=0.0,
+        eos_token_id=-1,
+    )
+
+    mesh = make_mesh(tp=2)
+    sharded = tp_shard_params(params, mesh)
+    rep = NamedSharding(mesh, PartitionSpec())
+    inputs_r = jax.tree_util.tree_map(lambda t: jax.device_put(t, rep), inputs)
+    got = generate(
+        sharded, CFG, inputs_r, jax.device_put(plens, rep), max_new_tokens=5,
+        temperature=0.0, eos_token_id=-1,
+    )
+    assert np.asarray(ref.tokens).tolist() == np.asarray(got.tokens).tolist()
