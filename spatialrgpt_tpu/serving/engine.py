@@ -71,6 +71,16 @@ class ServingEngine:
         # reference gets the equivalent from HF device_map/DeepSpeed
         # inference sharding).  Token parity vs the single-device engine
         # is test-gated on the CPU mesh (tests/test_serving_engine.py).
+        prefill_chunk: int = 0,  # chunked prefill (VERDICT r3 next-#3):
+        # admission prefills run in prefill_chunk-token chunks interleaved
+        # with decode windows instead of stalling every decoding slot for
+        # a full batched prefill.  One scheduler step advances one stage
+        # (vision encode+splice, then one LLM chunk against the admission
+        # batch's local KV buffer via the incremental-cache path); the
+        # finished buffer quantizes+inserts into the slots exactly like a
+        # full prefill.  Token parity with unchunked admission is
+        # test-gated (same per-row causal set: prompt rows are single-
+        # segment, so the cache path's positional mask is exact).  0 = off.
         async_readback: bool = False,  # defer token readbacks one scheduler
         # entry deep: decode windows / prefill batches are launched ahead
         # (JAX dispatch is async) and their token arrays are pulled back
@@ -101,6 +111,15 @@ class ServingEngine:
         self.params = params
         self.cfg = cfg
         self.admit_width = admit_width
+        if prefill_chunk and prompt_bucket % prefill_chunk:
+            raise ValueError(
+                f"prefill_chunk {prefill_chunk} must divide prompt_bucket "
+                f"{prompt_bucket}"
+            )
+        self.prefill_chunk = prefill_chunk
+        # an admission batch mid-chunked-prefill: holds its requests, the
+        # reserved slots, the spliced embeds, and the local KV buffer
+        self._inflight: Optional[dict] = None
         self.B = num_slots
         self.S = prompt_bucket
         self.P = prefix_bucket
@@ -136,6 +155,7 @@ class ServingEngine:
         self.lengths = self._put(jnp.zeros((self.B,), jnp.int32))  # tokens per slot
         self.last_token = self._put(jnp.zeros((self.B,), jnp.int32))
         self.active = np.zeros((self.B,), bool)  # host-side slot occupancy
+        self._reserved = np.zeros((self.B,), bool)  # held by chunked prefill
         self.slot_req: List[Optional[Request]] = [None] * self.B
         # per-slot sampling state (host-side; shipped with each decode call)
         self.slot_temp = np.zeros((self.B,), np.float32)
@@ -484,6 +504,100 @@ class ServingEngine:
                 self._decode_multi_cache[k] = make_decode_multi(k)
             return self._decode_multi_cache[k]
 
+        # ---- chunked prefill (prefill_chunk > 0) ----
+        @jax.jit
+        def chunk_embeds(params, inputs: vlm.VLMInputs):
+            """Stage 0 of a chunked admission: vision encode + splice only
+            (the LLM prefill then runs chunk by chunk)."""
+            return vlm.prepare_embeds(params, cfg, inputs)
+
+        def make_chunk_step(c):
+            @functools.partial(jax.jit, donate_argnums=(2, 5))
+            def chunk_step(params, embeds, local_cache, pos, j, h_buf):
+                """One prefill chunk: tokens [j*c, (j+1)*c) of the admission
+                batch run against the local KV buffer via the incremental-
+                cache path (decode_attention masks cache slots > the q
+                token's own position — exact for single-segment prompt
+                rows).  Hidden states land in h_buf for the final per-row
+                last-token sampling."""
+                e = jax.lax.dynamic_slice_in_dim(embeds, j * c, c, axis=1)
+                p = jax.lax.dynamic_slice_in_dim(pos, j * c, c, axis=1)
+                h, local_cache = llama.forward(
+                    params["llm"], cfg.llm, inputs_embeds=e, position_ids=p,
+                    segment_ids=None, cache=local_cache,
+                )
+                h_buf = jax.lax.dynamic_update_slice_in_dim(
+                    h_buf, h.astype(h_buf.dtype), j * c, axis=1
+                )
+                return local_cache, h_buf
+
+            return chunk_step
+
+        self._chunk_step_cache = {}
+
+        def chunk_step(c):
+            if c not in self._chunk_step_cache:
+                self._chunk_step_cache[c] = make_chunk_step(c)
+            return self._chunk_step_cache[c]
+
+        @jax.jit
+        def chunk_finish(params, h_buf, plens, temps, top_ps, keys):
+            last_idx = jnp.maximum(plens - 1, 0)
+            last = jnp.take_along_axis(h_buf, last_idx[:, None, None], axis=1)[:, 0]
+            logits = llama.logits(params["llm"], last[:, None], cfg.llm)[:, 0]
+            return _sample_slots(
+                logits.astype(jnp.float32), keys, last_idx, temps, top_ps
+            )
+
+        def make_insert_chunked(n):
+            # scatter a finished local KV buffer (n, S_bucket, bf16) into
+            # the slot cache, quantizing on the way when kv_quant (the
+            # chunked path collects bf16 — quantization happens once here,
+            # like insert_full's prefix+suffix path)
+            @functools.partial(jax.jit, donate_argnums=(0, 3))
+            def insert_chunked(cache, ks, vs, lengths, last_token, slots, plens, toks):
+                def put(c, new, i, slot):
+                    pad_widths = ((0, 0), (0, self.capacity - new.shape[1])) + (
+                        (0, 0),
+                    ) * (new.ndim - 2)
+                    row = jnp.pad(new[i : i + 1], pad_widths).astype(c.dtype)
+                    return jax.lax.dynamic_update_slice_in_dim(c, row, slot, axis=0)
+
+                if kv_quant:
+                    from spatialrgpt_tpu.ops.quant import quantize_kv
+
+                    kq = [quantize_kv(kk) for kk in ks]
+                    vq = [quantize_kv(vv) for vv in vs]
+                    for i in range(n):
+                        slot = slots[i]
+                        cache = QuantKVCache(
+                            tuple(put(c, a, i, slot) for c, (a, _) in zip(cache.k_q, kq)),
+                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.k_s, kq)),
+                            tuple(put(c, a, i, slot) for c, (a, _) in zip(cache.v_q, vq)),
+                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.v_s, vq)),
+                            cache.length,
+                        )
+                else:
+                    for i in range(n):
+                        slot = slots[i]
+                        cache = llama.KVCache(
+                            tuple(put(c, kk, i, slot) for c, kk in zip(cache.k, ks)),
+                            tuple(put(c, vv, i, slot) for c, vv in zip(cache.v, vs)),
+                            cache.length,
+                        )
+                lengths = lengths.at[slots].set(plens)
+                last_token = last_token.at[slots].set(toks)
+                return cache, lengths, last_token
+
+            return insert_chunked
+
+        self._insert_chunked_cache = {}
+
+        def insert_chunked(n):
+            if n not in self._insert_chunked_cache:
+                self._insert_chunked_cache[n] = make_insert_chunked(n)
+            return self._insert_chunked_cache[n]
+
         self._prefill_batch = prefill_batch
         self._prefill_prefix = prefill_prefix
         self._prefill_with_prefix = prefill_with_prefix
@@ -491,6 +605,10 @@ class ServingEngine:
         self._insert_full = insert_full
         self._decode = decode
         self._decode_multi = decode_multi
+        self._chunk_embeds = chunk_embeds
+        self._chunk_step = chunk_step
+        self._chunk_finish = chunk_finish
+        self._insert_chunked = insert_chunked
 
     # ------------------------------------------------------------------
     def register_prefix(self, inputs: vlm.VLMInputs, prompt_length: int) -> int:
@@ -633,8 +751,8 @@ class ServingEngine:
         return vlm.VLMInputs(**{f: cat(f, vs) for f, vs in cols.items()})
 
     def _admit(self):
-        while self.queue and not self.active.all():
-            free = np.flatnonzero(~self.active)
+        while self.queue and not (self.active | self._reserved).all():
+            free = np.flatnonzero(~self.active & ~self._reserved)
             # prefix-cached requests go one at a time (their prefill shape
             # differs); plain requests admit in power-of-2 batches
             if self.queue[0].prefix_id is not None:
@@ -675,6 +793,17 @@ class ServingEngine:
                 n *= 2
             reqs = [self.queue.popleft() for _ in range(n)]
             slots = free[:n].astype(np.int32)
+            if self.prefill_chunk:
+                # chunked admission: reserve the slots and let step()
+                # advance one prefill stage per scheduler window (decode
+                # keeps running in between); one admission batch in
+                # flight at a time
+                if self._inflight is None:
+                    self._start_chunked(reqs, slots)
+                else:  # shouldn't happen (guarded by caller), but be safe
+                    for r in reversed(reqs):
+                        self.queue.appendleft(r)
+                break
             batched = self._concat_inputs([r.inputs for r in reqs])
             if self.mesh is not None:
                 # device-resident fields must live on the mesh's device set
@@ -712,6 +841,102 @@ class ServingEngine:
                 for i, req in enumerate(reqs):
                     req.tokens.append(int(toks_host[i]))
                     self._activate_or_finish(int(slots[i]), req)
+
+    def _start_chunked(self, reqs: List[Request], slots: np.ndarray) -> None:
+        """Reserve slots and queue a chunked admission; the heavy work
+        (vision encode, LLM chunks) runs one stage per step()."""
+        self._reserved[slots] = True
+        self._inflight = {
+            "reqs": reqs,
+            "slots": slots,
+            "batched": None,  # concat deferred to the first advance
+            "embeds": None,
+            "cache": None,
+            "h_buf": None,
+            "j": 0,
+            "n_chunks": 0,
+        }
+
+    def _advance_chunked(self) -> List[Request]:
+        """Advance the in-flight chunked admission by ONE stage (vision
+        encode+splice, then one LLM prefill chunk); on the final chunk,
+        sample the first token, insert the local KV buffer into the
+        reserved slots, and activate them (instant finishes land in
+        ``self._admit_finished``, like unchunked admission)."""
+        st = self._inflight
+        if st is None:
+            return []
+        reqs, slots = st["reqs"], st["slots"]
+        n, c = len(reqs), self.prefill_chunk
+        if st["embeds"] is None:
+            batched = self._concat_inputs([r.inputs for r in reqs])
+            if self.mesh is not None:
+                batched = jax.tree_util.tree_map(
+                    lambda t: (
+                        jax.device_put(t, self._rep) if isinstance(t, jax.Array) else t
+                    ),
+                    batched,
+                )
+            st["batched"] = batched
+            st["embeds"] = self._chunk_embeds(self.params, batched)
+            lcfg = self.cfg.llm
+            kv_shape = (n, self.S, lcfg.num_key_value_heads, lcfg.head_dim)
+            L = lcfg.num_hidden_layers
+            # buffer dtype follows the activations (fp32 params -> fp32
+            # k/v; the incremental-cache append requires matching dtypes)
+            adt = st["embeds"].dtype
+            st["cache"] = llama.KVCache(
+                tuple(self._kv(jnp.zeros(kv_shape, adt)) for _ in range(L)),
+                tuple(self._kv(jnp.zeros(kv_shape, adt)) for _ in range(L)),
+                self._put(jnp.zeros((), jnp.int32)),
+            )
+            st["h_buf"] = self._put(jnp.zeros((n, self.S, lcfg.hidden_size), adt))
+            st["pos"] = self._put(jnp.asarray(np.asarray(batched.position_ids)))
+            # only chunks covering the longest true prompt run; the
+            # padding tail past it stays zero KV (never attended: decode
+            # validity masks slots >= the per-row length)
+            max_plen = max(r.prompt_length for r in reqs)
+            st["n_chunks"] = -(-max_plen // c)
+            return []
+        j = st["j"]
+        st["cache"], st["h_buf"] = self._chunk_step(c)(
+            self.params, st["embeds"], st["cache"], st["pos"],
+            self._put(jnp.asarray(j, jnp.int32)), st["h_buf"],
+        )
+        st["j"] = j + 1
+        if st["j"] < st["n_chunks"]:
+            return []
+        # final chunk done: sample, insert, activate
+        plens = self._put(jnp.asarray([r.prompt_length for r in reqs], jnp.int32))
+        toks = self._chunk_finish(
+            self.params, st["h_buf"], plens,
+            self._put(jnp.asarray([r.temperature for r in reqs], jnp.float32)),
+            self._put(jnp.asarray([r.top_p for r in reqs], jnp.float32)),
+            self._put(jnp.asarray(np.stack([self._key_data(r) for r in reqs]))),
+        )
+        self.cache, self.lengths, self.last_token = self._insert_chunked(n)(
+            self.cache, st["cache"].k, st["cache"].v, self.lengths,
+            self.last_token, self._put(jnp.asarray(slots)), plens, toks,
+        )
+        self._reserved[slots] = False
+        self._inflight = None
+        if self.async_readback:
+            for i, req in enumerate(reqs):
+                slot = int(slots[i])
+                self.active[slot] = True
+                self.slot_req[slot] = req
+                self._set_slot_sampling(slot, req)
+            self._pending.append(
+                ("prefill", toks, list(reqs), [int(s) for s in slots])
+            )
+        else:
+            toks_host = np.asarray(toks)
+            for i, req in enumerate(reqs):
+                req.tokens.append(int(toks_host[i]))
+                # instant finishes land in self._admit_finished (drained
+                # by step(), same as unchunked admission)
+                self._activate_or_finish(int(slots[i]), req)
+        return []
 
     def _activate_or_finish(self, slot: int, req: Request) -> None:
         """Activate the freshly prefilled slot — unless the prefill token
@@ -807,6 +1032,11 @@ class ServingEngine:
                 finished_pre += self._process_pending(leave=0)
         else:
             finished_pre = []
+        if self.prefill_chunk:
+            # advance the in-flight chunked admission one stage; decode
+            # (below) runs in the same scheduler window instead of
+            # stalling for a full prefill
+            self._advance_chunked()
         self._admit()
         finished_at_admit = finished_pre + self._admit_finished
         self._admit_finished = []
@@ -864,7 +1094,12 @@ class ServingEngine:
         out = []
         for _ in range(max_steps):
             out.extend(self.step(num_steps))
-            if not self.queue and not self.active.any() and not self._pending:
+            if (
+                not self.queue
+                and not self.active.any()
+                and not self._pending
+                and self._inflight is None
+            ):
                 break
         return out
 
