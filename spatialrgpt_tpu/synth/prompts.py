@@ -848,3 +848,579 @@ class InstructionGenerator(PromptGenerator):
                 }
             )
         return convs
+
+
+# ---------------------------------------------------------------------------
+# Paraphrase-bank extension to reference density (VERDICT r3 next-#7)
+# ---------------------------------------------------------------------------
+# The reference's prompt_template.py carries 14-16+ wordings per family
+# (16 distance questions alone); language diversity of the synthesized
+# data tracks bank size.  These additions (own wording) bring every
+# question/answer bank to >= 16 entries; merged below at import.
+
+_PREDICATE_EXTRA: T = {
+    "left_q": [
+        "Judging by this image, would [A] be to the left of [B]?",
+        "Is it correct that [A] lies left of [B]?",
+        "If you look at [B], is [A] off to its left?",
+        "Is [A] located on the left when compared with [B]?",
+        "True or false: [A] is to the left of [B].",
+        "Could you confirm whether [A] is left of [B]?",
+        "With [B] as the reference, does [A] fall on the left?",
+        "Between the two, does [A] occupy the position left of [B]?",
+    ],
+    "left_true": [
+        "True — [A] falls on the left side of [B].",
+        "Confirmed: [A] is left of [B].",
+        "Right you are, [A] keeps to the left of [B].",
+        "Exactly — with [B] as the reference, [A] is on the left.",
+        "Quite so; [A] takes the left position relative to [B].",
+        "Certainly — [A] shows up left of [B] here.",
+        "Looking at [B], [A] is indeed off to its left.",
+        "Correct, the left position belongs to [A], not [B].",
+    ],
+    "left_false": [
+        "False — [A] falls on the right side of [B].",
+        "Not so: [A] is right of [B].",
+        "Actually, [A] keeps to the right of [B].",
+        "Quite the opposite — with [B] as the reference, [A] is on the right.",
+        "Not quite; [A] takes the right position relative to [B].",
+        "Hardly — [A] shows up right of [B] here.",
+        "Looking at [B], [A] is actually off to its right.",
+        "Wrong way around — the left position belongs to [B], not [A].",
+    ],
+    "right_q": [
+        "Judging by this image, would [A] be to the right of [B]?",
+        "Is it correct that [A] lies right of [B]?",
+        "If you look at [B], is [A] off to its right?",
+        "Is [A] located on the right when compared with [B]?",
+        "True or false: [A] is to the right of [B].",
+        "Could you confirm whether [A] is right of [B]?",
+        "With [B] as the reference, does [A] fall on the right?",
+        "Between the two, does [A] occupy the position right of [B]?",
+    ],
+    "right_true": [
+        "True — [A] falls on the right side of [B].",
+        "Confirmed: [A] is right of [B].",
+        "Right you are, [A] keeps to the right of [B].",
+        "Exactly — with [B] as the reference, [A] is on the right.",
+        "Quite so; [A] takes the right position relative to [B].",
+        "Certainly — [A] shows up right of [B] here.",
+        "Looking at [B], [A] is indeed off to its right.",
+        "Correct, the right position belongs to [A], not [B].",
+    ],
+    "right_false": [
+        "False — [A] falls on the left side of [B].",
+        "Not so: [A] is left of [B].",
+        "Actually, [A] keeps to the left of [B].",
+        "Quite the opposite — with [B] as the reference, [A] is on the left.",
+        "Not quite; [A] takes the left position relative to [B].",
+        "Hardly — [A] shows up left of [B] here.",
+        "Looking at [B], [A] is actually off to its left.",
+        "Wrong way around — the right position belongs to [B], not [A].",
+    ],
+    "above_q": [
+        "Judging by this image, would [A] be above [B]?",
+        "Is it correct that [A] lies above [B]?",
+        "True or false: [A] is positioned above [B].",
+        "Could you confirm whether [A] is higher than [B]?",
+        "With [B] as the reference, does [A] sit above it?",
+        "Between the two, does [A] occupy the upper spot over [B]?",
+        "Is [A] located higher up when compared with [B]?",
+        "Would [A] count as the one above [B] here?",
+    ],
+    "above_true": [
+        "True — [A] sits above [B].",
+        "Confirmed: [A] is higher than [B].",
+        "Exactly — [A] holds the upper spot over [B].",
+        "Quite so; [A] stays above [B] in this scene.",
+        "Certainly — [A] shows up higher than [B] here.",
+        "Right — compared with [B], [A] is the higher one.",
+        "Correct, the upper position belongs to [A].",
+        "Indeed it is — [A] hangs above [B].",
+    ],
+    "above_false": [
+        "False — [A] sits below [B].",
+        "Not so: [A] is lower than [B].",
+        "Quite the opposite — [A] holds the lower spot under [B].",
+        "Not quite; [A] stays beneath [B] in this scene.",
+        "Hardly — [A] shows up lower than [B] here.",
+        "Wrong — compared with [B], [A] is the lower one.",
+        "Actually, the upper position belongs to [B].",
+        "It's the reverse — [A] hangs below [B].",
+    ],
+    "below_q": [
+        "Judging by this image, would [A] be below [B]?",
+        "Is it correct that [A] lies beneath [B]?",
+        "True or false: [A] is positioned below [B].",
+        "Could you confirm whether [A] is lower than [B]?",
+        "With [B] as the reference, does [A] sit beneath it?",
+        "Between the two, does [A] occupy the lower spot under [B]?",
+        "Is [A] located lower down when compared with [B]?",
+        "Would [A] count as the one underneath [B] here?",
+    ],
+    "below_true": [
+        "True — [A] sits below [B].",
+        "Confirmed: [A] is lower than [B].",
+        "Exactly — [A] holds the lower spot under [B].",
+        "Quite so; [A] stays beneath [B] in this scene.",
+        "Certainly — [A] shows up lower than [B] here.",
+        "Right — compared with [B], [A] is the lower one.",
+        "Correct, the lower position belongs to [A].",
+        "Indeed it is — [A] rests underneath [B].",
+    ],
+    "below_false": [
+        "False — [A] sits above [B].",
+        "Not so: [A] is higher than [B].",
+        "Quite the opposite — [A] holds the upper spot over [B].",
+        "Not quite; [A] stays above [B] in this scene.",
+        "Hardly — [A] shows up higher than [B] here.",
+        "Wrong — compared with [B], [A] is the higher one.",
+        "Actually, the lower position belongs to [B].",
+        "It's the reverse — [A] hangs above [B].",
+    ],
+    "wide_q": [
+        "Judging by this image, would [A] be wider than [B]?",
+        "Is it correct that [A] has the greater width of the two?",
+        "True or false: [A] is wider than [B].",
+        "Could you confirm whether [A] out-spans [B] in width?",
+        "Put side by side, would [A] cover more width than [B]?",
+        "Does [A] beat [B] on width?",
+        "Width-wise, does [A] come out ahead of [B]?",
+        "Would [A] count as the broader one next to [B]?",
+    ],
+    "wide_true": [
+        "True — [A] is the wider of the pair.",
+        "Confirmed: [A] out-spans [B] in width.",
+        "Exactly — [A] covers more width than [B].",
+        "Quite so; width-wise [A] comes out ahead.",
+        "Certainly — [A] beats [B] on width.",
+        "Right — put side by side, [A] is broader.",
+        "Correct, the greater width belongs to [A].",
+        "Indeed it is — [A] stretches wider than [B].",
+    ],
+    "wide_false": [
+        "False — [A] is the narrower of the pair.",
+        "Not so: [B] out-spans [A] in width.",
+        "Quite the opposite — [B] covers more width than [A].",
+        "Not quite; width-wise [B] comes out ahead.",
+        "Hardly — [B] beats [A] on width.",
+        "Wrong — put side by side, [A] is slimmer.",
+        "Actually, the greater width belongs to [B].",
+        "It's the reverse — [A] stretches less wide than [B].",
+    ],
+    "thin_q": [
+        "Judging by this image, would [A] be thinner than [B]?",
+        "Is it correct that [A] has the smaller width of the two?",
+        "True or false: [A] is narrower than [B].",
+        "Could you confirm whether [B] out-spans [A] in width?",
+        "Put side by side, would [A] cover less width than [B]?",
+        "Does [A] lose to [B] on width?",
+        "Width-wise, does [A] come out behind [B]?",
+        "Would [A] count as the slimmer one next to [B]?",
+    ],
+    "thin_true": [
+        "True — [A] is the slimmer of the pair.",
+        "Confirmed: [B] out-spans [A] in width.",
+        "Exactly — [A] covers less width than [B].",
+        "Quite so; width-wise [A] comes out behind.",
+        "Certainly — [A] loses to [B] on width.",
+        "Right — put side by side, [A] is narrower.",
+        "Correct, the smaller width belongs to [A].",
+        "Indeed it is — [A] stretches less wide than [B].",
+    ],
+    "thin_false": [
+        "False — [A] is the broader of the pair.",
+        "Not so: [A] out-spans [B] in width.",
+        "Quite the opposite — [A] covers more width than [B].",
+        "Not quite; width-wise [A] comes out ahead.",
+        "Hardly — [A] beats [B] on width.",
+        "Wrong — put side by side, [A] is wider.",
+        "Actually, the smaller width belongs to [B].",
+        "It's the reverse — [A] stretches wider than [B].",
+    ],
+    "big_q": [
+        "Judging by this image, would [A] be bigger than [B]?",
+        "Is it correct that [A] is the larger of the two?",
+        "True or false: [A] is bigger than [B].",
+        "Could you confirm whether [A] outranks [B] in size?",
+        "All dimensions considered, is [A] larger than [B]?",
+        "Does [A] beat [B] on overall size?",
+        "Size-wise, does [A] come out ahead of [B]?",
+        "Would [A] count as the bulkier one next to [B]?",
+    ],
+    "big_true": [
+        "True — [A] is the larger of the pair.",
+        "Confirmed: [A] outranks [B] in size.",
+        "Exactly — all dimensions considered, [A] is larger.",
+        "Quite so; size-wise [A] comes out ahead.",
+        "Certainly — [A] beats [B] on overall size.",
+        "Right — [A] is the bulkier one here.",
+        "Correct, the greater bulk belongs to [A].",
+        "Indeed it is — [A] dwarfs [B] overall.",
+    ],
+    "big_false": [
+        "False — [A] is the smaller of the pair.",
+        "Not so: [B] outranks [A] in size.",
+        "Quite the opposite — all dimensions considered, [B] is larger.",
+        "Not quite; size-wise [B] comes out ahead.",
+        "Hardly — [B] beats [A] on overall size.",
+        "Wrong — [B] is the bulkier one here.",
+        "Actually, the greater bulk belongs to [B].",
+        "It's the reverse — [B] dwarfs [A] overall.",
+    ],
+    "small_q": [
+        "Judging by this image, would [A] be smaller than [B]?",
+        "Is it correct that [A] is the lesser of the two in size?",
+        "True or false: [A] is smaller than [B].",
+        "Could you confirm whether [B] outranks [A] in size?",
+        "All dimensions considered, is [A] smaller than [B]?",
+        "Does [A] lose to [B] on overall size?",
+        "Size-wise, does [A] come out behind [B]?",
+        "Would [A] count as the more modest one next to [B]?",
+    ],
+    "small_true": [
+        "True — [A] is the smaller of the pair.",
+        "Confirmed: [B] outranks [A] in size.",
+        "Exactly — all dimensions considered, [A] is smaller.",
+        "Quite so; size-wise [A] comes out behind.",
+        "Certainly — [A] loses to [B] on overall size.",
+        "Right — [A] is the more modest one here.",
+        "Correct, the lesser bulk belongs to [A].",
+        "Indeed it is — [B] dwarfs [A] overall.",
+    ],
+    "small_false": [
+        "False — [A] is the larger of the pair.",
+        "Not so: [A] outranks [B] in size.",
+        "Quite the opposite — all dimensions considered, [A] is larger.",
+        "Not quite; size-wise [A] comes out ahead.",
+        "Hardly — [A] beats [B] on overall size.",
+        "Wrong — [A] is the bulkier one here.",
+        "Actually, the lesser bulk belongs to [B].",
+        "It's the reverse — [A] dwarfs [B] overall.",
+    ],
+    "tall_q": [
+        "Judging by this image, would [A] be taller than [B]?",
+        "Is it correct that [A] has the greater height of the two?",
+        "True or false: [A] is taller than [B].",
+        "Could you confirm whether [A] rises above [B] in height?",
+        "Measured upward, does [A] go further than [B]?",
+        "Does [A] beat [B] on height?",
+        "Height-wise, does [A] come out ahead of [B]?",
+        "Would [A] count as the taller one next to [B]?",
+    ],
+    "tall_true": [
+        "True — [A] is the taller of the pair.",
+        "Confirmed: [A] rises above [B] in height.",
+        "Exactly — measured upward, [A] goes further.",
+        "Quite so; height-wise [A] comes out ahead.",
+        "Certainly — [A] beats [B] on height.",
+        "Right — [A] towers over [B] here.",
+        "Correct, the greater height belongs to [A].",
+        "Indeed it is — [A] overtops [B].",
+    ],
+    "tall_false": [
+        "False — [A] is the shorter of the pair.",
+        "Not so: [B] rises above [A] in height.",
+        "Quite the opposite — measured upward, [B] goes further.",
+        "Not quite; height-wise [B] comes out ahead.",
+        "Hardly — [B] beats [A] on height.",
+        "Wrong — [B] towers over [A] here.",
+        "Actually, the greater height belongs to [B].",
+        "It's the reverse — [B] overtops [A].",
+    ],
+    "short_q": [
+        "Judging by this image, would [A] be shorter than [B]?",
+        "Is it correct that [A] has the smaller height of the two?",
+        "True or false: [A] is shorter than [B].",
+        "Could you confirm whether [B] rises above [A] in height?",
+        "Measured upward, does [A] stop sooner than [B]?",
+        "Does [A] lose to [B] on height?",
+        "Height-wise, does [A] come out behind [B]?",
+        "Would [A] count as the shorter one next to [B]?",
+    ],
+    "short_true": [
+        "True — [A] is the shorter of the pair.",
+        "Confirmed: [B] rises above [A] in height.",
+        "Exactly — measured upward, [A] stops sooner.",
+        "Quite so; height-wise [A] comes out behind.",
+        "Certainly — [A] loses to [B] on height.",
+        "Right — [B] towers over [A] here.",
+        "Correct, the smaller height belongs to [A].",
+        "Indeed it is — [B] overtops [A].",
+    ],
+    "short_false": [
+        "False — [A] is the taller of the pair.",
+        "Not so: [A] rises above [B] in height.",
+        "Quite the opposite — measured upward, [A] goes further.",
+        "Not quite; height-wise [A] comes out ahead.",
+        "Hardly — [A] beats [B] on height.",
+        "Wrong — [A] towers over [B] here.",
+        "Actually, the smaller height belongs to [B].",
+        "It's the reverse — [A] overtops [B].",
+    ],
+    "behind_q": [
+        "Judging by this image, would [A] be behind [B]?",
+        "Is it correct that [A] sits further back than [B]?",
+        "True or false: [A] is behind [B].",
+        "Could you confirm whether [A] lies deeper into the scene than [B]?",
+        "Relative to the camera, is [A] the farther one of the two?",
+        "Does [A] recede further into the background than [B]?",
+        "In terms of depth, does [A] fall past [B]?",
+        "Would [A] count as the one tucked behind [B] here?",
+    ],
+    "behind_true": [
+        "True — [A] sits further back than [B].",
+        "Confirmed: [A] lies deeper into the scene.",
+        "Exactly — relative to the camera, [A] is the farther one.",
+        "Quite so; [A] recedes further into the background.",
+        "Certainly — in depth terms, [A] falls past [B].",
+        "Right — [A] is tucked behind [B] here.",
+        "Correct, the deeper position belongs to [A].",
+        "Indeed it is — [A] stands in back of [B].",
+    ],
+    "behind_false": [
+        "False — [A] sits nearer than [B].",
+        "Not so: [A] lies closer to the front of the scene.",
+        "Quite the opposite — relative to the camera, [A] is the nearer one.",
+        "Not quite; [A] comes forward of [B] here.",
+        "Hardly — in depth terms, [A] stops short of [B].",
+        "Wrong — [B] is the one tucked behind.",
+        "Actually, the deeper position belongs to [B].",
+        "It's the reverse — [A] stands in front of [B].",
+    ],
+    "front_q": [
+        "Judging by this image, would [A] be in front of [B]?",
+        "Is it correct that [A] sits nearer than [B]?",
+        "True or false: [A] is in front of [B].",
+        "Could you confirm whether [A] lies closer to the viewer than [B]?",
+        "Relative to the camera, is [A] the nearer one of the two?",
+        "Does [A] come forward of [B] in the scene?",
+        "In terms of depth, does [A] stop short of [B]?",
+        "Would [A] count as the one out in front of [B] here?",
+    ],
+    "front_true": [
+        "True — [A] sits nearer than [B].",
+        "Confirmed: [A] lies closer to the viewer.",
+        "Exactly — relative to the camera, [A] is the nearer one.",
+        "Quite so; [A] comes forward of [B] in the scene.",
+        "Certainly — in depth terms, [A] stops short of [B].",
+        "Right — [A] is out in front of [B] here.",
+        "Correct, the nearer position belongs to [A].",
+        "Indeed it is — [A] stands before [B].",
+    ],
+    "front_false": [
+        "False — [A] sits further back than [B].",
+        "Not so: [A] lies deeper into the scene.",
+        "Quite the opposite — relative to the camera, [A] is the farther one.",
+        "Not quite; [A] recedes behind [B] here.",
+        "Hardly — in depth terms, [A] falls past [B].",
+        "Wrong — [A] is the one tucked behind.",
+        "Actually, the nearer position belongs to [B].",
+        "It's the reverse — [A] stands in back of [B].",
+    ],
+}
+
+_CHOICE_EXTRA: T = {
+    "left_q": [
+        "Name the one that sits further left: [A] or [B].",
+        "If you had to choose, which is leftmost — [A] or [B]?",
+        "Out of [A] and [B], which claims the left position?",
+        "Toward the left edge of the view, do you find [A] or [B]?",
+        "Which of the pair leans left: [A] or [B]?",
+        "Say which one is closer to the left side — [A] or [B].",
+        "Identify the left-hand object among [A] and [B].",
+        "[A] or [B] — which shows up on the left?",
+    ],
+    "right_q": [
+        "Name the one that sits further right: [A] or [B].",
+        "If you had to choose, which is rightmost — [A] or [B]?",
+        "Out of [A] and [B], which claims the right position?",
+        "Toward the right edge of the view, do you find [A] or [B]?",
+        "Which of the pair leans right: [A] or [B]?",
+        "Say which one is closer to the right side — [A] or [B].",
+        "Identify the right-hand object among [A] and [B].",
+        "[A] or [B] — which shows up on the right?",
+    ],
+    "above_q": [
+        "Name the one that sits higher: [A] or [B].",
+        "If you had to choose, which is the upper one — [A] or [B]?",
+        "Out of [A] and [B], which claims the higher spot?",
+        "Toward the top of the view, do you find [A] or [B]?",
+        "Which of the pair rides higher: [A] or [B]?",
+        "Say which one is nearer the top — [A] or [B].",
+        "Identify the upper object among [A] and [B].",
+        "[A] or [B] — which shows up higher?",
+    ],
+    "below_q": [
+        "Name the one that sits lower: [A] or [B].",
+        "If you had to choose, which is the lower one — [A] or [B]?",
+        "Out of [A] and [B], which claims the lower spot?",
+        "Toward the bottom of the view, do you find [A] or [B]?",
+        "Which of the pair rides lower: [A] or [B]?",
+        "Say which one is nearer the bottom — [A] or [B].",
+        "Identify the lower object among [A] and [B].",
+        "[A] or [B] — which shows up lower?",
+    ],
+    "tall_q": [
+        "Name the taller of the two: [A] or [B].",
+        "If you had to choose, which stands taller — [A] or [B]?",
+        "Out of [A] and [B], which claims the greater height?",
+        "On height alone, do you pick [A] or [B]?",
+        "Which of the pair rises higher: [A] or [B]?",
+        "Say which one has more height — [A] or [B].",
+        "Identify the taller object among [A] and [B].",
+        "[A] or [B] — which stands the taller?",
+    ],
+    "short_q": [
+        "Name the shorter of the two: [A] or [B].",
+        "If you had to choose, which stands shorter — [A] or [B]?",
+        "Out of [A] and [B], which claims the lesser height?",
+        "On height alone, which falls short — [A] or [B]?",
+        "Which of the pair rises less: [A] or [B]?",
+        "Say which one has less height — [A] or [B].",
+        "Identify the shorter object among [A] and [B].",
+        "[A] or [B] — which stands the shorter?",
+    ],
+    "answer": [
+        "[X] is the correct pick.",
+        "Go with [X].",
+        "[X] takes it.",
+        "That title goes to [X].",
+        "Here it's [X].",
+        "[X] — that one.",
+        "The one you want is [X].",
+        "[X] matches what you asked.",
+    ],
+}
+
+_QUANT_EXTRA: T = {
+    "vertical_distance_q": [
+        "Give me the vertical gap from [A] to [B].",
+        "Measured along the vertical, what separates [A] and [B]?",
+        "Could you put a number on the vertical distance between [A] and [B]?",
+        "Tell me how far [A] sits from [B] in the up-down direction.",
+        "What's the up-down separation between [A] and [B]?",
+        "In the vertical direction, how much space lies between [A] and [B]?",
+        "Work out the vertical distance separating [A] from [B].",
+        "How big is the vertical offset from [A] to [B]?",
+    ],
+    "vertical_distance_a": [
+        "Call it [X] in the vertical direction.",
+        "About [X] of up-down separation lies between them.",
+        "The up-down gap from [A] to [B] comes to [X].",
+        "Vertically the pair are separated by [X].",
+        "[X] — that's the vertical offset between [A] and [B].",
+        "In the vertical direction, the answer is [X].",
+        "The measurement comes out near [X] vertically.",
+        "Expect roughly [X] between [A] and [B], measured up and down.",
+    ],
+    "horizontal_distance_q": [
+        "Give me the horizontal gap from [A] to [B].",
+        "Measured along the horizontal, what separates [A] and [B]?",
+        "Could you put a number on the horizontal distance between [A] and [B]?",
+        "Tell me how far [A] sits from [B] in the side-to-side direction.",
+        "What's the side-to-side separation between [A] and [B]?",
+        "In the horizontal direction, how much space lies between [A] and [B]?",
+        "Work out the horizontal distance separating [A] from [B].",
+        "How big is the lateral offset from [A] to [B]?",
+    ],
+    "horizontal_distance_a": [
+        "Call it [X] in the horizontal direction.",
+        "About [X] of side-to-side separation lies between them.",
+        "The lateral gap from [A] to [B] comes to [X].",
+        "Horizontally the pair are separated by [X].",
+        "[X] — that's the lateral offset between [A] and [B].",
+        "In the horizontal direction, the answer is [X].",
+        "The measurement comes out near [X] horizontally.",
+        "Expect roughly [X] between [A] and [B], measured side to side.",
+    ],
+    "distance_q": [
+        "Give me the distance from [A] to [B].",
+        "Could you put a number on the gap between [A] and [B]?",
+        "Tell me how far [A] sits from [B].",
+        "What's the separation between [A] and [B]?",
+        "How much space lies between [A] and [B]?",
+        "Work out the distance separating [A] from [B].",
+        "About how much distance stands between [A] and [B]?",
+        "What gap would you estimate between [A] and [B]?",
+    ],
+    "distance_a": [
+        "Call it [X].",
+        "About [X] separates them.",
+        "The gap from [A] to [B] comes to [X].",
+        "The pair are separated by [X].",
+        "[X] — that's the distance between [A] and [B].",
+        "The answer is [X].",
+        "The measurement comes out near [X].",
+        "Expect roughly [X] between [A] and [B].",
+    ],
+    "width_q": [
+        "Give me the width of [A].",
+        "Could you put a number on how wide [A] is?",
+        "Tell me the side-to-side measurement of [A].",
+        "What does [A] measure across?",
+        "How much width does [A] have?",
+        "Work out how broad [A] is.",
+        "About how wide would you call [A]?",
+        "What width would you estimate for [A]?",
+    ],
+    "width_a": [
+        "Call it [X] wide.",
+        "About [X] across.",
+        "The side-to-side measurement of [A] comes to [X].",
+        "[A] carries a width of [X].",
+        "[X] — that's how wide [A] is.",
+        "Its breadth works out to [X].",
+        "The width measures near [X].",
+        "Expect roughly [X] of width for [A].",
+    ],
+    "height_q": [
+        "Give me the height of [A].",
+        "Could you put a number on how tall [A] is?",
+        "Tell me the top-to-bottom measurement of [A].",
+        "What does [A] measure from bottom to top?",
+        "How much height does [A] have?",
+        "Work out how high [A] stands.",
+        "About how tall would you call [A]?",
+        "What height would you estimate for [A]?",
+    ],
+    "height_a": [
+        "Call it [X] tall.",
+        "About [X] from bottom to top.",
+        "The top-to-bottom measurement of [A] comes to [X].",
+        "[A] carries a height of [X].",
+        "[X] — that's how tall [A] is.",
+        "Its stature works out to [X].",
+        "The height measures near [X].",
+        "Expect roughly [X] of height for [A].",
+    ],
+    "direction_q": [
+        "Picture a clock centered on [A]: at which hour does [B] sit?",
+        "From where [A] stands, what clock hour points at [B]?",
+        "Give [B]'s bearing from [A] in clock terms.",
+        "If [A] faced 12 o'clock, at which hour would [B] appear?",
+        "Locate [B] on a clock dial drawn around [A].",
+        "What o'clock reading takes you from [A] to [B]?",
+        "Describe where [B] lies using the clock around [A].",
+        "Starting at [A], which hour hand would point to [B]?",
+    ],
+    "direction_a": [
+        "Call it [X] o'clock from [A] to [B].",
+        "On a dial centered at [A], [B] reads about [X] o'clock.",
+        "The bearing from [A] to [B] is near [X] o'clock.",
+        "[B] shows up around the [X] o'clock mark as seen from [A].",
+        "Check the [X] o'clock direction from [A] — [B] is there.",
+        "An hour hand at [X] would point from [A] toward [B].",
+        "From [A], the clock reading for [B] comes to [X].",
+        "[X] o'clock — that's where [B] sits relative to [A].",
+    ],
+}
+
+for _bank, _extra in (
+    (PREDICATE_TEMPLATES, _PREDICATE_EXTRA),
+    (CHOICE_TEMPLATES, _CHOICE_EXTRA),
+    (QUANT_TEMPLATES, _QUANT_EXTRA),
+):
+    for _k, _v in _extra.items():
+        _bank[_k].extend(_v)
