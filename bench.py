@@ -398,6 +398,24 @@ def main():
         **m["stages"],
     }
 
+    # batch sweep in one process (shared init): SRGPT_BENCH_EXTRA_BATCHES
+    # ="72,80" measures additional batch sizes and appends their rows
+    extra = os.environ.get("SRGPT_BENCH_EXTRA_BATCHES", "")
+    if extra:
+        out["extra_batches"] = []
+        for b in (int(x) for x in extra.split(",") if x):
+            mb = measure(b)
+            out["extra_batches"].append(
+                {
+                    "batch": b,
+                    "tok_s": round(mb["tok_s"], 2),
+                    "vs_baseline": round(mb["tok_s"] / baseline_ref, 3),
+                    "ttft_p50_s": round(mb["ttft_p50"], 4),
+                    "ttft_within_budget": mb["ttft_p50"] <= TTFT_BUDGET_P50_S,
+                    **mb["stages"],
+                }
+            )
+
     # latency-lean config: measured alongside the throughput default so the
     # TTFT budget is a recorded, gated number (VERDICT r2 weak #3).  Runs
     # only when the batch is the stock default (explicit SRGPT_BENCH_BATCH

@@ -123,12 +123,27 @@ def _refine_and_pool(
 def encode_images(
     params: Params,
     cfg: SpatialRGPTConfig,
-    images: jax.Array,  # (N, H, W, 3)
+    images: jax.Array,  # (N, H, W, 3) normalized float — or raw uint8
     depths: Optional[jax.Array],  # (N, H, W, 3)
     masks: Optional[jax.Array],  # (N, R, Hm, Wm)
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     """Returns (image_features (N, T, H), mask_embeds (N, R, H) | None,
-    depth_embeds (N, R, H) | None)."""
+    depth_embeds (N, R, H) | None).
+
+    uint8 pixels/masks are accepted and normalized IN-GRAPH
+    (data/device_preprocess.py — the SigLIP processor's rescale+normalize
+    at <= 2 f32 ulp, test-gated): serving ships half the bytes across
+    PCIe and the normalize fuses into the tower's first matmul.  Raw
+    pixels must already be at the tower resolution (device_resize_uint8
+    covers fixed-source-size resize)."""
+    if images.dtype == jnp.uint8:
+        from spatialrgpt_tpu.data.device_preprocess import device_siglip_normalize
+
+        images = device_siglip_normalize(images, dtype=jnp.bfloat16)
+        if depths is not None and depths.dtype == jnp.uint8:
+            depths = device_siglip_normalize(depths, dtype=jnp.bfloat16)
+    if masks is not None and masks.dtype == jnp.uint8:
+        masks = masks.astype(jnp.bfloat16)  # mask processor: rescale 1.0
     mask_embeds = depth_embeds = None
     if cfg.enable_region:
         depth_feats = None
