@@ -134,7 +134,7 @@ PROMPT_TEXT_TOKENS = int(os.environ.get("SRGPT_BENCH_PROMPT_TOKENS", 96))
 PAD_BUCKET = int(os.environ.get("SRGPT_BENCH_PAD", 320))
 
 
-def fast_init_quantized(cfg, w8a8: bool, seed: int = 0):
+def fast_init_quantized(cfg, w8a8: bool, seed: int = 0, vision_quant: bool = None):
     """On-device init directly into the quantized layout.
 
     The bench serves random weights (throughput doesn't depend on values).
@@ -193,8 +193,9 @@ def fast_init_quantized(cfg, w8a8: bool, seed: int = 0):
                 return [visit(v, quantize) for v in node]
             return dense_leaf(node)
 
+        vq = (w8a8 if vision_quant is None else vision_quant)
         return {
-            k: visit(v, quantize=(k == "llm" or (w8a8 and k == "vision")))
+            k: visit(v, quantize=(k == "llm" or (vq and k == "vision")))
             for k, v in shapes.items()
         }
 

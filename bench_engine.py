@@ -39,6 +39,9 @@ MULTI = int(os.environ.get("SRGPT_ENGINE_MULTISTEP", 8))  # fused decode
 # measurable here at all)
 ADMIT = int(os.environ.get("SRGPT_ENGINE_ADMIT", 8))  # max batched-prefill
 # admission width (power-of-2 buckets; wider = fewer host round trips)
+CHUNK = int(os.environ.get("SRGPT_ENGINE_CHUNK", 0))  # chunked prefill:
+# admissions advance one prefill chunk per scheduler window instead of
+# stalling all decode slots for a full batched prefill (0 = off)
 ASYNC = os.environ.get("SRGPT_ENGINE_ASYNC", "0") == "1"  # async scheduling:
 # readbacks lag launches one entry so link RTT overlaps device compute
 TRACE = os.environ.get("SRGPT_ENGINE_TRACE", "0") == "1"  # per-fn stage
@@ -106,6 +109,7 @@ def main():
         # one-pass short-bucket prefill kernel (ops/prefill_attention.py)
         attn_impl=os.environ.get("SRGPT_BENCH_ATTN", "onepass"),
         async_readback=ASYNC,
+        prefill_chunk=CHUNK,
     )
     # text lengths bounded so the expanded prompt (~n_text + 200 tokens:
     # 196 image + region/special tokens) fits the bucket — keeps the

@@ -90,9 +90,15 @@ def main():
         inputs.masks,
     )
 
-    # ViT attention variants, measured through the full tower pass
+    # ViT attention variants, measured through the full tower pass.
+    # (r4 measured: bh4 0.809, bh2 0.807, XLA 0.824 at b64 — all within
+    # tunnel noise; bh8/16 configs crash the remote compile service.
+    # Attention is no longer the tower's bottleneck.)  Off by default.
     sweep = []
-    for bh, bq in [(4, None), (8, None), (8, 384), (16, 256), (16, 128), (2, None)]:
+    variants = [(4, None), (8, None), (8, 384), (16, 256), (16, 128), (2, None)]
+    if os.environ.get("SRGPT_PREP_SWEEP", "0") != "1":
+        variants = []
+    for bh, bq in variants:
         os.environ["SRGPT_VIT_BLOCK_H"] = str(bh)
         os.environ["SRGPT_VIT_BLOCK_Q"] = str(bq) if bq else ""
         f = jax.jit(
@@ -109,6 +115,17 @@ def main():
             print(f"bh={bh} bq={bq}: FAIL {str(e)[:120]}", file=sys.stderr)
     os.environ["SRGPT_VIT_BLOCK_H"] = "4"
     os.environ["SRGPT_VIT_BLOCK_Q"] = ""
+
+    # bf16 (unquantized) vision tower A/B: is the W8A8 act-quant chain
+    # paying for itself at the ViT's 1152-wide matmuls?
+    params_bf16v = bench.fast_init_quantized(cfg, w8a8=True, vision_quant=False)
+    device_sync(params_bf16v["llm"]["final_ln"])
+    t("tower_2n_bf16_vision_s",
+      lambda p, x: siglip.forward_features(p["vision"], x, cfg.vision),
+      params_bf16v, both)
+    t("prepare_embeds_bf16_vision_s",
+      lambda p, i: vlm.prepare_embeds(p, cfg, i), params_bf16v, inputs)
+    del params_bf16v
 
     # XLA-attention tower for reference
     os.environ["SRGPT_VIT_XLA_ATTN"] = "1"

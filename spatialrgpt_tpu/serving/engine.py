@@ -1037,6 +1037,10 @@ class ServingEngine:
             # (below) runs in the same scheduler window instead of
             # stalling for a full prefill
             self._advance_chunked()
+            # nothing decoding -> no window to interleave with; finish
+            # the admission now instead of one chunk per empty step
+            while self._inflight is not None and not self.active.any():
+                self._advance_chunked()
         self._admit()
         finished_at_admit = finished_pre + self._admit_finished
         self._admit_finished = []
