@@ -53,8 +53,16 @@ def test_human_like_distance_units():
         assert any(u in s for u in ("meters", "feet"))
 
 
-AFFIRM = ("yes", "correct", "indeed", "affirmative", "that's right", "it is —")
-NEGATE = ("no", "incorrect", "negative", "that's not", "it isn't")
+AFFIRM = (
+    "yes", "correct", "indeed", "affirmative", "that's right", "it is —",
+    "true —", "confirmed", "exactly", "quite so", "certainly", "right —",
+    "right you are", "indeed it is",
+)
+NEGATE = (
+    "no", "incorrect", "negative", "that's not", "it isn't", "false —",
+    "not so", "quite the opposite", "not quite", "hardly", "wrong",
+    "actually", "it's the reverse",
+)
 
 
 def test_predicates_reflect_geometry():
