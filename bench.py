@@ -114,12 +114,13 @@ def a100_reference_protocol_tok_s(cfg, prompt_len, max_new) -> float:
     return a100_batched_tok_s(cfg, 1, prompt_len, max_new)
 
 # Default = the BASELINE.json north-star config: the Llama3-8B flagship.
-# Batch 96 amortizes the 8 GB int8 weight stream across more decode rows
-# (decode is the HBM floor): 1481.9 tok/s vs 1390.3 at b64 (BASELINE.md;
-# b64 keeps the lower 2.1 s TTFT when latency matters).
+# Batch 64 is the headline (round 4): the largest batch that meets the
+# 2.5 s p50 TTFT budget — b96's TTFT is floor-bound (prefill at 96% of
+# the W8A8 matmul-chain floor; BASELINE.md "TTFT budget is floor-bound").
+# The b96 max-throughput row is measured alongside (`max_throughput`).
 # The Sheared-3B config (BASELINE.md numbers) via SRGPT_BENCH_MODEL=sheared-3b.
 MODEL = os.environ.get("SRGPT_BENCH_MODEL", "llama3-8b")
-BATCH = int(os.environ.get("SRGPT_BENCH_BATCH", 96))
+BATCH = int(os.environ.get("SRGPT_BENCH_BATCH", 64))
 MAX_NEW = int(os.environ.get("SRGPT_BENCH_MAX_NEW", 64))
 N_REGIONS = 2
 # text tokens around the image + region tokens; raise together with
@@ -417,19 +418,20 @@ def main():
                 }
             )
 
-    # latency-lean config: measured alongside the throughput default so the
-    # TTFT budget is a recorded, gated number (VERDICT r2 weak #3).  Runs
-    # only when the batch is the stock default (explicit SRGPT_BENCH_BATCH
-    # sweeps skip it); disable with SRGPT_BENCH_LEAN=0.
-    lean_batch = int(os.environ.get("SRGPT_BENCH_LEAN_BATCH", 64))
+    # max-throughput config: measured alongside the (budget-passing)
+    # headline so both ends of the batch/TTFT trade are recorded numbers
+    # (round 4: headline b64 meets the 2.5 s budget; b96 trades TTFT for
+    # tok/s).  Runs only when the batch is the stock default (explicit
+    # SRGPT_BENCH_BATCH sweeps skip it); disable with SRGPT_BENCH_LEAN=0.
+    mt_batch = int(os.environ.get("SRGPT_BENCH_LEAN_BATCH", 96))
     if (
         "SRGPT_BENCH_BATCH" not in os.environ
         and os.environ.get("SRGPT_BENCH_LEAN", "1") == "1"
-        and lean_batch != BATCH
+        and mt_batch != BATCH
     ):
-        ml = measure(lean_batch)
-        out["latency_lean"] = {
-            "batch": lean_batch,
+        ml = measure(mt_batch)
+        out["max_throughput"] = {
+            "batch": mt_batch,
             "tok_s": round(ml["tok_s"], 2),
             "vs_baseline": round(ml["tok_s"] / baseline_ref, 3),
             "ttft_p50_s": round(ml["ttft_p50"], 4),

@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
+
+if os.environ.get("SRGPT_DEMO_TINY", "0") == "1":
+    # CPU smoke mode: the environment preloads a TPU platform plugin, so
+    # JAX_PLATFORMS alone does not steer off it (tests/conftest.py does
+    # the same)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -228,11 +235,21 @@ def main():
         lambda p, px, bx: sam_lib.predict_boxes_hq(p, scfg, px, bx)
     )
 
+    # sub-batched: vit_h's 4 global-attention layers materialize
+    # (b, 16, 4096, 4096) f32 scores — 4.3 GB per image at 1024^2 — so
+    # the SAM pass runs 2 images per call beside the resident VLM+DA
+    sam_chunk = 2 if SAM_SIZE == "vit_h" else BATCH
+    sam_px = jnp.asarray(sam_in, jnp.bfloat16)
+    sam_bx = jnp.asarray(sam_boxes)
+
     def stage_sam():
-        m, iou = sam_fwd(
-            sam_params, jnp.asarray(sam_in, jnp.bfloat16), jnp.asarray(sam_boxes)
-        )
-        return np.asarray(m)
+        outs = []
+        for i in range(0, BATCH, sam_chunk):
+            m, iou = sam_fwd(
+                sam_params, sam_px[i : i + sam_chunk], sam_bx[i : i + sam_chunk]
+            )
+            outs.append(np.asarray(m))
+        return np.concatenate(outs, axis=0)
 
     mask_logits = stage_sam()  # (B*2, 256, 256) logits; compile/warm
     sam_s = time_fn(stage_sam, iters=3, warmup=0)
@@ -323,7 +340,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"demo-graph images/sec (SAM-HQ {SAM_SIZE} + DA ViT-L + {MODEL}, batch {BATCH})",
+                "metric": (
+                    f"demo-graph images/sec (SAM-HQ {SAM_SIZE} + "
+                    f"DA {'tiny' if TINY else 'ViT-L'} + "
+                    f"{'tiny-vlm' if TINY else MODEL}, batch {BATCH})"
+                ),
                 "value": round(BATCH / e2e_s, 3),
                 "unit": "images/s",
                 "e2e_s": round(e2e_s, 3),

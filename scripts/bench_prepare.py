@@ -44,11 +44,16 @@ def main():
         num_extra_tokens=8,
     )
     rng = np.random.default_rng(0)
-    params = bench.fast_init_quantized(cfg, w8a8=True)
+    # SRGPT_PREP_VISION_BF16=1: keep the vision tower bf16 (no W8A8) —
+    # the act-quant-chain A/B; two 8B param sets don't coexist in HBM,
+    # so the comparison is two invocations of this script
+    vbf16 = os.environ.get("SRGPT_PREP_VISION_BF16", "0") == "1"
+    out_extra = {"vision_bf16": vbf16}
+    params = bench.fast_init_quantized(cfg, w8a8=True, vision_quant=not vbf16)
     device_sync(params["llm"]["final_ln"])
     inputs, _ = bench.build_batch(cfg, rng, BATCH)
 
-    out = {"batch": BATCH, "model": MODEL}
+    out = {"batch": BATCH, "model": MODEL, **out_extra}
 
     def t(name, fn, *args):
         f = jax.jit(fn)
@@ -115,17 +120,6 @@ def main():
             print(f"bh={bh} bq={bq}: FAIL {str(e)[:120]}", file=sys.stderr)
     os.environ["SRGPT_VIT_BLOCK_H"] = "4"
     os.environ["SRGPT_VIT_BLOCK_Q"] = ""
-
-    # bf16 (unquantized) vision tower A/B: is the W8A8 act-quant chain
-    # paying for itself at the ViT's 1152-wide matmuls?
-    params_bf16v = bench.fast_init_quantized(cfg, w8a8=True, vision_quant=False)
-    device_sync(params_bf16v["llm"]["final_ln"])
-    t("tower_2n_bf16_vision_s",
-      lambda p, x: siglip.forward_features(p["vision"], x, cfg.vision),
-      params_bf16v, both)
-    t("prepare_embeds_bf16_vision_s",
-      lambda p, i: vlm.prepare_embeds(p, cfg, i), params_bf16v, inputs)
-    del params_bf16v
 
     # XLA-attention tower for reference
     os.environ["SRGPT_VIT_XLA_ATTN"] = "1"

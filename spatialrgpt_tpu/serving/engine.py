@@ -384,13 +384,22 @@ class ServingEngine:
             last_token = last_token.at[slot].set(tok)
             return cache, lengths, last_token
 
-        def _sample_slots(logits, keys, lengths, temps, top_ps):
+        def _sample_slots(logits, keys, lengths, temps, top_ps, all_greedy=False):
             """Per-slot nucleus sampling; temp==0 rows take the argmax.
+
+            ``all_greedy`` (static) skips the nucleus machinery entirely:
+            the full path SORTS the (B, V) logits every call — ~12M f32
+            at 96 slots x 128k vocab — which measured as the engine's
+            missing throughput vs lockstep greedy (r4 trace: decode stage
+            2.7 s vs ~1.2 s equivalent).  The scheduler picks the greedy
+            decode jit whenever no active slot samples.
 
             The step key is ``fold_in(request_key, lengths[b])`` — lengths
             increment every step, so each slot advances its own stream
             independently of slot churn elsewhere in the pool."""
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if all_greedy:
+                return greedy
             safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
             scaled = logits / safe_t
             sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
@@ -406,7 +415,7 @@ class ServingEngine:
             return jnp.where(temps > 0, sampled.astype(jnp.int32), greedy)
 
         def _decode_once(params, cache, lengths, last_token, active_mask,
-                         temps, top_ps, keys):
+                         temps, top_ps, keys, all_greedy=False):
             x = llama.embed_tokens(params["llm"], last_token[:, None], cfg.llm)
             pos = lengths[:, None]
             slot_ids = jnp.arange(self.capacity)
@@ -441,7 +450,7 @@ class ServingEngine:
                 new_parts.append(parts)
             h = llama._norm(h, params["llm"]["final_ln"], cfg.llm)
             logits = llama.logits(params["llm"], h, cfg.llm)[:, 0].astype(jnp.float32)
-            tok = _sample_slots(logits, keys, lengths, temps, top_ps)
+            tok = _sample_slots(logits, keys, lengths, temps, top_ps, all_greedy)
             lengths = jnp.where(active_mask, lengths + 1, lengths)
             tok = jnp.where(active_mask, tok, last_token)
             if kv_quant:
@@ -466,9 +475,11 @@ class ServingEngine:
         # self.last_token; a donation would corrupt pending readbacks on
         # real TPUs (donation is a no-op on CPU, so no test would catch
         # it).  step() additionally stores a defensive copy.
-        decode = jax.jit(_decode_once, donate_argnums=(1, 2))
+        decode = jax.jit(
+            _decode_once, donate_argnums=(1, 2), static_argnums=(8,)
+        )
 
-        def make_decode_multi(k):
+        def make_decode_multi(k, all_greedy=False):
             # last_token must not be donated (see the decode jit above)
             @functools.partial(jax.jit, donate_argnums=(1, 2))
             def decode_multi(params, cache, lengths, last_token, active_mask,
@@ -483,7 +494,7 @@ class ServingEngine:
                     cache, lengths, last_token, toks = st
                     cache, lengths, tok = _decode_once(
                         params, cache, lengths, last_token, active_mask,
-                        temps, top_ps, keys,
+                        temps, top_ps, keys, all_greedy,
                     )
                     toks = jax.lax.dynamic_update_slice_in_dim(
                         toks, tok[:, None], i, axis=1
@@ -499,10 +510,11 @@ class ServingEngine:
 
         self._decode_multi_cache = {}
 
-        def decode_multi(k):
-            if k not in self._decode_multi_cache:
-                self._decode_multi_cache[k] = make_decode_multi(k)
-            return self._decode_multi_cache[k]
+        def decode_multi(k, all_greedy=False):
+            key = (k, all_greedy)
+            if key not in self._decode_multi_cache:
+                self._decode_multi_cache[key] = make_decode_multi(k, all_greedy)
+            return self._decode_multi_cache[key]
 
         # ---- chunked prefill (prefill_chunk > 0) ----
         @jax.jit
@@ -1055,10 +1067,16 @@ class ServingEngine:
                 self._put(jnp.asarray(self.slot_key)),
             )
         active_mask, temps, top_ps, keys = self._dev_sched
+        # greedy fast path: when no ACTIVE slot samples, run the decode
+        # variant without the nucleus pipeline (its per-step (B, V) sort
+        # was the engine's missing throughput vs lockstep — BASELINE.md
+        # r4 engine trace); tokens are identical by construction
+        # (temp==0 rows take the argmax either way)
+        all_greedy = not bool(np.any(self.slot_temp[self.active] > 0))
         if num_steps == 1:
             self.cache, self.lengths, tok = self._decode(
                 self.params, self.cache, self.lengths, self.last_token, active_mask,
-                temps, top_ps, keys,
+                temps, top_ps, keys, all_greedy,
             )
             self.last_token = tok
             # defensive copy: the pending entry must not alias
@@ -1067,7 +1085,7 @@ class ServingEngine:
             toks_dev = tok + 0 if self.async_readback else tok
         else:
             self.cache, self.lengths, self.last_token, toks = self._decode_multi(
-                num_steps
+                num_steps, all_greedy
             )(self.params, self.cache, self.lengths, self.last_token, active_mask,
               temps, top_ps, keys)
             toks_dev = toks

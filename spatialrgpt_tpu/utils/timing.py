@@ -17,18 +17,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def device_sync(x) -> float:
+def device_sync(x=None) -> float:
     """Force completion of everything queued before ``x`` by fetching a
-    scalar derived from it."""
-    leaf = jax.tree_util.tree_leaves(x)[0]
+    scalar derived from it.  A leafless ``x`` (None, host-only result)
+    still drains the queue: executions complete in order, so fetching a
+    fresh tiny op fences all prior dispatches."""
+    leaves = jax.tree_util.tree_leaves(x)
+    leaf = leaves[0] if leaves else jnp.zeros(())
     return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
 
 
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
     """Median-free simple timing: dispatch ``iters`` runs back-to-back and
     sync once; returns seconds per iteration."""
+    out = None
     for _ in range(warmup):
         out = fn(*args)
+    # warmup=0 / leafless results still drain the queue (device_sync
+    # fences all prior dispatches via a fresh tiny op)
     device_sync(out)
     t0 = time.time()
     out = None
