@@ -137,6 +137,11 @@ def main():
             "projector": base.pop("projector"),
             "region": base.pop("region"),
         }
+        # drop the bf16 decoder: params["llm"] would otherwise keep the
+        # 5.4 GB bf16 tree alive next to the int8 base through the whole
+        # step (the r4 qlora OOM; the align QUANT branch does the same)
+        del params
+        jax.block_until_ready(base["llm"]["final_ln"])
         ocfg = OptimizerConfig(learning_rate=2e-5, total_steps=100)
         optimizer = build_optimizer(trainable, ocfg)
         state = create_train_state(trainable, optimizer)
