@@ -237,8 +237,9 @@ def main():
 
     # sub-batched: vit_h's 4 global-attention layers materialize
     # (b, 16, 4096, 4096) f32 scores — 4.3 GB per image at 1024^2 — so
-    # the SAM pass runs 2 images per call beside the resident VLM+DA
-    sam_chunk = 2 if SAM_SIZE == "vit_h" else BATCH
+    # the SAM pass runs one image per call beside the resident 8B VLM
+    # (the demo's interactive protocol is batch-1 anyway)
+    sam_chunk = 1 if SAM_SIZE == "vit_h" else BATCH
     sam_px = jnp.asarray(sam_in, jnp.bfloat16)
     sam_bx = jnp.asarray(sam_boxes)
 
