@@ -197,22 +197,52 @@ def main():
         rtts.append(time.time() - r0)
     sync_rtt = sorted(rtts)[len(rtts) // 2]
 
+    # staggered arrivals (SRGPT_ENGINE_STAGGER_MS > 0): request i becomes
+    # visible to the engine i*stagger ms into the run — the regime
+    # continuous batching exists for (vs the all-at-t0 batch-fill
+    # default, where chunked prefill has nothing to interleave with)
+    stagger_s = int(os.environ.get("SRGPT_ENGINE_STAGGER_MS", 0)) / 1000.0
     t0 = time.time()
     submit_t = {}
     finish_t = {}
-    for i, (inputs, plen) in enumerate(reqs):
-        rid = eng.submit(inputs, plen, max_new_tokens=MAX_NEW, prefetch=not prestage)
-        submit_t[rid] = time.time()
+    next_req = 0
+
+    def submit_due():
+        nonlocal next_req
+        now = time.time() - t0
+        while next_req < REQS and next_req * stagger_s <= now:
+            inputs, plen = reqs[next_req]
+            rid = eng.submit(
+                inputs, plen, max_new_tokens=MAX_NEW, prefetch=not prestage
+            )
+            submit_t[rid] = time.time()
+            next_req += 1
+
+    if not stagger_s:
+        for inputs, plen in reqs:
+            rid = eng.submit(inputs, plen, max_new_tokens=MAX_NEW, prefetch=not prestage)
+            submit_t[rid] = time.time()
+        next_req = REQS
     done = []
     n_syncs = 0
     while len(done) < REQS:
+        submit_due()
+        if (
+            next_req < REQS
+            and not eng.queue
+            and not eng.active.any()
+            and eng._inflight is None
+            and not eng._pending
+        ):
+            time.sleep(0.002)  # idle until the next arrival is due
+            continue
         fin = eng.step(MULTI)
         n_syncs += 1
         now = time.time()
         for r in fin:
             finish_t[r.request_id] = now
         done.extend(fin)
-        if not eng.queue and not eng.active.any():
+        if next_req >= REQS and not eng.queue and not eng.active.any():
             break
     wall = time.time() - t0
 
@@ -241,6 +271,8 @@ def main():
                 "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
                 "prestaged_inputs": prestage,
                 "async_readback": ASYNC,
+                "prefill_chunk": CHUNK,
+                "stagger_ms": int(stagger_s * 1000),
                 "n_scheduler_syncs": n_syncs + n_prefills,
                 "sync_rtt_s": round(sync_rtt, 4),
                 "sync_overhead_s": round(sync_overhead, 2),
