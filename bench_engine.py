@@ -143,14 +143,23 @@ def main():
             inputs.images.block_until_ready()
         device_sync(reqs[-1][0].masks)
 
-    # warm every compiled path used by the timed run by replaying its
-    # exact submission pattern at max_new=4: same power-of-2 admission
-    # widths (and their device-concat ops when prestaged), insert
-    # variants, and the fused decode window
+    # warm every compiled path used by the timed run at max_new=4: the
+    # wide replay covers the batch-arrival pattern, and (for staggered
+    # arrivals, where admissions run at whatever width has queued) each
+    # smaller power-of-2 width gets its own prefill/insert/chunk compile
+    # — in-loop compilation at an unwarmed width dominated a staggered
+    # run by 60x before this (each width is one cached compile).
     t0 = time.time()
     for inputs, plen in reqs[: min(REQS, SLOTS) if ADMIT > 8 else 15]:
         eng.submit(inputs, plen, max_new_tokens=4)
     eng.run_until_drained(num_steps=MULTI)
+    if int(os.environ.get("SRGPT_ENGINE_STAGGER_MS", 0)) > 0:
+        w = 1
+        while w < ADMIT:
+            for inputs, plen in reqs[:w]:
+                eng.submit(inputs, plen, max_new_tokens=4)
+            eng.run_until_drained(num_steps=MULTI)
+            w *= 2
     eng.lengths = jnp.zeros((eng.B,), jnp.int32)
     print(f"warmup/compile: {time.time()-t0:.1f}s", file=sys.stderr)
 
