@@ -116,8 +116,14 @@ def main():
     # engine's prefill shapes comparable to bench.py's lockstep number
     # when BUCKET matches its PAD_BUCKET (320)
     # clamp: small pad buckets (<=256) would otherwise make the range empty
-    n_hi = max(49, min(128, BUCKET - 208))
-    reqs = [make_request(cfg, rng, int(rng.integers(48, n_hi))) for _ in range(REQS)]
+    # SRGPT_ENGINE_PROMPT_TOKENS targets long-prompt serving (the chunked-
+    # prefill regime): text lengths ~[0.8x, 1.0x] of the target
+    ptok = int(os.environ.get("SRGPT_ENGINE_PROMPT_TOKENS", 0))
+    if ptok:
+        n_lo, n_hi = max(1, int(ptok * 0.8)), max(2, min(ptok, BUCKET - 208))
+    else:
+        n_lo, n_hi = 48, max(49, min(128, BUCKET - 208))
+    reqs = [make_request(cfg, rng, int(rng.integers(n_lo, n_hi))) for _ in range(REQS)]
 
     # stage the pixel fields on device before the timed region — the same
     # protocol as bench.py's lockstep number (inputs device-resident before
