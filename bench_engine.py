@@ -189,7 +189,10 @@ def main():
         eng._decode = timed("decode", _d)
 
     # count actual batched-prefill launches (slot churn caps admission
-    # widths below ADMIT, so ceil(REQS/ADMIT) underestimates — advisor r3)
+    # widths below ADMIT, so ceil(REQS/ADMIT) underestimates — advisor r3).
+    # Chunked admissions bypass _prefill_batch but still pay one blocking
+    # prefill-token readback per admission (in _advance_chunked), so count
+    # their per-admission _chunk_embeds call too.
     prefill_calls = [0]
     _pb = eng._prefill_batch
 
@@ -198,6 +201,13 @@ def main():
         return _pb(*a, **kw)
 
     eng._prefill_batch = _counted_prefill
+    _ce = eng._chunk_embeds
+
+    def _counted_chunk_embeds(*a, **kw):
+        prefill_calls[0] += 1
+        return _ce(*a, **kw)
+
+    eng._chunk_embeds = _counted_chunk_embeds
 
     # measure the host<->device round-trip cost this link pays per
     # scheduler sync (a tiny jit + host readback, same protocol as the

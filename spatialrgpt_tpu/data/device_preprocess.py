@@ -39,38 +39,64 @@ import numpy as np
 from spatialrgpt_tpu.data.preprocess import _PIL_PRECISION_BITS, _resample_matrix
 
 
-_SPLIT = 1 << 12  # coefficient split radix
 _SHIFT = 1 << _PIL_PRECISION_BITS  # 2^22
-_QSTEP = _SHIFT // _SPLIT  # 2^10: s/2^22 = (p_hi + p_lo/2^12)/2^10
+_EXACT = float(1 << 24)  # f32's exact-integer range
 
 
 @functools.lru_cache(maxsize=64)
-def _split_matrices(in_size: int, out_size: int) -> Tuple[np.ndarray, np.ndarray]:
-    """PIL's fixed-point bicubic coefficients split c = hi*2^12 + lo with
-    |hi| <~ 2^10.5 and |lo| <= 2^11 — each half's dot against uint8
-    pixels stays an exact integer in f32."""
+def _split_matrices(in_size: int, out_size: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """PIL's fixed-point bicubic coefficients split c = hi*2^k + lo, with
+    the radix 2^k chosen PER MATRIX so both halves' dots against uint8
+    pixels — and every term of the quotient/remainder recovery — are
+    provably exact f32 integers.  A fixed k=12 is exact only up to
+    downscale ~8x (|lo| <= 2^11 times ~4*scale taps times 255 passes
+    2^24 beyond that); large downscales have many small coefficients, so
+    a smaller radix keeps |lo| small while |hi| stays bounded.  Verified
+    numerically from the actual row sums; raises if no radix works
+    (does not occur for any size pair with taps < ~500).
+    """
     _, mi = _resample_matrix(in_size, out_size)
-    hi = np.round(mi / _SPLIT)
-    lo = mi - hi * _SPLIT
-    return np.asarray(hi, np.float32), np.asarray(lo, np.float32)
+    bias = float(1 << (_PIL_PRECISION_BITS - 1))
+    for k in (12, 10, 8, 6, 4):
+        split = float(1 << k)
+        hi = np.round(mi / split)
+        lo = mi - hi * split
+        hi_bound = float(np.abs(hi).sum(axis=1).max()) * 255.0
+        lo_bound = float(np.abs(lo).sum(axis=1).max()) * 255.0 + bias
+        # exactness requirements (see _fixed_pass): both dots exact, the
+        # remainder r = d*2^k + p_lo' exact (|r| < 2^23 by construction,
+        # so |d*2^k| <= 2^23 + lo_bound must stay within 2^24)
+        if (
+            hi_bound < _EXACT
+            and lo_bound < _EXACT / 2
+            and hi.max() * 255 * (1 << k) < 2**53  # sanity
+        ):
+            return np.asarray(hi, np.float32), np.asarray(lo, np.float32), k
+    raise ValueError(
+        f"no exact f32 split radix for resize {in_size}->{out_size}"
+    )
 
 
-def _fixed_pass(x: jax.Array, hi: jax.Array, lo: jax.Array, sub: str) -> jax.Array:
+def _fixed_pass(x: jax.Array, hi: jax.Array, lo: jax.Array, k: int, sub: str) -> jax.Array:
     """One PIL fixed-point resample pass on exact-integer f32 tensors.
 
-    True accumulator: s = (p_hi*2^12 + p_lo) + 2^21, output
-    clip8(s >> 22).  Both dots are exact f32 integers (< 2^24); the
-    quotient q = floor(s/2^22) is recovered by rounding an approximate
-    quotient and correcting with the EXACT remainder
-    r = (p_hi - q*2^10)*2^12 + p_lo' (every term again < 2^24).
+    True accumulator: s = (p_hi*2^k + p_lo) + 2^21, output
+    clip8(s >> 22).  Both dots are exact f32 integers (bounds checked at
+    matrix build); the quotient q = floor(s/2^22) is recovered by
+    rounding an approximate quotient and correcting with the EXACT
+    remainder r = (p_hi - q*2^(22-k))*2^k + p_lo' (|r| < 2^23 since q is
+    within 1 of the true quotient, so every term stays within f32's
+    exact-integer range).
     """
+    split = float(1 << k)
+    qstep = float(_SHIFT >> k)  # 2^(22-k)
     p_hi = jnp.einsum(sub, hi, x, preferred_element_type=jnp.float32)
     p_lo = jnp.einsum(sub, lo, x, preferred_element_type=jnp.float32)
     p_lo = p_lo + float(1 << (_PIL_PRECISION_BITS - 1))  # fold the bias in
-    approx = (p_hi + p_lo * (1.0 / _SPLIT)) * (1.0 / _QSTEP)
-    q = jnp.round(approx)
-    d = p_hi - q * float(_QSTEP)  # exact: integers of magnitude < 2^23
-    r = d * float(_SPLIT) + p_lo  # exact remainder, |r| < 2^24
+    approx = (p_hi + p_lo * (1.0 / split)) * (1.0 / qstep)
+    q = jnp.round(approx)  # q in [-1, 256]-ish: output-range quotient
+    d = p_hi - q * qstep  # exact: integers of magnitude < 2^24
+    r = d * split + p_lo  # exact remainder
     under = r < 0
     q = q - under
     r = r + jnp.where(under, float(_SHIFT), 0.0)
@@ -92,11 +118,11 @@ def device_resize_uint8(
     B, H, W, C = images.shape
     x = images.astype(jnp.float32)
     if W != out_w:
-        hi, lo = _split_matrices(W, out_w)
-        x = _fixed_pass(x, jnp.asarray(hi), jnp.asarray(lo), "vw,bhwc->bhvc")
+        hi, lo, k = _split_matrices(W, out_w)
+        x = _fixed_pass(x, jnp.asarray(hi), jnp.asarray(lo), k, "vw,bhwc->bhvc")
     if H != out_h:
-        hi, lo = _split_matrices(H, out_h)
-        x = _fixed_pass(x, jnp.asarray(hi), jnp.asarray(lo), "vh,bhwc->bvwc")
+        hi, lo, k = _split_matrices(H, out_h)
+        x = _fixed_pass(x, jnp.asarray(hi), jnp.asarray(lo), k, "vh,bhwc->bvwc")
     return x.astype(jnp.uint8)
 
 

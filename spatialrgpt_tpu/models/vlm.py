@@ -140,8 +140,12 @@ def encode_images(
         from spatialrgpt_tpu.data.device_preprocess import device_siglip_normalize
 
         images = device_siglip_normalize(images, dtype=jnp.bfloat16)
-        if depths is not None and depths.dtype == jnp.uint8:
-            depths = device_siglip_normalize(depths, dtype=jnp.bfloat16)
+    if depths is not None and depths.dtype == jnp.uint8:
+        # independent of the images' dtype: callers may mix a host-
+        # preprocessed field with a raw one
+        from spatialrgpt_tpu.data.device_preprocess import device_siglip_normalize
+
+        depths = device_siglip_normalize(depths, dtype=jnp.bfloat16)
     if masks is not None and masks.dtype == jnp.uint8:
         masks = masks.astype(jnp.bfloat16)  # mask processor: rescale 1.0
     mask_embeds = depth_embeds = None

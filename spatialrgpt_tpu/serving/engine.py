@@ -99,8 +99,9 @@ class ServingEngine:
 
             if cfg.llm.num_key_value_heads % mesh.shape.get("tp", 1):
                 raise ValueError(
-                    f"kv heads {cfg.llm.num_key_value_heads} must divide tp="
-                    f"{mesh.shape.get('tp', 1)}"
+                    f"tp={mesh.shape.get('tp', 1)} must divide the kv-head "
+                    f"count {cfg.llm.num_key_value_heads} (the KV cache "
+                    f"shards its head axis)"
                 )
             params = tp_shard_params(params, mesh)
             self._rep = NamedSharding(mesh, PartitionSpec())
@@ -889,8 +890,19 @@ class ServingEngine:
                     ),
                     batched,
                 )
-            st["batched"] = batched
-            st["embeds"] = self._chunk_embeds(self.params, batched)
+            embeds = self._chunk_embeds(self.params, batched)
+            # requests may be padded narrower than the engine bucket;
+            # chunk slices must never clamp (dynamic_slice would re-read
+            # the tail and write shifted KV) — pad embeds/positions out
+            # to the bucket (padded tail never attended: n_chunks stops
+            # at the longest true prompt, decode validity masks the rest)
+            w = embeds.shape[1]
+            pos = np.asarray(batched.position_ids)
+            if w < self.S:
+                embeds = jnp.pad(embeds, ((0, 0), (0, self.S - w), (0, 0)))
+                pos = np.pad(pos, ((0, 0), (0, self.S - w)))
+            st["batched"] = None  # pixel tensors are dead after the splice
+            st["embeds"] = embeds
             lcfg = self.cfg.llm
             kv_shape = (n, self.S, lcfg.num_key_value_heads, lcfg.head_dim)
             L = lcfg.num_hidden_layers
@@ -903,7 +915,7 @@ class ServingEngine:
                 self._put(jnp.zeros((), jnp.int32)),
             )
             st["h_buf"] = self._put(jnp.zeros((n, self.S, lcfg.hidden_size), adt))
-            st["pos"] = self._put(jnp.asarray(np.asarray(batched.position_ids)))
+            st["pos"] = self._put(jnp.asarray(pos))
             # only chunks covering the longest true prompt run; the
             # padding tail past it stays zero KV (never attended: decode
             # validity masks slots >= the per-row length)
@@ -1040,7 +1052,7 @@ class ServingEngine:
             # apply all but the newest in-flight entry; if admission is
             # starved for slots, drain fully to discover completions
             finished_pre = self._process_pending(leave=1)
-            if self.queue and self.active.all():
+            if self.queue and (self.active | self._reserved).all():
                 finished_pre += self._process_pending(leave=0)
         else:
             finished_pre = []

@@ -26,6 +26,9 @@ from spatialrgpt_tpu.data.device_preprocess import (
         ((500, 333), 384),  # upscale one axis, downscale other
         ((96, 96), 384),  # pure upscale
         ((384, 384), 384),  # identity
+        ((4032, 128), 384),  # phone-photo downscale (~10.5x): beyond the
+        # fixed k=12 radix's exact range — exercises the adaptive split
+        ((2000, 100), 64),  # ~31x downscale
     ],
 )
 def test_device_resize_matches_pil_exactly(src_hw, out):

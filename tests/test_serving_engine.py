@@ -698,3 +698,56 @@ def test_chunked_prefill_async_readback():
         return [by_id[i] for i in ids]
 
     assert run(8, True) == run(0, False)
+
+
+def test_chunked_prefill_narrow_padded_requests():
+    """Requests padded narrower than the engine's prompt_bucket (and not
+    a multiple of prefill_chunk) must still produce exact tokens: chunk
+    slices beyond the request width previously clamped, re-reading the
+    tail and writing shifted KV (r4 review finding)."""
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+
+    def narrow_request(prompt_ids, seed):
+        sb = expand_rows(
+            [np.asarray(prompt_ids, np.int64)], None, max_len=64,
+            tokens_per_image=4, mask_token_id=CFG.mask_token_id,
+            depth_token_id=CFG.depth_token_id, regions_per_image=2,
+            pad_to=24,  # narrower than the engine bucket (40), not a
+            # multiple of prefill_chunk (16)
+        )
+        rng = np.random.default_rng(seed)
+        size = CFG.vision.image_size
+        inputs = vlm.VLMInputs(
+            input_ids=jnp.asarray(sb.input_ids), is_image=jnp.asarray(sb.is_image),
+            image_gather_idx=jnp.asarray(sb.image_gather_idx),
+            position_ids=jnp.asarray(sb.position_ids),
+            segment_ids=jnp.asarray(sb.segment_ids), labels=None,
+            mask_slot=jnp.asarray(sb.mask_slot), is_mask=jnp.asarray(sb.is_mask),
+            depth_slot=jnp.asarray(sb.depth_slot), is_depth=jnp.asarray(sb.is_depth),
+            images=jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32),
+            depths=jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32),
+            masks=jnp.asarray((rng.random((1, 2, size, size)) > 0.5), jnp.float32),
+            mask_valid=jnp.ones((1, 2), bool),
+        )
+        return inputs, int(sb.segment_ids.sum())
+
+    # expanded lengths must EXCEED one chunk (16) so the second chunk's
+    # slice [16, 32) overruns the 24-wide embeds in the buggy version
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8] + list(range(30, 44)),
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13] + list(range(50, 62)),
+    ]
+    reqs = [narrow_request(p, seed=i) for i, p in enumerate(prompts)]
+    assert all(plen > 16 for _, plen in reqs), [p for _, p in reqs]
+
+    def run(chunk):
+        eng = ServingEngine(
+            params, CFG, num_slots=2, prompt_bucket=48, max_new_tokens=5,
+            admit_width=2, prefill_chunk=chunk,
+        )
+        ids = [eng.submit(inputs, plen, max_new_tokens=5) for inputs, plen in reqs]
+        done = eng.run_until_drained(max_steps=80)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    assert run(16) == run(0)
