@@ -25,6 +25,7 @@ import re
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,6 +65,10 @@ class BenchConfig:
     # A depth_folder, when provided, overrides either source per image.
     depth_model_path: str = ""  # HF DepthAnythingForDepthEstimation dir
     # to convert when no predictor instance is passed to run_bench
+    tp: int = 1  # tensor-parallel serving: shard the decoder over a
+    # tp-way mesh (parallel/mesh.py::tp_shard_params — how models larger
+    # than one chip's HBM run this benchmark; token parity vs tp=1 is
+    # test-gated)
 
 
 def get_chunk(lst: List, n: int, k: int) -> List:
@@ -185,6 +190,15 @@ def run_bench(bcfg: BenchConfig, model=None, depth_model=None) -> str:
         params = dict(params)
         params["llm"] = quantize_llm(params["llm"], bits=8, act_quant=True)
         params["vision"] = quantize_llm(params["vision"], bits=8, act_quant=True)
+    mesh = rep_sharding = None
+    if bcfg.tp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from spatialrgpt_tpu.parallel.mesh import make_mesh, tp_shard_params
+
+        mesh = make_mesh(tp=bcfg.tp)
+        params = tp_shard_params(params, mesh)
+        rep_sharding = NamedSharding(mesh, PartitionSpec())
 
     with open(bcfg.annotation_file) as f:
         questions = json.load(f)
@@ -306,6 +320,12 @@ def run_bench(bcfg: BenchConfig, model=None, depth_model=None) -> str:
             mask_valid=jnp.asarray(np.stack(valids)),
         )
         prompt_lengths = jnp.asarray(sb.segment_ids.sum(axis=1), jnp.int32)
+        if rep_sharding is not None:
+            # inputs replicate over the tp mesh (params are sharded)
+            inputs = jax.tree_util.tree_map(
+                lambda t: jax.device_put(t, rep_sharding), inputs
+            )
+            prompt_lengths = jax.device_put(prompt_lengths, rep_sharding)
         result = generate(
             params,
             cfg,

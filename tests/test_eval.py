@@ -305,3 +305,70 @@ def test_recorded_judgment_agreement(tmp_path):
     r = agreement_with_recorded(str(p))
     assert r["per_category"]["left_right"]["agreement"] == 1.0
     assert 0.0 <= r["overall"] <= 1.0
+
+
+def test_bench_runner_tp2_matches_single_device(tmp_path):
+    """The eval runner under tensor-parallel serving (BenchConfig.tp=2)
+    writes the same predictions/ids as tp=1 — the path a model larger
+    than one chip's HBM takes through the reference protocol."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs >= 2 devices")
+
+    from spatialrgpt_tpu.eval.spatial_bench import BenchConfig, run_bench
+    from spatialrgpt_tpu.data.preprocess import SiglipProcessor, rle_encode
+    from spatialrgpt_tpu.models import vlm
+    import __graft_entry__ as graft
+    from test_templates import FakeTokenizer
+
+    cfg = graft._tiny_cfg()
+    cfg = cfg.replace(mask_token_id=1009, depth_token_id=1010, model_max_length=512)
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    tok = FakeTokenizer()
+    tok.model_max_length = 512
+    processor = SiglipProcessor(size=cfg.vision.image_size)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (60, 80, 3), np.uint8)).save(img_dir / "a.jpg")
+    mask = np.zeros((60, 80), np.uint8)
+    mask[10:30, 20:50] = 1
+    ann = [
+        {
+            "id": "q0",
+            "image_info": {"file_path": "a.jpg", "height": 60, "width": 80},
+            "text_q": "How wide is <mask>?",
+            "qa_info": {"type": "quantitative", "category": "width_data"},
+            "rle": [rle_encode(mask)],
+            "bbox": [[20, 10, 50, 30]],
+            "conversations": [
+                {"from": "human", "value": "<image>\nHow wide is Region [0] <mask>?"},
+                {"from": "gpt", "value": "1.0 meters"},
+            ],
+        }
+    ]
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+
+    def run(tp, name):
+        bcfg = BenchConfig(
+            model_path="",
+            annotation_file=str(ann_file),
+            image_folder=str(img_dir),
+            answers_file=str(tmp_path / name),
+            conv_mode="v1",
+            batch_size=2,
+            max_new_tokens=4,
+            prompt_bucket=256,
+            regions_per_image=2,
+            depth_source="rgb",
+            tp=tp,
+        )
+        out = run_bench(bcfg, model=(tok, params, cfg, processor))
+        return [json.loads(l)["output_ids"] for l in open(out)]
+
+    assert run(2, "tp2.jsonl") == run(1, "tp1.jsonl")
