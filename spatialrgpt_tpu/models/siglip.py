@@ -89,13 +89,16 @@ def init_params(rng: jax.Array, cfg: SiglipVisionConfig, dtype=jnp.float32) -> P
 # ---------------------------------------------------------------------------
 
 
-def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
+def _attention(
+    x: jax.Array, p: Params, num_heads: int, valid_len: Optional[int] = None
+) -> jax.Array:
     """Bidirectional multi-head attention over (B, S, C).
 
     On TPU the Pallas flash kernel is used (sequence padded to a block
     multiple with segment-id masking); the XLA fallback materializes the
     full (B, H, S, S) score tensor, which at SigLIP's 729 tokens x big
-    batches is HBM-bound and dominates TTFT.
+    batches is HBM-bound and dominates TTFT.  ``valid_len`` marks a
+    pre-padded sequence (pad-once tower path): keys past it are masked.
     """
     B, S, C = x.shape
     D = C // num_heads
@@ -124,19 +127,26 @@ def _attention(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
         bh = int(os.environ.get("SRGPT_VIT_BLOCK_H", 4))
         bq = os.environ.get("SRGPT_VIT_BLOCK_Q")
         out = vit_attention(
-            q, k, v, block_h=bh, block_q=int(bq) if bq else None
+            q, k, v, block_h=bh, block_q=int(bq) if bq else None,
+            valid_len=valid_len,
         )
     else:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores * (D**-0.5)
+        if valid_len is not None and valid_len < S:
+            cols = jnp.arange(S)
+            scores = jnp.where(cols[None, None, None, :] < valid_len, scores, -1e30)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     return linear(out.reshape(B, S, C), p["wo"])
 
 
-def _encoder_layer(x: jax.Array, p: Params, cfg: SiglipVisionConfig) -> jax.Array:
+def _encoder_layer(
+    x: jax.Array, p: Params, cfg: SiglipVisionConfig,
+    valid_len: Optional[int] = None,
+) -> jax.Array:
     h = layer_norm(x, p["ln1"], eps=cfg.layer_norm_eps)
-    x = x + _attention(h, p["attn"], cfg.num_attention_heads)
+    x = x + _attention(h, p["attn"], cfg.num_attention_heads, valid_len)
     h = layer_norm(x, p["ln2"], eps=cfg.layer_norm_eps)
     h = linear(h, p["mlp"]["fc1"])
     h = gelu_tanh(h)
@@ -175,8 +185,34 @@ def forward_features(
     if sel < 0:
         sel = cfg.num_hidden_layers + 1 + sel
     n_run = sel  # number of encoder layers whose output we need
+
+    # pad-once (TPU serving): pad the 729-token sequence to the lane
+    # multiple the attention kernel needs ONCE, instead of 3 pad ops per
+    # layer — those pads were ~12% of the tower wall (r4 xplane profile).
+    # Padded rows carry garbage through LN/MLP (per-row ops) and are
+    # masked out of attention exactly as the kernel's internal padding
+    # was, so the valid rows are bit-identical; sliced off at the end.
+    import os
+
+    from spatialrgpt_tpu.ops.flash_attention import _on_tpu
+
+    S = x.shape[1]
+    s_pad = ((S + 127) // 128) * 128
+    valid_len = None
+    if (
+        _on_tpu()
+        and s_pad != S
+        and S >= 256
+        and x.dtype == jnp.bfloat16
+        and os.environ.get("SRGPT_VIT_XLA_ATTN") != "1"
+        and os.environ.get("SRGPT_VIT_PAD_ONCE", "1") == "1"
+    ):
+        x = jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0)))
+        valid_len = S
     for li in range(n_run):
-        x = _encoder_layer(x, params["layers"][li], cfg)
+        x = _encoder_layer(x, params["layers"][li], cfg, valid_len)
+    if valid_len is not None:
+        x = x[:, :valid_len]
     if cfg.select_feature == "patch":
         x = x[:, 1:]
     elif cfg.select_feature != "cls_patch":

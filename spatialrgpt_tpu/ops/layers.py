@@ -160,7 +160,29 @@ def qkv_proj(x: jax.Array, p, hq: int, hk: int, d: int):
 
 
 def layer_norm(x: jax.Array, p, eps: float = 1e-6) -> jax.Array:
-    """LayerNorm over the last axis with fp32 statistics."""
+    """LayerNorm over the last axis with fp32 statistics.
+
+    A fused one-pass Pallas variant exists (ops/layer_norm.py) and is
+    numerically gated, but measured SLOWER end-to-end at the ViT serving
+    shape (tower 0.735 -> 0.828 s, r4): the xplane profile's per-token
+    reduce fusions overlap XLA's async MXU work, so replacing them with
+    a serial kernel loses despite fewer HBM passes.  Opt-in via
+    SRGPT_FUSED_LN=1."""
+    import os
+
+    if (
+        x.dtype == jnp.bfloat16
+        and x.ndim >= 2
+        and x.shape[-1] % 128 == 0
+        and x.size // x.shape[-1] >= 4096
+        and os.environ.get("SRGPT_FUSED_LN", "0") == "1"
+    ):
+        from spatialrgpt_tpu.ops.flash_attention import _on_tpu
+
+        if _on_tpu():
+            from spatialrgpt_tpu.ops.layer_norm import fused_layer_norm
+
+            return fused_layer_norm(x, p["scale"], p["bias"], eps=eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)

@@ -65,8 +65,8 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, sm_scale: float, valid_len: int,
         out_ref[0, h] = (o / l).astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _vit_attn(q, k, v, sm_scale, block_h, block_q, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _vit_attn(q, k, v, sm_scale, block_h, block_q, interpret, valid_len):
     B, S, H, D = q.shape
     s_pad = ((S + 127) // 128) * 128
     pad = s_pad - S
@@ -87,7 +87,8 @@ def _vit_attn(q, k, v, sm_scale, block_h, block_q, interpret):
     kvspec = pl.BlockSpec((1, block_h, s_pad, D), lambda b, h, i: (b, h, 0, 0))
     out = pl.pallas_call(
         functools.partial(
-            _kernel, sm_scale=sm_scale, valid_len=S, block_h=block_h
+            _kernel, sm_scale=sm_scale, valid_len=valid_len or S,
+            block_h=block_h,
         ),
         grid=(B, H // block_h, s_pad // bq),
         in_specs=[qspec, kvspec, kvspec],
@@ -101,6 +102,57 @@ def _vit_attn(q, k, v, sm_scale, block_h, block_q, interpret):
     return jnp.transpose(out[:, :, :S], (0, 2, 1, 3))
 
 
+def _nt_kernel(q_ref, k_ref, v_ref, out_ref, *, sm_scale: float,
+               valid_len: int, block_h: int):
+    """Layout-native kernel: blocks are (1, bq|S, block_h, D) slices of
+    the (B, S, H, D) tensors — no XLA transpose/pad around the call (the
+    r4 profile put those at ~200 ms of the 725 ms tower)."""
+    s_pad = k_ref.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+    bias = jnp.where(cols < valid_len, 0.0, NEG_INF).astype(jnp.float32)
+    for h in range(block_h):
+        q = q_ref[0, :, h]  # (bq, D) bf16
+        k = k_ref[0, :, h]  # (S, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, h],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, h] = (o / l).astype(out_ref.dtype)
+
+
+def _vit_attn_nt(q, k, v, sm_scale, block_h, block_q, interpret, valid_len):
+    """No-transpose variant: q/k/v stay (B, S, H, D); S must already be a
+    lane multiple (the pad-once tower path guarantees it)."""
+    B, S, H, D = q.shape
+    assert S % 128 == 0, "pad-once required for the nt kernel"
+    bq = min(block_q or S, S)
+    while S % bq:
+        bq //= 2
+    qspec = pl.BlockSpec((1, bq, block_h, D), lambda b, h, i: (b, i, h, 0))
+    kvspec = pl.BlockSpec((1, S, block_h, D), lambda b, h, i: (b, 0, h, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _nt_kernel, sm_scale=sm_scale, valid_len=valid_len or S,
+            block_h=block_h,
+        ),
+        grid=(B, H // block_h, S // bq),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _xla_probs(q, k, sm_scale):
     s = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -108,12 +160,20 @@ def _xla_probs(q, k, sm_scale):
     return jax.nn.softmax(s, axis=-1)
 
 
-def _vit_attn_fwd(q, k, v, sm_scale, block_h, block_q, interpret):
-    return _vit_attn(q, k, v, sm_scale, block_h, block_q, interpret), (q, k, v)
+def _vit_attn_fwd(q, k, v, sm_scale, block_h, block_q, interpret, valid_len):
+    return (
+        _vit_attn(q, k, v, sm_scale, block_h, block_q, interpret, valid_len),
+        (q, k, v),
+    )
 
 
-def _vit_attn_bwd(sm_scale, block_h, block_q, interpret, res, do):
+def _vit_attn_bwd(sm_scale, block_h, block_q, interpret, valid_len, res, do):
     q, k, v = res
+    if valid_len and valid_len != q.shape[1]:
+        raise NotImplementedError(
+            "vit_attention backward with a padded sequence (valid_len) is "
+            "not supported — unfreeze-tower training uses the unpadded path"
+        )
     p = _xla_probs(q, k, sm_scale)  # (B, H, Sq, Sk) f32
     dof = do.astype(jnp.float32)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, dof).astype(v.dtype)
@@ -135,18 +195,38 @@ def vit_attention(
     block_h: int = 8,
     block_q: int | None = None,
     interpret: bool = False,
+    valid_len: int | None = None,
 ) -> jax.Array:
     """Bidirectional whole-sequence attention; returns (B, S, H, D).
 
     S may be ragged (e.g. 729): inputs are zero-padded to a lane multiple
     in-kernel and the padded keys are masked out via the score bias.
+    Callers that pre-pad the sequence to a lane multiple THEMSELVES (the
+    pad-once tower path — r4 profile: 26x3 per-layer pad ops were ~12%
+    of the tower) pass the true length as ``valid_len``; keys beyond it
+    are masked identically to the in-kernel padding.
     ``block_q`` bounds the q rows per program (defaults to the whole
     sequence; smaller blocks trade grid steps for VMEM so more heads fit).
-    Differentiable (XLA-recompute backward).
+    Differentiable (XLA-recompute backward; unpadded path only).
     """
     H, D = q.shape[2], q.shape[3]
     if sm_scale is None:
         sm_scale = D**-0.5
     while H % block_h:
         block_h //= 2
-    return _vit_attn(q, k, v, sm_scale, block_h, block_q, interpret)
+    import os
+
+    if (
+        os.environ.get("SRGPT_VIT_NT", "0") == "1"
+        and q.shape[1] % 128 == 0
+        and H % 8 == 0
+    ):
+        # layout-native experiment (no transpose/pad around the kernel —
+        # the r4 xplane profile put those XLA copies at ~200 ms of the
+        # 725 ms tower).  Numerics are bit-identical to the transposed
+        # kernel (interpret-tested), but Mosaic currently REJECTS the
+        # per-head slice of a (bq, 8, 72) block ("infer-vector-layout:
+        # unsupported shape cast"), so this path does not compile on
+        # real TPUs today — parked until the toolchain accepts it.
+        return _vit_attn_nt(q, k, v, sm_scale, 8, block_q, interpret, valid_len)
+    return _vit_attn(q, k, v, sm_scale, block_h, block_q, interpret, valid_len)
