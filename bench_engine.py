@@ -39,9 +39,12 @@ MULTI = int(os.environ.get("SRGPT_ENGINE_MULTISTEP", 8))  # fused decode
 # measurable here at all)
 ADMIT = int(os.environ.get("SRGPT_ENGINE_ADMIT", 8))  # max batched-prefill
 # admission width (power-of-2 buckets; wider = fewer host round trips)
-CHUNK = int(os.environ.get("SRGPT_ENGINE_CHUNK", 0))  # chunked prefill:
-# admissions advance one prefill chunk per scheduler window instead of
-# stalling all decode slots for a full batched prefill (0 = off)
+CHUNK = int(os.environ.get("SRGPT_ENGINE_CHUNK", 0))  # fused chunked
+# prefill: admissions advance one prompt chunk per DECODE STEP inside
+# the same jitted window as the decode batch (vLLM-style mixed batch;
+# 0 = off, full batched prefill at admission)
+CHUNK_ROWS = int(os.environ.get("SRGPT_ENGINE_CHUNK_ROWS", 2))  # max
+# admissions in flight (each adds CHUNK tokens of matmul per decode step)
 ASYNC = os.environ.get("SRGPT_ENGINE_ASYNC", "0") == "1"  # async scheduling:
 # readbacks lag launches one entry so link RTT overlaps device compute
 TRACE = os.environ.get("SRGPT_ENGINE_TRACE", "0") == "1"  # per-fn stage
@@ -110,6 +113,7 @@ def main():
         attn_impl=os.environ.get("SRGPT_BENCH_ATTN", "onepass"),
         async_readback=ASYNC,
         prefill_chunk=CHUNK,
+        chunk_rows=CHUNK_ROWS,
     )
     # text lengths bounded so the expanded prompt (~n_text + 200 tokens:
     # 196 image + region/special tokens) fits the bucket — keeps the
@@ -159,7 +163,10 @@ def main():
     for inputs, plen in reqs[: min(REQS, SLOTS) if ADMIT > 8 else 15]:
         eng.submit(inputs, plen, max_new_tokens=4)
     eng.run_until_drained(num_steps=MULTI)
-    if int(os.environ.get("SRGPT_ENGINE_STAGGER_MS", 0)) > 0:
+    if int(os.environ.get("SRGPT_ENGINE_STAGGER_MS", 0)) > 0 and not CHUNK:
+        # staggered unchunked runs admit at whatever width has queued —
+        # warm every power-of-2 width.  Fused chunked admission has no
+        # width-dependent jits (each request is its own chunk row).
         w = 1
         while w < ADMIT:
             for inputs, plen in reqs[:w]:
@@ -256,7 +263,7 @@ def main():
             next_req < REQS
             and not eng.queue
             and not eng.active.any()
-            and eng._inflight is None
+            and not any(rs is not None for rs in eng._rows)
             and not eng._pending
         ):
             time.sleep(0.002)  # idle until the next arrival is due

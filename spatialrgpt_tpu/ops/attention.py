@@ -168,6 +168,81 @@ def _sp_attention(q, k, v, segment_ids, impl):
     )(q, k, v, segment_ids)
 
 
+def streamed_position_attention(
+    q: jax.Array,  # (R, c, Hq, D) one prompt chunk per row
+    k_buf: jax.Array,  # (R, Sp, Hk, D) staged prompt K (earlier chunks + this one)
+    v_buf: jax.Array,  # (R, Sp, Hk, D)
+    q_idx: jax.Array,  # (R, c) int32 buffer index of each q token
+    block: int = 512,
+) -> jax.Array:
+    """Chunked-prefill attention: each row's chunk attends to its own
+    staged prompt buffer at positions <= the token's buffer index.
+
+    The fused serving engine step (serving/engine.py) runs prompt chunks
+    of admitting requests beside the decode batch; this is the chunk
+    side's attention.  Two paths:
+
+    - ``Sp <= block``: single-shot masked softmax with the SAME op order
+      as ``decode_attention`` (probs normalized before PV) so chunked
+      admission is bit-equal to unchunked on exact-arithmetic backends
+      (the CPU parity tests pin token equality).
+    - otherwise: blocked online-softmax streaming over ``Sp`` (flash
+      schedule in XLA), with the block loop bounded by the furthest
+      attended key across rows — trailing never-written blocks are
+      skipped, so early chunks pay only for the prefix that exists.
+    """
+    R, c, hq, d = q.shape
+    Sp, hk = k_buf.shape[1], k_buf.shape[2]
+    g = hq // hk
+    qg = q.reshape(R, c, hk, g, d)
+
+    if Sp <= block:
+        kpos = jnp.arange(Sp)
+        mask = kpos[None, None, :] <= q_idx[:, :, None]  # (R, c, Sp)
+        scores = jnp.einsum(
+            "rchgd,rkhd->rhgck", qg, k_buf, preferred_element_type=jnp.float32
+        ) * (d**-0.5)
+        scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v_buf.dtype)
+        out = jnp.einsum("rhgck,rkhd->rchgd", probs, v_buf)
+        return out.reshape(R, c, hq, d)
+
+    if Sp % block:
+        raise ValueError(f"block {block} must divide the staging length {Sp}")
+    # traced loop bound: blocks past the furthest attended key are skipped
+    nblocks = jnp.max(q_idx) // block + 1
+
+    m0 = jnp.full((R, hk, g, c), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((R, hk, g, c), jnp.float32)
+    acc0 = jnp.zeros((R, hk, g, c, d), jnp.float32)
+
+    def body(j, st):
+        m, l, acc = st
+        kb = jax.lax.dynamic_slice_in_dim(k_buf, j * block, block, axis=1)
+        vb = jax.lax.dynamic_slice_in_dim(v_buf, j * block, block, axis=1)
+        s = jnp.einsum(
+            "rchgd,rkhd->rhgck", qg, kb, preferred_element_type=jnp.float32
+        ) * (d**-0.5)
+        kpos = j * block + jnp.arange(block)
+        mask = kpos[None, None, :] <= q_idx[:, :, None]
+        s = jnp.where(mask[:, None, None], s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1)
+        pv = jnp.einsum(
+            "rhgck,rkhd->rhgcd", p.astype(vb.dtype), vb,
+            preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * corr[..., None] + pv
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    out = out.transpose(0, 3, 1, 2, 4).reshape(R, c, hq, d)
+    return out.astype(v_buf.dtype)
+
+
 def decode_attention(
     q: jax.Array,  # (B, S, Hq, D)  S = new tokens (usually 1)
     k_cache: jax.Array,  # (B, C, Hk, D) cache already updated with new kv

@@ -71,16 +71,22 @@ class ServingEngine:
         # reference gets the equivalent from HF device_map/DeepSpeed
         # inference sharding).  Token parity vs the single-device engine
         # is test-gated on the CPU mesh (tests/test_serving_engine.py).
-        prefill_chunk: int = 0,  # chunked prefill (VERDICT r3 next-#3):
-        # admission prefills run in prefill_chunk-token chunks interleaved
-        # with decode windows instead of stalling every decoding slot for
-        # a full batched prefill.  One scheduler step advances one stage
-        # (vision encode+splice, then one LLM chunk against the admission
-        # batch's local KV buffer via the incremental-cache path); the
-        # finished buffer quantizes+inserts into the slots exactly like a
-        # full prefill.  Token parity with unchunked admission is
-        # test-gated (same per-row causal set: prompt rows are single-
-        # segment, so the cache path's positional mask is exact).  0 = off.
+        prefill_chunk: int = 0,  # fused mixed-batch chunked prefill
+        # (vLLM-style, the r4->r5 redesign): admitting requests prefill
+        # in prefill_chunk-token chunks that run INSIDE the decode step —
+        # one jitted window computes B decode tokens AND one chunk per
+        # in-flight admission as a single flat token batch, so a chunk
+        # shares the window's weight reads instead of costing its own
+        # launch, and decode slots are never stalled by a full prefill.
+        # Up to ``chunk_rows`` admissions are in flight at once (each has
+        # a reserved slot and advances one chunk per decode step).  Chunk
+        # K/V stage in activation-dtype buffers and insert into the slot
+        # cache (quantizing once, when kv_quant) the window the prompt
+        # completes, with the first token sampled in the same window —
+        # admission costs zero extra launches after the vision encode.
+        # Token parity with unchunked admission is test-gated.  0 = off.
+        chunk_rows: int = 4,  # max admissions in flight (fused mode);
+        # each holds one staged-KV row of prompt_bucket positions
         async_readback: bool = False,  # defer token readbacks one scheduler
         # entry deep: decode windows / prefill batches are launched ahead
         # (JAX dispatch is async) and their token arrays are pulled back
@@ -112,15 +118,29 @@ class ServingEngine:
         self.params = params
         self.cfg = cfg
         self.admit_width = admit_width
-        if prefill_chunk and prompt_bucket % prefill_chunk:
-            raise ValueError(
-                f"prefill_chunk {prefill_chunk} must divide prompt_bucket "
-                f"{prompt_bucket}"
-            )
         self.prefill_chunk = prefill_chunk
-        # an admission batch mid-chunked-prefill: holds its requests, the
-        # reserved slots, the spliced embeds, and the local KV buffer
-        self._inflight: Optional[dict] = None
+        self.chunk_rows = chunk_rows if prefill_chunk else 0
+        # staging length: prompt bucket rounded up to whole chunks, so
+        # chunk slices never clamp (dynamic_slice would re-read the tail)
+        self.Sp = (
+            -(-prompt_bucket // prefill_chunk) * prefill_chunk
+            if prefill_chunk
+            else 0
+        )
+        # per-row in-flight admission state (fused chunked prefill):
+        # dict(req, slot, off, rem, plen) or None
+        self._rows: List[Optional[dict]] = [None] * self.chunk_rows
+        # lazily allocated fused buffers: (stag_k, stag_v, embeds, pos)
+        self._fused_bufs = None
+        # chunk-attention block: <= block runs the exact single-shot path
+        # (CPU parity); larger staging streams in blocks that divide Sp
+        if self.Sp and self.Sp > 512:
+            self._chunk_block = next(
+                b for b in (512, 256, 128, 64, prefill_chunk, self.Sp)
+                if self.Sp % b == 0
+            )
+        else:
+            self._chunk_block = 512
         self.B = num_slots
         self.S = prompt_bucket
         self.P = prefix_bucket
@@ -517,99 +537,302 @@ class ServingEngine:
                 self._decode_multi_cache[key] = make_decode_multi(k, all_greedy)
             return self._decode_multi_cache[key]
 
-        # ---- chunked prefill (prefill_chunk > 0) ----
+        # ---- fused mixed-batch chunked prefill (prefill_chunk > 0) ----
+        # One jitted window runs B decode tokens AND one prompt chunk per
+        # in-flight admission as a single flat token batch: every matmul
+        # (qkv, wo, mlp, norms) sees all T = B + R*c tokens at once, so a
+        # chunk shares the window's weight reads instead of paying its own
+        # launch.  Chunk K/V stage in activation-dtype row buffers; the
+        # window a row's prompt completes, the staged row is inserted into
+        # the slot cache (quantized once when kv_quant) and the first
+        # token sampled — all inside the same jit.  This is the vLLM
+        # fused-batch design the r4 analysis called for (BASELINE.md
+        # "Long-prompt staggered test"): admission throughput is no longer
+        # bounded by one-admission-in-flight separate launches.
         @jax.jit
         def chunk_embeds(params, inputs: vlm.VLMInputs):
-            """Stage 0 of a chunked admission: vision encode + splice only
-            (the LLM prefill then runs chunk by chunk)."""
+            """Admission stage 0: vision encode + splice only; the LLM
+            prefill then rides the decode windows chunk by chunk."""
             return vlm.prepare_embeds(params, cfg, inputs)
 
-        def make_chunk_step(c):
-            @functools.partial(jax.jit, donate_argnums=(2, 5))
-            def chunk_step(params, embeds, local_cache, pos, j, h_buf):
-                """One prefill chunk: tokens [j*c, (j+1)*c) of the admission
-                batch run against the local KV buffer via the incremental-
-                cache path (decode_attention masks cache slots > the q
-                token's own position — exact for single-segment prompt
-                rows).  Hidden states land in h_buf for the final per-row
-                last-token sampling."""
-                e = jax.lax.dynamic_slice_in_dim(embeds, j * c, c, axis=1)
-                p = jax.lax.dynamic_slice_in_dim(pos, j * c, c, axis=1)
-                h, local_cache = llama.forward(
-                    params["llm"], cfg.llm, inputs_embeds=e, position_ids=p,
-                    segment_ids=None, cache=local_cache,
-                )
-                h_buf = jax.lax.dynamic_update_slice_in_dim(
-                    h_buf, h.astype(h_buf.dtype), j * c, axis=1
-                )
-                return local_cache, h_buf
+        Sp, R, c = self.Sp, self.chunk_rows, self.prefill_chunk
 
-            return chunk_step
-
-        self._chunk_step_cache = {}
-
-        def chunk_step(c):
-            if c not in self._chunk_step_cache:
-                self._chunk_step_cache[c] = make_chunk_step(c)
-            return self._chunk_step_cache[c]
-
-        @jax.jit
-        def chunk_finish(params, h_buf, plens, temps, top_ps, keys):
-            last_idx = jnp.maximum(plens - 1, 0)
-            last = jnp.take_along_axis(h_buf, last_idx[:, None, None], axis=1)[:, 0]
-            logits = llama.logits(params["llm"], last[:, None], cfg.llm)[:, 0]
-            return _sample_slots(
-                logits.astype(jnp.float32), keys, last_idx, temps, top_ps
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def write_row(embeds_buf, pos_buf, r, e, pos):
+            e = jnp.pad(e, ((0, 0), (0, Sp - e.shape[1]), (0, 0)))
+            pos = jnp.pad(pos, ((0, 0), (0, Sp - pos.shape[1])))
+            embeds_buf = jax.lax.dynamic_update_slice_in_dim(
+                embeds_buf, e.astype(embeds_buf.dtype), r, axis=0
             )
+            pos_buf = jax.lax.dynamic_update_slice_in_dim(
+                pos_buf, pos.astype(jnp.int32), r, axis=0
+            )
+            return embeds_buf, pos_buf
 
-        def make_insert_chunked(n):
-            # scatter a finished local KV buffer (n, S_bucket, bf16) into
-            # the slot cache, quantizing on the way when kv_quant (the
-            # chunked path collects bf16 — quantization happens once here,
-            # like insert_full's prefix+suffix path)
-            @functools.partial(jax.jit, donate_argnums=(0, 3))
-            def insert_chunked(cache, ks, vs, lengths, last_token, slots, plens, toks):
-                def put(c, new, i, slot):
-                    pad_widths = ((0, 0), (0, self.capacity - new.shape[1])) + (
-                        (0, 0),
-                    ) * (new.ndim - 2)
-                    row = jnp.pad(new[i : i + 1], pad_widths).astype(c.dtype)
-                    return jax.lax.dynamic_update_slice_in_dim(c, row, slot, axis=0)
+        def _fused_once(params, cache, stag_k, stag_v, lengths, last_token,
+                        active_mask, temps, top_ps, keys,
+                        embeds_buf, pos_buf, off, rem, row_plen, all_greedy):
+            """One decode step fused with one prefill chunk per active row.
+            Returns the advanced state plus each row's candidate last-
+            hidden (h_sel) and whether this chunk contained the prompt's
+            final token (in_chunk)."""
+            from spatialrgpt_tpu.ops.attention import streamed_position_attention
+            from spatialrgpt_tpu.ops.layers import linear, qkv_proj
 
+            lcfg = cfg.llm
+            B = self.B
+            Hq, Hk, D = lcfg.num_attention_heads, lcfg.num_key_value_heads, lcfg.head_dim
+            chunk_active = rem > 0
+            off_c = jnp.minimum(off, Sp - c)  # clamp keeps slices in-bounds
+            x_c = jax.vmap(
+                lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, c, axis=0)
+            )(embeds_buf, off_c)  # (R, c, H)
+            pos_c = jax.vmap(
+                lambda p, o: jax.lax.dynamic_slice_in_dim(p, o, c, axis=0)
+            )(pos_buf, off_c)  # (R, c)
+            x_d = llama.embed_tokens(params["llm"], last_token[:, None], lcfg)
+            h = jnp.concatenate(
+                [x_d[:, 0].astype(x_c.dtype), x_c.reshape(R * c, -1)], axis=0
+            )[None]  # (1, T, H)
+            pos_all = jnp.concatenate([lengths, pos_c.reshape(-1)])[None]
+            # buffer index of each chunk q token; zeroed for idle rows so
+            # they never stretch the streamed-attention block loop (its
+            # traced bound is max(q_idx))
+            q_idx = jnp.where(
+                chunk_active[:, None],
+                off_c[:, None] + jnp.arange(c)[None],
+                0,
+            )  # (R, c)
+            # staging writes for inactive rows go out of bounds -> dropped
+            widx = jnp.where(chunk_active, off_c, Sp)[:, None] + jnp.arange(c)[None]
+            # decode kv writes only for active slots (reserved/idle slots
+            # drop theirs; their cache rows are replaced wholesale at
+            # admission-completion)
+            dpos_w = jnp.where(active_mask, lengths, self.capacity)
+            bidx = jnp.arange(B)
+            ridx = jnp.arange(R)[:, None]
+            slot_ids = jnp.arange(self.capacity)
+            valid = slot_ids[None, :] < (lengths + 1)[:, None]
+            new_parts, new_sk, new_sv = [], [], []
+            for li, lp in enumerate(params["llm"]["layers"]):
+                hn = llama._norm(h, lp["input_ln"], lcfg)
+                q, kk, vv = qkv_proj(hn, lp["attn"], Hq, Hk, D)
+                q, kk = llama.apply_rope(q, kk, pos_all, lcfg)
+                q_d = q[0, :B][:, None]
+                k_d, v_d = kk[0, :B][:, None], vv[0, :B][:, None]
+                q_c = q[0, B:].reshape(R, c, Hq, D)
+                k_c = kk[0, B:].reshape(R, c, Hk, D)
+                v_c = vv[0, B:].reshape(R, c, Hk, D)
+                sk = stag_k[li].at[ridx, widx].set(
+                    k_c.astype(stag_k[li].dtype), mode="drop", unique_indices=True
+                )
+                sv = stag_v[li].at[ridx, widx].set(
+                    v_c.astype(stag_v[li].dtype), mode="drop", unique_indices=True
+                )
                 if kv_quant:
                     from spatialrgpt_tpu.ops.quant import quantize_kv
 
-                    kq = [quantize_kv(kk) for kk in ks]
-                    vq = [quantize_kv(vv) for vv in vs]
-                    for i in range(n):
-                        slot = slots[i]
-                        cache = QuantKVCache(
-                            tuple(put(c, a, i, slot) for c, (a, _) in zip(cache.k_q, kq)),
-                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.k_s, kq)),
-                            tuple(put(c, a, i, slot) for c, (a, _) in zip(cache.v_q, vq)),
-                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.v_s, vq)),
-                            cache.length,
-                        )
+                    nk_q, nk_s = quantize_kv(k_d)
+                    nv_q, nv_s = quantize_kv(v_d)
+                    ck_q = cache.k_q[li].at[bidx, dpos_w].set(
+                        nk_q[:, 0], mode="drop", unique_indices=True
+                    )
+                    ck_s = cache.k_s[li].at[bidx, dpos_w].set(
+                        nk_s[:, 0], mode="drop", unique_indices=True
+                    )
+                    cv_q = cache.v_q[li].at[bidx, dpos_w].set(
+                        nv_q[:, 0], mode="drop", unique_indices=True
+                    )
+                    cv_s = cache.v_s[li].at[bidx, dpos_w].set(
+                        nv_s[:, 0], mode="drop", unique_indices=True
+                    )
+                    attn_d = _slot_attend_quant(q_d, ck_q, ck_s, cv_q, cv_s, valid, D)
+                    parts = (ck_q, ck_s, cv_q, cv_s)
                 else:
-                    for i in range(n):
-                        slot = slots[i]
-                        cache = llama.KVCache(
-                            tuple(put(c, kk, i, slot) for c, kk in zip(cache.k, ks)),
-                            tuple(put(c, vv, i, slot) for c, vv in zip(cache.v, vs)),
+                    ck = cache.k[li].at[bidx, dpos_w].set(
+                        k_d[:, 0].astype(cache.k[li].dtype),
+                        mode="drop", unique_indices=True,
+                    )
+                    cv = cache.v[li].at[bidx, dpos_w].set(
+                        v_d[:, 0].astype(cache.v[li].dtype),
+                        mode="drop", unique_indices=True,
+                    )
+                    attn_d = _slot_attend(q_d, ck, cv, valid, D)
+                    parts = (ck, cv)
+                attn_c = streamed_position_attention(
+                    q_c, sk, sv, q_idx, block=self._chunk_block
+                )
+                attn_all = jnp.concatenate(
+                    [
+                        attn_d.reshape(B, Hq * D),
+                        attn_c.reshape(R * c, Hq * D).astype(attn_d.dtype),
+                    ],
+                    axis=0,
+                )[None]
+                h = h + linear(attn_all, lp["attn"]["wo"])
+                hn = llama._norm(h, lp["post_ln"], lcfg)
+                if lcfg.is_moe:
+                    moe = (
+                        llama._moe_block_sparse
+                        if lcfg.moe_impl == "sparse"
+                        else llama._moe_block
+                    )
+                    moe_out, _ = moe(hn, lp, lcfg)
+                    h = h + moe_out
+                else:
+                    h = h + llama._mlp_block(hn, lp["mlp"], lcfg.hidden_act)
+                new_parts.append(parts)
+                new_sk.append(sk)
+                new_sv.append(sv)
+            h = llama._norm(h, params["llm"]["final_ln"], lcfg)
+            h_d = h[0, :B][:, None]
+            logits = llama.logits(params["llm"], h_d, lcfg)[:, 0].astype(jnp.float32)
+            tok = _sample_slots(logits, keys, lengths, temps, top_ps, all_greedy)
+            lengths = jnp.where(active_mask, lengths + 1, lengths)
+            tok = jnp.where(active_mask, tok, last_token)
+            h_c = h[0, B:].reshape(R, c, -1)
+            lidx = jnp.clip(row_plen - 1 - off_c, 0, c - 1)
+            h_sel = jnp.take_along_axis(h_c, lidx[:, None, None], axis=1)[:, 0]
+            in_chunk = (
+                chunk_active
+                & (off_c <= row_plen - 1)
+                & (row_plen - 1 < off_c + c)
+            )
+            if kv_quant:
+                new_cache = QuantKVCache(
+                    tuple(p[0] for p in new_parts),
+                    tuple(p[1] for p in new_parts),
+                    tuple(p[2] for p in new_parts),
+                    tuple(p[3] for p in new_parts),
+                    cache.length,
+                )
+            else:
+                new_cache = llama.KVCache(
+                    tuple(p[0] for p in new_parts),
+                    tuple(p[1] for p in new_parts),
+                    cache.length,
+                )
+            off = jnp.where(chunk_active, off + c, off)
+            rem = jnp.maximum(rem - 1, 0)
+            return (
+                new_cache, tuple(new_sk), tuple(new_sv), lengths, tok,
+                h_sel, in_chunk, off, rem,
+            )
+
+        def make_fused_window(k, all_greedy=False):
+            # cache/lengths/staging donated; last_token NOT (see the
+            # decode jit invariant above); embeds/pos buffers persist
+            @functools.partial(jax.jit, donate_argnums=(1, 2, 8, 9))
+            def fused_window(params, cache, lengths, last_token, active_mask,
+                             temps, top_ps, keys, stag_k, stag_v,
+                             embeds_buf, pos_buf, off, rem, row_plen,
+                             row_slot, row_complete,
+                             row_temps, row_top_ps, row_keys):
+                H = embeds_buf.shape[-1]
+                toks0 = jnp.zeros((self.B, k), jnp.int32)
+                h_last0 = jnp.zeros((R, H), embeds_buf.dtype)
+
+                def body(i, st):
+                    cache, stag_k, stag_v, lengths, last_token, toks, h_last, off, rem = st
+                    (cache, stag_k, stag_v, lengths, tok, h_sel, in_chunk,
+                     off, rem) = _fused_once(
+                        params, cache, stag_k, stag_v, lengths, last_token,
+                        active_mask, temps, top_ps, keys,
+                        embeds_buf, pos_buf, off, rem, row_plen, all_greedy,
+                    )
+                    toks = jax.lax.dynamic_update_slice_in_dim(
+                        toks, tok[:, None], i, axis=1
+                    )
+                    h_last = jnp.where(in_chunk[:, None], h_sel, h_last)
+                    return (cache, stag_k, stag_v, lengths, tok, toks, h_last, off, rem)
+
+                (cache, stag_k, stag_v, lengths, last_tok_new, toks, h_last,
+                 off, rem) = jax.lax.fori_loop(
+                    0, k, body,
+                    (cache, stag_k, stag_v, lengths, last_token, toks0,
+                     h_last0, off, rem),
+                )
+                # first token of each completing admission (garbage for
+                # rows that don't complete this window — unused)
+                lo = llama.logits(params["llm"], h_last[:, None], cfg.llm)[
+                    :, 0
+                ].astype(jnp.float32)
+                chunk_tok = _sample_slots(
+                    lo, row_keys, jnp.maximum(row_plen - 1, 0),
+                    row_temps, row_top_ps, all_greedy,
+                )
+                # insert completing rows' staged KV into the slot cache
+                # (whole-row overwrite, like insert_batch) and arm the
+                # slot: lengths=plen, last_token=first sampled token.
+                # Non-completing rows are dropped via an OOB slot index.
+                W = min(Sp, self.capacity)
+
+                def pad_row(t):  # (W, ...) -> (capacity, ...)
+                    return jnp.pad(
+                        t[:W], ((0, self.capacity - W),) + ((0, 0),) * (t.ndim - 1)
+                    )
+
+                for r in range(R):
+                    okslot = jnp.where(row_complete[r], row_slot[r], self.B)
+                    if kv_quant:
+                        from spatialrgpt_tpu.ops.quant import quantize_kv
+
+                        kq = [quantize_kv(sk[r][:W]) for sk in stag_k]
+                        vq = [quantize_kv(sv[r][:W]) for sv in stag_v]
+                        cache = QuantKVCache(
+                            tuple(
+                                ck.at[okslot].set(
+                                    pad_row(a).astype(ck.dtype), mode="drop"
+                                )
+                                for ck, (a, _) in zip(cache.k_q, kq)
+                            ),
+                            tuple(
+                                cs.at[okslot].set(pad_row(s), mode="drop")
+                                for cs, (_, s) in zip(cache.k_s, kq)
+                            ),
+                            tuple(
+                                cv.at[okslot].set(
+                                    pad_row(a).astype(cv.dtype), mode="drop"
+                                )
+                                for cv, (a, _) in zip(cache.v_q, vq)
+                            ),
+                            tuple(
+                                cs.at[okslot].set(pad_row(s), mode="drop")
+                                for cs, (_, s) in zip(cache.v_s, vq)
+                            ),
                             cache.length,
                         )
-                lengths = lengths.at[slots].set(plens)
-                last_token = last_token.at[slots].set(toks)
-                return cache, lengths, last_token
+                    else:
+                        cache = llama.KVCache(
+                            tuple(
+                                ck.at[okslot].set(
+                                    pad_row(sk[r]).astype(ck.dtype), mode="drop"
+                                )
+                                for ck, sk in zip(cache.k, stag_k)
+                            ),
+                            tuple(
+                                cv.at[okslot].set(
+                                    pad_row(sv[r]).astype(cv.dtype), mode="drop"
+                                )
+                                for cv, sv in zip(cache.v, stag_v)
+                            ),
+                            cache.length,
+                        )
+                    lengths = lengths.at[okslot].set(row_plen[r], mode="drop")
+                    last_tok_new = last_tok_new.at[okslot].set(
+                        chunk_tok[r], mode="drop"
+                    )
+                return cache, stag_k, stag_v, lengths, last_tok_new, toks, chunk_tok
 
-            return insert_chunked
+            return fused_window
 
-        self._insert_chunked_cache = {}
+        self._fused_window_cache = {}
 
-        def insert_chunked(n):
-            if n not in self._insert_chunked_cache:
-                self._insert_chunked_cache[n] = make_insert_chunked(n)
-            return self._insert_chunked_cache[n]
+        def fused_window(k, all_greedy=False):
+            key = (k, all_greedy)
+            if key not in self._fused_window_cache:
+                self._fused_window_cache[key] = make_fused_window(k, all_greedy)
+            return self._fused_window_cache[key]
 
         self._prefill_batch = prefill_batch
         self._prefill_prefix = prefill_prefix
@@ -619,9 +842,8 @@ class ServingEngine:
         self._decode = decode
         self._decode_multi = decode_multi
         self._chunk_embeds = chunk_embeds
-        self._chunk_step = chunk_step
-        self._chunk_finish = chunk_finish
-        self._insert_chunked = insert_chunked
+        self._write_row = write_row
+        self._fused_window = fused_window
 
     # ------------------------------------------------------------------
     def register_prefix(self, inputs: vlm.VLMInputs, prompt_length: int) -> int:
@@ -763,30 +985,37 @@ class ServingEngine:
 
         return vlm.VLMInputs(**{f: cat(f, vs) for f, vs in cols.items()})
 
+    def _admit_prefix_head(self, slot: int) -> None:
+        """Admit the queue head (a prefix-cached request) into ``slot``
+        via the immediate prefill-with-prefix path."""
+        req = self.queue.popleft()
+        pk, pv, plen = self.prefixes[req.prefix_id]
+        new_cache, tok = self._prefill_with_prefix(
+            self.params, pk, pv, self._put(jnp.asarray(plen, jnp.int32)),
+            req.inputs, self._put(jnp.asarray(req.prompt_length, jnp.int32)),
+            self._put(jnp.asarray([req.temperature], jnp.float32)),
+            self._put(jnp.asarray([req.top_p], jnp.float32)),
+            self._put(jnp.asarray(self._key_data(req)[None])),
+        )
+        self.cache, self.lengths, self.last_token = self._insert_full(
+            self.cache, new_cache.k, new_cache.v,
+            self.lengths, self.last_token, self._put(jnp.asarray(slot)),
+            self._put(jnp.asarray(plen + req.prompt_length, jnp.int32)),
+            tok[0],
+        )
+        req.tokens.append(int(tok[0]))
+        self._activate_or_finish(slot, req)
+
     def _admit(self):
+        if self.prefill_chunk:
+            self._admit_fused()
+            return
         while self.queue and not (self.active | self._reserved).all():
             free = np.flatnonzero(~self.active & ~self._reserved)
             # prefix-cached requests go one at a time (their prefill shape
             # differs); plain requests admit in power-of-2 batches
             if self.queue[0].prefix_id is not None:
-                req = self.queue.popleft()
-                slot = int(free[0])
-                pk, pv, plen = self.prefixes[req.prefix_id]
-                new_cache, tok = self._prefill_with_prefix(
-                    self.params, pk, pv, self._put(jnp.asarray(plen, jnp.int32)),
-                    req.inputs, self._put(jnp.asarray(req.prompt_length, jnp.int32)),
-                    self._put(jnp.asarray([req.temperature], jnp.float32)),
-                    self._put(jnp.asarray([req.top_p], jnp.float32)),
-                    self._put(jnp.asarray(self._key_data(req)[None])),
-                )
-                self.cache, self.lengths, self.last_token = self._insert_full(
-                    self.cache, new_cache.k, new_cache.v,
-                    self.lengths, self.last_token, self._put(jnp.asarray(slot)),
-                    self._put(jnp.asarray(plen + req.prompt_length, jnp.int32)),
-                    tok[0],
-                )
-                req.tokens.append(int(tok[0]))
-                self._activate_or_finish(slot, req)
+                self._admit_prefix_head(int(free[0]))
                 continue
 
             # batch only the front run of plain requests whose modality
@@ -806,17 +1035,6 @@ class ServingEngine:
                 n *= 2
             reqs = [self.queue.popleft() for _ in range(n)]
             slots = free[:n].astype(np.int32)
-            if self.prefill_chunk:
-                # chunked admission: reserve the slots and let step()
-                # advance one prefill stage per scheduler window (decode
-                # keeps running in between); one admission batch in
-                # flight at a time
-                if self._inflight is None:
-                    self._start_chunked(reqs, slots)
-                else:  # shouldn't happen (guarded by caller), but be safe
-                    for r in reversed(reqs):
-                        self.queue.appendleft(r)
-                break
             batched = self._concat_inputs([r.inputs for r in reqs])
             if self.mesh is not None:
                 # device-resident fields must live on the mesh's device set
@@ -855,112 +1073,65 @@ class ServingEngine:
                     req.tokens.append(int(toks_host[i]))
                     self._activate_or_finish(int(slots[i]), req)
 
-    def _start_chunked(self, reqs: List[Request], slots: np.ndarray) -> None:
-        """Reserve slots and queue a chunked admission; the heavy work
-        (vision encode, LLM chunks) runs one stage per step()."""
-        self._reserved[slots] = True
-        self._inflight = {
-            "reqs": reqs,
-            "slots": slots,
-            "batched": None,  # concat deferred to the first advance
-            "embeds": None,
-            "cache": None,
-            "h_buf": None,
-            "j": 0,
-            "n_chunks": 0,
+    def _ensure_fused_bufs(self, act_dtype) -> None:
+        """Allocate the fused-prefill staging/embeds buffers on first use
+        (dtype follows the activations: fp32 params -> fp32 staging)."""
+        if self._fused_bufs is not None:
+            return
+        lcfg = self.cfg.llm
+        R, Sp = self.chunk_rows, self.Sp
+        L = lcfg.num_hidden_layers
+        kv_shape = (R, Sp, lcfg.num_key_value_heads, lcfg.head_dim)
+        self._fused_bufs = {
+            "stag_k": tuple(self._kv(jnp.zeros(kv_shape, act_dtype)) for _ in range(L)),
+            "stag_v": tuple(self._kv(jnp.zeros(kv_shape, act_dtype)) for _ in range(L)),
+            "embeds": self._put(jnp.zeros((R, Sp, lcfg.hidden_size), act_dtype)),
+            "pos": self._put(jnp.zeros((R, Sp), jnp.int32)),
         }
 
-    def _advance_chunked(self) -> List[Request]:
-        """Advance the in-flight chunked admission by ONE stage (vision
-        encode+splice, then one LLM prefill chunk); on the final chunk,
-        sample the first token, insert the local KV buffer into the
-        reserved slots, and activate them (instant finishes land in
-        ``self._admit_finished``, like unchunked admission)."""
-        st = self._inflight
-        if st is None:
-            return []
-        reqs, slots = st["reqs"], st["slots"]
-        n, c = len(reqs), self.prefill_chunk
-        if st["embeds"] is None:
-            batched = self._concat_inputs([r.inputs for r in reqs])
-            if self.mesh is not None:
-                batched = jax.tree_util.tree_map(
-                    lambda t: (
-                        jax.device_put(t, self._rep) if isinstance(t, jax.Array) else t
-                    ),
-                    batched,
-                )
-            embeds = self._chunk_embeds(self.params, batched)
-            # requests may be padded narrower than the engine bucket;
-            # chunk slices must never clamp (dynamic_slice would re-read
-            # the tail and write shifted KV) — pad embeds/positions out
-            # to the bucket (padded tail never attended: n_chunks stops
-            # at the longest true prompt, decode validity masks the rest)
-            w = embeds.shape[1]
-            pos = np.asarray(batched.position_ids)
-            if w < self.S:
-                embeds = jnp.pad(embeds, ((0, 0), (0, self.S - w), (0, 0)))
-                pos = np.pad(pos, ((0, 0), (0, self.S - w)))
-            st["batched"] = None  # pixel tensors are dead after the splice
-            st["embeds"] = embeds
-            lcfg = self.cfg.llm
-            kv_shape = (n, self.S, lcfg.num_key_value_heads, lcfg.head_dim)
-            L = lcfg.num_hidden_layers
-            # buffer dtype follows the activations (fp32 params -> fp32
-            # k/v; the incremental-cache append requires matching dtypes)
-            adt = st["embeds"].dtype
-            st["cache"] = llama.KVCache(
-                tuple(self._kv(jnp.zeros(kv_shape, adt)) for _ in range(L)),
-                tuple(self._kv(jnp.zeros(kv_shape, adt)) for _ in range(L)),
-                self._put(jnp.zeros((), jnp.int32)),
+    def _start_row(self, row: int, slot: int, req: Request) -> None:
+        """Begin a fused chunked admission: vision encode + splice the
+        prompt once, stage its embeds/positions into row ``row`` of the
+        fused buffers, and reserve ``slot``.  The LLM prefill then rides
+        the decode windows chunk by chunk (no further launches)."""
+        inputs = req.inputs
+        if self.mesh is not None:
+            inputs = jax.tree_util.tree_map(
+                lambda t: (
+                    jax.device_put(t, self._rep) if isinstance(t, jax.Array) else t
+                ),
+                inputs,
             )
-            st["h_buf"] = self._put(jnp.zeros((n, self.S, lcfg.hidden_size), adt))
-            st["pos"] = self._put(jnp.asarray(pos))
-            # only chunks covering the longest true prompt run; the
-            # padding tail past it stays zero KV (never attended: decode
-            # validity masks slots >= the per-row length)
-            max_plen = max(r.prompt_length for r in reqs)
-            st["n_chunks"] = -(-max_plen // c)
-            return []
-        j = st["j"]
-        st["cache"], st["h_buf"] = self._chunk_step(c)(
-            self.params, st["embeds"], st["cache"], st["pos"],
-            self._put(jnp.asarray(j, jnp.int32)), st["h_buf"],
+        embeds = self._chunk_embeds(self.params, inputs)
+        self._ensure_fused_bufs(embeds.dtype)
+        bufs = self._fused_bufs
+        pos = self._put(jnp.asarray(np.asarray(req.inputs.position_ids)))
+        bufs["embeds"], bufs["pos"] = self._write_row(
+            bufs["embeds"], bufs["pos"], self._put(jnp.asarray(row, jnp.int32)),
+            embeds, pos,
         )
-        st["j"] = j + 1
-        if st["j"] < st["n_chunks"]:
-            return []
-        # final chunk done: sample, insert, activate
-        plens = self._put(jnp.asarray([r.prompt_length for r in reqs], jnp.int32))
-        toks = self._chunk_finish(
-            self.params, st["h_buf"], plens,
-            self._put(jnp.asarray([r.temperature for r in reqs], jnp.float32)),
-            self._put(jnp.asarray([r.top_p for r in reqs], jnp.float32)),
-            self._put(jnp.asarray(np.stack([self._key_data(r) for r in reqs]))),
-        )
-        self.cache, self.lengths, self.last_token = self._insert_chunked(n)(
-            self.cache, st["cache"].k, st["cache"].v, self.lengths,
-            self.last_token, self._put(jnp.asarray(slots)), plens, toks,
-        )
-        self._reserved[slots] = False
-        self._inflight = None
-        if self.async_readback:
-            for i, req in enumerate(reqs):
-                slot = int(slots[i])
-                self.active[slot] = True
-                self.slot_req[slot] = req
-                self._set_slot_sampling(slot, req)
-            self._pending.append(
-                ("prefill", toks, list(reqs), [int(s) for s in slots])
-            )
-        else:
-            toks_host = np.asarray(toks)
-            for i, req in enumerate(reqs):
-                req.tokens.append(int(toks_host[i]))
-                # instant finishes land in self._admit_finished (drained
-                # by step(), same as unchunked admission)
-                self._activate_or_finish(int(slots[i]), req)
-        return []
+        self._reserved[slot] = True
+        n_chunks = -(-req.prompt_length // self.prefill_chunk)
+        self._rows[row] = {
+            "req": req, "slot": slot, "off": 0, "rem": n_chunks,
+            "plen": req.prompt_length,
+        }
+
+    def _admit_fused(self) -> None:
+        """Fused-mode admission: plain requests take a free chunk row +
+        reserved slot (up to chunk_rows in flight at once); prefix-cached
+        requests keep the immediate prefill-with-prefix path."""
+        while self.queue:
+            free = np.flatnonzero(~self.active & ~self._reserved)
+            if not len(free):
+                return
+            if self.queue[0].prefix_id is not None:
+                self._admit_prefix_head(int(free[0]))
+                continue
+            row = next((i for i, rs in enumerate(self._rows) if rs is None), None)
+            if row is None:
+                return
+            self._start_row(row, int(free[0]), self.queue.popleft())
 
     def _activate_or_finish(self, slot: int, req: Request) -> None:
         """Activate the freshly prefilled slot — unless the prefill token
@@ -1020,6 +1191,15 @@ class ServingEngine:
                         or len(req.tokens) >= req.max_new_tokens
                     ):
                         self._finish_and_free(slot, req, finished)
+            elif kind == "chunk":
+                # fused-admission first tokens: (R,) indexed by chunk row
+                for r, req, slot in a:
+                    req.tokens.append(int(toks_host[r]))
+                    if (
+                        req.tokens[-1] == eos
+                        or len(req.tokens) >= req.max_new_tokens
+                    ):
+                        self._finish_and_free(slot, req, finished)
             else:  # decode window: toks (B,) or (B, k)
                 active_snap, req_snap = a, b
                 toks_host = toks_host.reshape(self.B, -1)
@@ -1056,19 +1236,11 @@ class ServingEngine:
                 finished_pre += self._process_pending(leave=0)
         else:
             finished_pre = []
-        if self.prefill_chunk:
-            # advance the in-flight chunked admission one stage; decode
-            # (below) runs in the same scheduler window instead of
-            # stalling for a full prefill
-            self._advance_chunked()
-            # nothing decoding -> no window to interleave with; finish
-            # the admission now instead of one chunk per empty step
-            while self._inflight is not None and not self.active.any():
-                self._advance_chunked()
         self._admit()
         finished_at_admit = finished_pre + self._admit_finished
         self._admit_finished = []
-        if not self.active.any():
+        rows_active = any(rs is not None for rs in self._rows)
+        if not self.active.any() and not rows_active:
             finished_at_admit += self._process_pending(leave=0)
             return finished_at_admit
         if self._dev_sched is None:
@@ -1079,13 +1251,26 @@ class ServingEngine:
                 self._put(jnp.asarray(self.slot_key)),
             )
         active_mask, temps, top_ps, keys = self._dev_sched
-        # greedy fast path: when no ACTIVE slot samples, run the decode
-        # variant without the nucleus pipeline (its per-step (B, V) sort
-        # was the engine's missing throughput vs lockstep — BASELINE.md
-        # r4 engine trace); tokens are identical by construction
-        # (temp==0 rows take the argmax either way)
-        all_greedy = not bool(np.any(self.slot_temp[self.active] > 0))
-        if num_steps == 1:
+        # greedy fast path: when no ACTIVE slot (and no admitting request)
+        # samples, run the decode variant without the nucleus pipeline
+        # (its per-step (B, V) sort was the engine's missing throughput vs
+        # lockstep — BASELINE.md r4 engine trace); tokens are identical by
+        # construction (temp==0 rows take the argmax either way)
+        all_greedy = not bool(np.any(self.slot_temp[self.active] > 0)) and not any(
+            rs is not None and rs["req"].temperature > 0 for rs in self._rows
+        )
+        # snapshot the decode-slot view at launch: row completions below
+        # activate slots that did NOT decode during this window
+        active_launch = self.active.copy()
+        req_snapshot = list(self.slot_req)
+        if rows_active:
+            # fused mixed-batch window: decode + one prefill chunk per
+            # in-flight admission per inner step, one jit launch
+            toks_dev, chunk_tok = self._run_fused_window(
+                num_steps, all_greedy, active_mask, temps, top_ps, keys
+            )
+            finished_at_admit += self._complete_rows(num_steps, chunk_tok)
+        elif num_steps == 1:
             self.cache, self.lengths, tok = self._decode(
                 self.params, self.cache, self.lengths, self.last_token, active_mask,
                 temps, top_ps, keys, all_greedy,
@@ -1103,14 +1288,14 @@ class ServingEngine:
             toks_dev = toks
         if self.async_readback:
             self._pending.append(
-                ("decode", toks_dev, self.active.copy(), list(self.slot_req))
+                ("decode", toks_dev, active_launch, req_snapshot)
             )
             return finished_at_admit
         toks_host = np.asarray(toks_dev).reshape(self.B, -1)
         finished = finished_at_admit
         eos = self.cfg.llm.eos_token_id
-        for slot in np.flatnonzero(self.active):
-            req = self.slot_req[slot]
+        for slot in np.flatnonzero(active_launch):
+            req = req_snapshot[slot]
             for t in toks_host[slot]:
                 req.tokens.append(int(t))
                 if int(t) == eos or len(req.tokens) >= req.max_new_tokens:
@@ -1120,6 +1305,88 @@ class ServingEngine:
                     self.slot_req[slot] = None
                     self._dev_sched = None
                     break
+        return finished
+
+    def _run_fused_window(self, num_steps, all_greedy, active_mask, temps,
+                          top_ps, keys):
+        """Launch one fused mixed-batch window.  Returns the decode token
+        array (B, num_steps) and the per-row admission first tokens (R,)."""
+        R = self.chunk_rows
+        off = np.zeros(R, np.int32)
+        rem = np.zeros(R, np.int32)
+        plen = np.zeros(R, np.int32)
+        slot = np.zeros(R, np.int32)
+        complete = np.zeros(R, bool)
+        rtemps = np.zeros(R, np.float32)
+        rtop = np.ones(R, np.float32)
+        rkeys = np.zeros((R, 2), np.uint32)
+        for r, rs in enumerate(self._rows):
+            if rs is None:
+                continue
+            off[r] = rs["off"]
+            rem[r] = rs["rem"]
+            plen[r] = rs["plen"]
+            slot[r] = rs["slot"]
+            complete[r] = rs["rem"] <= num_steps
+            req = rs["req"]
+            rtemps[r] = req.temperature
+            rtop[r] = req.top_p
+            rkeys[r] = self._key_data(req)
+        bufs = self._fused_bufs
+        fn = self._fused_window(num_steps, all_greedy)
+        (self.cache, bufs["stag_k"], bufs["stag_v"], self.lengths,
+         self.last_token, toks, chunk_tok) = fn(
+            self.params, self.cache, self.lengths, self.last_token,
+            active_mask, temps, top_ps, keys,
+            bufs["stag_k"], bufs["stag_v"], bufs["embeds"], bufs["pos"],
+            self._put(jnp.asarray(off)), self._put(jnp.asarray(rem)),
+            self._put(jnp.asarray(plen)), self._put(jnp.asarray(slot)),
+            self._put(jnp.asarray(complete)),
+            self._put(jnp.asarray(rtemps)), self._put(jnp.asarray(rtop)),
+            self._put(jnp.asarray(rkeys)),
+        )
+        return toks, chunk_tok
+
+    def _complete_rows(self, num_steps: int, chunk_tok) -> List[Request]:
+        """Advance the host view of every in-flight admission by the
+        chunks the window just ran; rows whose prompt completed activate
+        their (already device-armed) slot, or finish instantly on
+        eos/max_new_tokens=1 exactly like unchunked admission."""
+        finished: List[Request] = []
+        done_rows = []
+        for r, rs in enumerate(self._rows):
+            if rs is None:
+                continue
+            adv = min(rs["rem"], num_steps)
+            rs["off"] += adv * self.prefill_chunk
+            rs["rem"] -= adv
+            if rs["rem"] == 0:
+                done_rows.append((r, rs))
+        if not done_rows:
+            return finished
+        if self.async_readback:
+            # optimistic activation (the first token reads back one
+            # scheduler entry later, like unchunked async admission)
+            rows_meta = []
+            for r, rs in done_rows:
+                slot, req = rs["slot"], rs["req"]
+                self._rows[r] = None
+                self._reserved[slot] = False
+                self.active[slot] = True
+                self.slot_req[slot] = req
+                self._set_slot_sampling(slot, req)
+                rows_meta.append((r, req, slot))
+            self._pending.append(("chunk", chunk_tok, rows_meta, None))
+        else:
+            toks_host = np.asarray(chunk_tok)
+            for r, rs in done_rows:
+                slot, req = rs["slot"], rs["req"]
+                self._rows[r] = None
+                self._reserved[slot] = False
+                req.tokens.append(int(toks_host[r]))
+                self._activate_or_finish(slot, req)
+            finished.extend(self._admit_finished)
+            self._admit_finished = []
         return finished
 
     def run_until_drained(
@@ -1132,16 +1399,38 @@ class ServingEngine:
                 not self.queue
                 and not self.active.any()
                 and not self._pending
-                and self._inflight is None
+                and not any(rs is not None for rs in self._rows)
             ):
                 break
         return out
 
 
+def _slot_attend(q, ck, cv, valid, D):
+    """Attend one post-RoPE query token per slot against its cache row.
+    q: (B, 1, Hq, D); ck/cv: (B, C, Hk, D); valid: (B, C) bool."""
+    from spatialrgpt_tpu.ops.attention import NEG_INF
+
+    B, S, Hq = q.shape[0], q.shape[1], q.shape[2]
+    Hk = ck.shape[2]
+    if Hq == Hk:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, ck, preferred_element_type=jnp.float32)
+        scores = scores * (D**-0.5)
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cv.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, cv).reshape(B, S, Hq * D)
+    # GQA: grouped einsums keep the cache read at Hk heads (no repeat)
+    G = Hq // Hk
+    qg = q.reshape(B, S, Hk, G, D)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, ck, preferred_element_type=jnp.float32)
+    scores = scores * (D**-0.5)
+    scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cv.dtype)
+    return jnp.einsum("bhgqk,bkhd->bqhgd", probs, cv).reshape(B, S, Hq * D)
+
+
 def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
     """Decode attention where each slot has its own cache length; new kv is
     written at slot-specific positions via scatter on the length index."""
-    from spatialrgpt_tpu.ops.attention import NEG_INF
     from spatialrgpt_tpu.ops.layers import linear, qkv_proj
 
     B, S, H = x.shape  # S == 1
@@ -1161,50 +1450,18 @@ def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
     cv = cache.v[layer_idx].at[bidx, lengths].set(
         v[:, 0].astype(cache.v[layer_idx].dtype), unique_indices=True
     )
-
-    if Hq == Hk:
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, ck, preferred_element_type=jnp.float32)
-        scores = scores * (D**-0.5)
-        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cv.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, cv).reshape(B, S, Hq * D)
-    else:
-        # GQA: grouped einsums keep the cache read at Hk heads (no repeat)
-        G = Hq // Hk
-        qg = q.reshape(B, S, Hk, G, D)
-        scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, ck, preferred_element_type=jnp.float32)
-        scores = scores * (D**-0.5)
-        scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cv.dtype)
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, cv).reshape(B, S, Hq * D)
+    out = _slot_attend(q, ck, cv, valid, D)
     return linear(out, p["wo"]), (ck, cv)
 
 
-def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid):
-    """Per-slot decode attention against an int8 KV cache: scales fold
-    into the score/prob tensors so the cache is only ever read as int8
-    (same scheme as serving/generate.py::_cached_attention_quant, with
-    the engine's per-slot scatter write)."""
+def _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D):
+    """Attend one post-RoPE query token per slot against an int8 cache
+    row; scales fold into the score/prob tensors so the cache is only
+    ever read as int8."""
     from spatialrgpt_tpu.ops.attention import NEG_INF
-    from spatialrgpt_tpu.ops.layers import linear, qkv_proj
-    from spatialrgpt_tpu.ops.quant import quantize_kv
 
-    k_q, k_s, v_q, v_s = layer_cache
-    B, S, H = x.shape  # S == 1
-    Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q, k, v = qkv_proj(x, p, Hq, Hk, D)
-    q, k = llama.apply_rope(q, k, pos, cfg)
-
-    nk_q, nk_s = quantize_kv(k)
-    nv_q, nv_s = quantize_kv(v)
-    # one-row-per-slot scatter (see _per_slot_attention): rewriting the
-    # whole cache via jnp.where cost 3x the decode's HBM stream
-    bidx = jnp.arange(B)
-    ck_q = k_q.at[bidx, lengths].set(nk_q[:, 0], unique_indices=True)
-    ck_s = k_s.at[bidx, lengths].set(nk_s[:, 0], unique_indices=True)
-    cv_q = v_q.at[bidx, lengths].set(nv_q[:, 0], unique_indices=True)
-    cv_s = v_s.at[bidx, lengths].set(nv_s[:, 0], unique_indices=True)
-
+    B, S, Hq = q.shape[0], q.shape[1], q.shape[2]
+    Hk = ck_q.shape[2]
     if Hq == Hk:
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, ck_q.astype(q.dtype), preferred_element_type=jnp.float32
@@ -1230,4 +1487,31 @@ def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid):
         out = jnp.einsum(
             "bhgqk,bkhd->bqhgd", probs, cv_q.astype(q.dtype)
         ).reshape(B, S, Hq * D)
+    return out
+
+
+def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid):
+    """Per-slot decode attention against an int8 KV cache (same scheme as
+    serving/generate.py::_cached_attention_quant, with the engine's
+    per-slot scatter write)."""
+    from spatialrgpt_tpu.ops.layers import linear, qkv_proj
+    from spatialrgpt_tpu.ops.quant import quantize_kv
+
+    k_q, k_s, v_q, v_s = layer_cache
+    B, S, H = x.shape  # S == 1
+    Hq, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q, k, v = qkv_proj(x, p, Hq, Hk, D)
+    q, k = llama.apply_rope(q, k, pos, cfg)
+
+    nk_q, nk_s = quantize_kv(k)
+    nv_q, nv_s = quantize_kv(v)
+    # one-row-per-slot scatter (see _per_slot_attention): rewriting the
+    # whole cache via jnp.where cost 3x the decode's HBM stream
+    bidx = jnp.arange(B)
+    ck_q = k_q.at[bidx, lengths].set(nk_q[:, 0], unique_indices=True)
+    ck_s = k_s.at[bidx, lengths].set(nk_s[:, 0], unique_indices=True)
+    cv_q = v_q.at[bidx, lengths].set(nv_q[:, 0], unique_indices=True)
+    cv_s = v_s.at[bidx, lengths].set(nv_s[:, 0], unique_indices=True)
+
+    out = _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D)
     return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)

@@ -751,3 +751,135 @@ def test_chunked_prefill_narrow_padded_requests():
         return [by_id[i] for i in ids]
 
     assert run(16) == run(0)
+
+
+def test_fused_multiple_admissions_in_flight():
+    """The r5 fused redesign: multiple admissions prefill concurrently
+    (each in its own chunk row) while other slots decode; a queue deeper
+    than chunk_rows backlogs and drains in arrival order.  Tokens must
+    match the unchunked engine exactly."""
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+        [7, IMAGE_TOKEN_INDEX, 23, 24],
+        [IMAGE_TOKEN_INDEX, 25, 26, 27],
+        [3, IMAGE_TOKEN_INDEX, 28],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    def run(chunk, rows, num_steps=1):
+        eng = ServingEngine(
+            params, CFG, num_slots=4, prompt_bucket=32, max_new_tokens=6,
+            admit_width=4, prefill_chunk=chunk, chunk_rows=rows,
+        )
+        ids = [
+            eng.submit(inputs, plen, max_new_tokens=3 + (i % 4))
+            for i, (inputs, plen) in enumerate(reqs)
+        ]
+        done = eng.run_until_drained(max_steps=200, num_steps=num_steps)
+        assert len(done) == len(reqs)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    base = run(0, 0)
+    # several rows genuinely in flight at once (4 slots, 3 rows, 6 reqs)
+    assert run(8, 3) == base
+    # single row + multi-step windows (chunks advance k per window)
+    assert run(8, 1, num_steps=2) == base
+    # more rows than the pool can reserve at once
+    assert run(16, 4, num_steps=3) == base
+
+
+def test_fused_admission_during_decode():
+    """Requests arriving while slots decode (the staggered regime the
+    fused step exists for): prompt chunks ride the decode windows; the
+    decoding slots' tokens must be unaffected."""
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    def run(chunk):
+        eng = ServingEngine(
+            params, CFG, num_slots=3, prompt_bucket=32, max_new_tokens=8,
+            prefill_chunk=chunk, chunk_rows=2,
+        )
+        ids = [eng.submit(*reqs[0], max_new_tokens=8)]
+        for _ in range(3):  # first request mid-decode when the next lands
+            eng.step()
+        ids.append(eng.submit(*reqs[1], max_new_tokens=6))
+        eng.step()
+        ids.append(eng.submit(*reqs[2], max_new_tokens=5))
+        done = eng.run_until_drained(max_steps=120)
+        assert len(done) == len(reqs)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    assert run(8) == run(0)
+
+
+def test_fused_sampled_admissions_match_unchunked():
+    """Sampled (temperature > 0) requests through the fused path: the
+    admission's first token uses the same key fold (plen - 1) as the
+    unchunked batched prefill, so tokens must match exactly."""
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    def run(chunk):
+        eng = ServingEngine(
+            params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=6,
+            prefill_chunk=chunk, chunk_rows=2,
+        )
+        ids = [
+            eng.submit(
+                inputs, plen, max_new_tokens=5,
+                temperature=0.8 if i % 2 else 0.0, top_p=0.9, seed=41 + i,
+            )
+            for i, (inputs, plen) in enumerate(reqs)
+        ]
+        done = eng.run_until_drained(max_steps=120, num_steps=2)
+        assert len(done) == len(reqs)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    assert run(8) == run(0)
+
+
+def test_fused_chunked_tp2_matches_single_device():
+    """Fused chunked prefill under tensor parallelism: staging buffers
+    shard their kv-head axis like the cache; tokens must match the
+    single-device fused engine and the unchunked engine."""
+    from spatialrgpt_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    def run(mesh, chunk):
+        eng = ServingEngine(
+            params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=5,
+            prefill_chunk=chunk, chunk_rows=2, mesh=mesh,
+        )
+        ids = [eng.submit(inputs, plen, max_new_tokens=5) for inputs, plen in reqs]
+        done = eng.run_until_drained(max_steps=120)
+        assert len(done) == len(reqs)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    assert run(make_mesh(tp=2), 8) == run(None, 0)
