@@ -45,6 +45,11 @@ CHUNK = int(os.environ.get("SRGPT_ENGINE_CHUNK", 0))  # fused chunked
 # 0 = off, full batched prefill at admission)
 CHUNK_ROWS = int(os.environ.get("SRGPT_ENGINE_CHUNK_ROWS", 2))  # max
 # admissions in flight (each adds CHUNK tokens of matmul per decode step)
+TEMP = float(os.environ.get("SRGPT_ENGINE_TEMP", 0))  # per-request sampling
+# temperature (0 = greedy; >0 measures the sampled decode path)
+TOP_P = float(os.environ.get("SRGPT_ENGINE_TOP_P", 0.9))
+TOPK = int(os.environ.get("SRGPT_ENGINE_TOPK", 64))  # top-k prefilter
+# width for sampled decode (0 = exact full-vocab sort baseline)
 ASYNC = os.environ.get("SRGPT_ENGINE_ASYNC", "0") == "1"  # async scheduling:
 # readbacks lag launches one entry so link RTT overlaps device compute
 TRACE = os.environ.get("SRGPT_ENGINE_TRACE", "0") == "1"  # per-fn stage
@@ -114,6 +119,7 @@ def main():
         async_readback=ASYNC,
         prefill_chunk=CHUNK,
         chunk_rows=CHUNK_ROWS,
+        topk_sampling=TOPK,
     )
     # text lengths bounded so the expanded prompt (~n_text + 200 tokens:
     # 196 image + region/special tokens) fits the bucket — keeps the
@@ -160,8 +166,8 @@ def main():
     # — in-loop compilation at an unwarmed width dominated a staggered
     # run by 60x before this (each width is one cached compile).
     t0 = time.time()
-    for inputs, plen in reqs[: min(REQS, SLOTS) if ADMIT > 8 else 15]:
-        eng.submit(inputs, plen, max_new_tokens=4)
+    for i, (inputs, plen) in enumerate(reqs[: min(REQS, SLOTS) if ADMIT > 8 else 15]):
+        eng.submit(inputs, plen, max_new_tokens=4, temperature=TEMP, top_p=TOP_P, seed=i)
     eng.run_until_drained(num_steps=MULTI)
     if int(os.environ.get("SRGPT_ENGINE_STAGGER_MS", 0)) > 0 and not CHUNK:
         # staggered unchunked runs admit at whatever width has queued —
@@ -245,14 +251,16 @@ def main():
         while next_req < REQS and next_req * stagger_s <= now:
             inputs, plen = reqs[next_req]
             rid = eng.submit(
-                inputs, plen, max_new_tokens=MAX_NEW, prefetch=not prestage
+                inputs, plen, max_new_tokens=MAX_NEW, prefetch=not prestage,
+                temperature=TEMP, top_p=TOP_P, seed=next_req,
             )
             submit_t[rid] = time.time()
             next_req += 1
 
     if not stagger_s:
-        for inputs, plen in reqs:
-            rid = eng.submit(inputs, plen, max_new_tokens=MAX_NEW, prefetch=not prestage)
+        for i, (inputs, plen) in enumerate(reqs):
+            rid = eng.submit(inputs, plen, max_new_tokens=MAX_NEW, prefetch=not prestage,
+                             temperature=TEMP, top_p=TOP_P, seed=i)
             submit_t[rid] = time.time()
         next_req = REQS
     done = []
@@ -304,6 +312,9 @@ def main():
                 "prestaged_inputs": prestage,
                 "async_readback": ASYNC,
                 "prefill_chunk": CHUNK,
+                "chunk_rows": CHUNK_ROWS if CHUNK else 0,
+                "temperature": TEMP,
+                "topk_sampling": TOPK,
                 "stagger_ms": int(stagger_s * 1000),
                 "n_scheduler_syncs": n_syncs + n_prefills,
                 "sync_rtt_s": round(sync_rtt, 4),
