@@ -169,3 +169,61 @@ def test_sam_hq_box_prediction_parity(hf_sam_hq, hq_token_only):
     np.testing.assert_allclose(
         np.asarray(iou).reshape(1, 2), expected_iou[:, :, 0], atol=1e-3, rtol=1e-2
     )
+
+
+def test_grid_bias_flash_matches_xla_attention(monkeypatch):
+    """The Pallas grid-bias kernel (global-layer attention, r5) must match
+    the XLA einsum path: same scores = qk*scale + rel_h + rel_w, online
+    softmax vs single-shot."""
+    import jax
+
+    from spatialrgpt_tpu.models.sam import SamVisionConfig, _vision_attention
+
+    rng = np.random.default_rng(0)
+    H = W = 8
+    nh, d = 4, 16
+    C = nh * d
+    cfg = SamVisionConfig(hidden_size=C, num_attention_heads=nh)
+    x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+    p = {
+        "qkv": {"kernel": jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.05, jnp.float32),
+                 "bias": jnp.zeros((3 * C,), jnp.float32)},
+        "proj": {"kernel": jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32),
+                  "bias": jnp.zeros((C,), jnp.float32)},
+        "rel_pos_h": jnp.asarray(rng.standard_normal((2 * H - 1, d)) * 0.1, jnp.float32),
+        "rel_pos_w": jnp.asarray(rng.standard_normal((2 * W - 1, d)) * 0.1, jnp.float32),
+    }
+    monkeypatch.setenv("SRGPT_SAM_FLASH_MIN", str(10**9))
+    ref = _vision_attention(x, p, cfg)
+    monkeypatch.setenv("SRGPT_SAM_FLASH_MIN", "0")
+    out = _vision_attention(x, p, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_grid_bias_flash_multiblock(monkeypatch):
+    """Multi-block schedule (nq = nk = 4) exercises the online-softmax
+    accumulation and the per-block rel_h slice indexing."""
+    from spatialrgpt_tpu.ops.flash_attention import grid_bias_attention
+
+    rng = np.random.default_rng(1)
+    H = W = 16  # S = 256, block = 4 rows * 16 = 64 -> 4x4 blocks
+    nh, d = 2, 32
+    S = H * W
+    q = jnp.asarray(rng.standard_normal((1, nh, S, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, nh, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, nh, S, d)), jnp.float32)
+    rel_h = jnp.asarray(rng.standard_normal((1, nh, S, H)) * 0.3, jnp.float32)
+    rel_w = jnp.asarray(rng.standard_normal((1, nh, S, W)) * 0.3, jnp.float32)
+
+    out = grid_bias_attention(q, k, v, rel_h, rel_w, grid_w=W, block_q=64, block_k=64)
+
+    # oracle: dense scores + softmax
+    scores = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) * (d**-0.5)
+    kh = np.arange(S) // W
+    kw = np.arange(S) % W
+    bias = np.asarray(rel_h)[:, :, :, kh] + np.asarray(rel_w)[:, :, :, kw]
+    scores = scores + bias
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
