@@ -235,11 +235,16 @@ def main():
         lambda p, px, bx: sam_lib.predict_boxes_hq(p, scfg, px, bx)
     )
 
-    # sub-batched: vit_h's 4 global-attention layers materialize
-    # (b, 16, 4096, 4096) f32 scores — 4.3 GB per image at 1024^2 — so
-    # the SAM pass runs one image per call beside the resident 8B VLM
-    # (the demo's interactive protocol is batch-1 anyway)
-    sam_chunk = 1 if SAM_SIZE == "vit_h" else BATCH
+    # r5: the global-attention layers run the Pallas grid-bias flash
+    # kernel (no (b, 16, 4096, 4096) f32 score tensor), so vit_h batches
+    # multiple images per call beside the resident 8B VLM; the remaining
+    # transient peak is the windowed layers' (b*256, 16, 196, 196) f32
+    # scores (~0.63 GB/image), which bounds the sub-batch
+    sam_chunk = (
+        min(BATCH, int(os.environ.get("SRGPT_DEMO_SAM_CHUNK", 4)))
+        if SAM_SIZE == "vit_h"
+        else BATCH
+    )
     sam_px = jnp.asarray(sam_in, jnp.bfloat16)
     sam_bx = jnp.asarray(sam_boxes)
 

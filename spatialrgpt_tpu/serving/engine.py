@@ -118,6 +118,9 @@ class ServingEngine:
                 mesh, PartitionSpec(None, None, "tp", None)
             )
             self._ks_sharding = NamedSharding(mesh, PartitionSpec(None, None, "tp"))
+            self._kv3_sharding = NamedSharding(
+                mesh, PartitionSpec(None, "tp", None)
+            )
         self.params = params
         self.cfg = cfg
         self.admit_width = admit_width
@@ -134,8 +137,8 @@ class ServingEngine:
         # per-row in-flight admission state (fused chunked prefill):
         # dict(req, slot, off, rem, plen) or None
         self._rows: List[Optional[dict]] = [None] * self.chunk_rows
-        # lazily allocated fused buffers: (stag_k, stag_v, embeds, pos)
-        self._fused_bufs = None
+        # rows carry their own device buffers (embeds/pos/staging),
+        # allocated at admission and dropped at completion
         # chunk-attention block: <= block runs the exact single-shot path
         # (CPU parity); larger staging streams in blocks that divide Sp
         if self.Sp and self.Sp > 512:
@@ -215,6 +218,10 @@ class ServingEngine:
 
     def _kv(self, x):
         return x if self.mesh is None else jax.device_put(x, self._kv_sharding)
+
+    def _kv3(self, x):
+        # per-row staging buffers: (Sp, Hk, D), kv-head axis tp-sharded
+        return x if self.mesh is None else jax.device_put(x, self._kv3_sharding)
 
     def _ks(self, x):
         return x if self.mesh is None else jax.device_put(x, self._ks_sharding)
@@ -520,42 +527,43 @@ class ServingEngine:
         # ---- fused mixed-batch chunked prefill (prefill_chunk > 0) ----
         # One jitted window runs B decode tokens AND one prompt chunk per
         # in-flight admission as a single flat token batch: every matmul
-        # (qkv, wo, mlp, norms) sees all T = B + R*c tokens at once, so a
-        # chunk shares the window's weight reads instead of paying its own
-        # launch.  Chunk K/V stage in activation-dtype row buffers; the
-        # window a row's prompt completes, the staged row is inserted into
-        # the slot cache (quantized once when kv_quant) and the first
-        # token sampled — all inside the same jit.  This is the vLLM
-        # fused-batch design the r4 analysis called for (BASELINE.md
-        # "Long-prompt staggered test"): admission throughput is no longer
-        # bounded by one-admission-in-flight separate launches.
+        # (qkv, wo, mlp, norms) sees all T = B + n_act*c tokens at once,
+        # so a chunk shares the window's weight reads instead of paying
+        # its own launch, and decode slots are never stalled by a full
+        # prefill.  Windows compile per ACTIVE-admission count (n_act),
+        # so the chunk-side cost scales with admissions actually in
+        # flight — zero when none (the plain decode jits run).  Each
+        # admission owns per-row staging buffers (activation dtype, one
+        # prompt_bucket of K/V per layer), allocated at admission and
+        # freed at completion; the completing window inserts the staged
+        # row into the slot cache (quantized once when kv_quant) and
+        # samples the first token in the same jit — admission costs zero
+        # extra launches after the vision encode.  This is the
+        # vLLM-style fused-batch design the r4 analysis called for
+        # (BASELINE.md "Long-prompt staggered test").
         @jax.jit
         def chunk_embeds(params, inputs: vlm.VLMInputs):
             """Admission stage 0: vision encode + splice only; the LLM
             prefill then rides the decode windows chunk by chunk."""
             return vlm.prepare_embeds(params, cfg, inputs)
 
-        Sp, R, c = self.Sp, self.chunk_rows, self.prefill_chunk
+        Sp, c = self.Sp, self.prefill_chunk
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def write_row(embeds_buf, pos_buf, r, e, pos):
-            e = jnp.pad(e, ((0, 0), (0, Sp - e.shape[1]), (0, 0)))
-            pos = jnp.pad(pos, ((0, 0), (0, Sp - pos.shape[1])))
-            embeds_buf = jax.lax.dynamic_update_slice_in_dim(
-                embeds_buf, e.astype(embeds_buf.dtype), r, axis=0
-            )
-            pos_buf = jax.lax.dynamic_update_slice_in_dim(
-                pos_buf, pos.astype(jnp.int32), r, axis=0
-            )
-            return embeds_buf, pos_buf
+        @jax.jit
+        def pad_row(e, pos):
+            """(1, w, H) embeds + (1, w) positions -> (Sp, H), (Sp,)."""
+            e = jnp.pad(e[0], ((0, Sp - e.shape[1]), (0, 0)))
+            pos = jnp.pad(pos[0], (0, Sp - pos.shape[1]))
+            return e, pos.astype(jnp.int32)
 
-        def _fused_once(params, cache, stag_k, stag_v, lengths, last_token,
+        def _fused_once(params, cache, stag, lengths, last_token,
                         active_mask, temps, top_ps, keys,
-                        embeds_buf, pos_buf, off, rem, row_plen, all_greedy):
-            """One decode step fused with one prefill chunk per active row.
-            Returns the advanced state plus each row's candidate last-
-            hidden (h_sel) and whether this chunk contained the prompt's
-            final token (in_chunk)."""
+                        embeds, pos, off, rem, row_plen, n_act, all_greedy):
+            """One decode step fused with one prefill chunk per row.
+            ``stag``/``embeds``/``pos`` are per-row tuples (length n_act).
+            Returns the advanced state plus each row's candidate
+            last-hidden (h_sel) and whether this chunk contained the
+            prompt's final token (in_chunk)."""
             from spatialrgpt_tpu.ops.attention import streamed_position_attention
             from spatialrgpt_tpu.ops.layers import linear, qkv_proj
 
@@ -564,51 +572,41 @@ class ServingEngine:
             Hq, Hk, D = lcfg.num_attention_heads, lcfg.num_key_value_heads, lcfg.head_dim
             chunk_active = rem > 0
             off_c = jnp.minimum(off, Sp - c)  # clamp keeps slices in-bounds
-            x_c = jax.vmap(
-                lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, c, axis=0)
-            )(embeds_buf, off_c)  # (R, c, H)
-            pos_c = jax.vmap(
-                lambda p, o: jax.lax.dynamic_slice_in_dim(p, o, c, axis=0)
-            )(pos_buf, off_c)  # (R, c)
+            x_c = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(embeds[r], off_c[r], c, axis=0)
+                for r in range(n_act)
+            ])  # (n_act, c, H)
+            pos_c = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(pos[r], off_c[r], c, axis=0)
+                for r in range(n_act)
+            ])  # (n_act, c)
             x_d = llama.embed_tokens(params["llm"], last_token[:, None], lcfg)
             h = jnp.concatenate(
-                [x_d[:, 0].astype(x_c.dtype), x_c.reshape(R * c, -1)], axis=0
+                [x_d[:, 0].astype(x_c.dtype), x_c.reshape(n_act * c, -1)], axis=0
             )[None]  # (1, T, H)
             pos_all = jnp.concatenate([lengths, pos_c.reshape(-1)])[None]
-            # buffer index of each chunk q token; zeroed for idle rows so
-            # they never stretch the streamed-attention block loop (its
-            # traced bound is max(q_idx))
-            q_idx = jnp.where(
-                chunk_active[:, None],
-                off_c[:, None] + jnp.arange(c)[None],
-                0,
-            )  # (R, c)
-            # staging writes for inactive rows go out of bounds -> dropped
+            # per-row staging write indices: rows that completed earlier
+            # in this window must not corrupt their staged KV before the
+            # post-loop insert -> out-of-bounds scatter, dropped
             widx = jnp.where(chunk_active, off_c, Sp)[:, None] + jnp.arange(c)[None]
             # decode kv writes only for active slots (reserved/idle slots
             # drop theirs; their cache rows are replaced wholesale at
             # admission-completion)
             dpos_w = jnp.where(active_mask, lengths, self.capacity)
             bidx = jnp.arange(B)
-            ridx = jnp.arange(R)[:, None]
             slot_ids = jnp.arange(self.capacity)
             valid = slot_ids[None, :] < (lengths + 1)[:, None]
-            new_parts, new_sk, new_sv = [], [], []
+            new_parts = []
+            new_stag = [[(None, None) for _ in range(len(stag[r][0]))] for r in range(n_act)]
             for li, lp in enumerate(params["llm"]["layers"]):
                 hn = llama._norm(h, lp["input_ln"], lcfg)
                 q, kk, vv = qkv_proj(hn, lp["attn"], Hq, Hk, D)
                 q, kk = llama.apply_rope(q, kk, pos_all, lcfg)
                 q_d = q[0, :B][:, None]
                 k_d, v_d = kk[0, :B][:, None], vv[0, :B][:, None]
-                q_c = q[0, B:].reshape(R, c, Hq, D)
-                k_c = kk[0, B:].reshape(R, c, Hk, D)
-                v_c = vv[0, B:].reshape(R, c, Hk, D)
-                sk = stag_k[li].at[ridx, widx].set(
-                    k_c.astype(stag_k[li].dtype), mode="drop", unique_indices=True
-                )
-                sv = stag_v[li].at[ridx, widx].set(
-                    v_c.astype(stag_v[li].dtype), mode="drop", unique_indices=True
-                )
+                q_c = q[0, B:].reshape(n_act, c, Hq, D)
+                k_c = kk[0, B:].reshape(n_act, c, Hk, D)
+                v_c = vv[0, B:].reshape(n_act, c, Hk, D)
                 if kv_quant:
                     from spatialrgpt_tpu.ops.quant import quantize_kv
 
@@ -639,14 +637,29 @@ class ServingEngine:
                     )
                     attn_d = _slot_attend(q_d, ck, cv, valid, D)
                     parts = (ck, cv)
-                attn_c = streamed_position_attention(
-                    q_c, sk, sv, q_idx, block=self._chunk_block
-                )
+                attn_cs = []
+                for r in range(n_act):
+                    sk = stag[r][0][li].at[widx[r]].set(
+                        k_c[r].astype(stag[r][0][li].dtype),
+                        mode="drop", unique_indices=True,
+                    )
+                    sv = stag[r][1][li].at[widx[r]].set(
+                        v_c[r].astype(stag[r][1][li].dtype),
+                        mode="drop", unique_indices=True,
+                    )
+                    new_stag[r][li] = (sk, sv)
+                    q_idx = jnp.where(
+                        chunk_active[r], off_c[r] + jnp.arange(c), 0
+                    )[None]  # (1, c)
+                    attn_cs.append(
+                        streamed_position_attention(
+                            q_c[r][None], sk[None], sv[None], q_idx,
+                            block=self._chunk_block,
+                        )[0]
+                    )
                 attn_all = jnp.concatenate(
-                    [
-                        attn_d.reshape(B, Hq * D),
-                        attn_c.reshape(R * c, Hq * D).astype(attn_d.dtype),
-                    ],
+                    [attn_d.reshape(B, Hq * D)]
+                    + [a.reshape(c, Hq * D).astype(attn_d.dtype) for a in attn_cs],
                     axis=0,
                 )[None]
                 h = h + linear(attn_all, lp["attn"]["wo"])
@@ -662,15 +675,21 @@ class ServingEngine:
                 else:
                     h = h + llama._mlp_block(hn, lp["mlp"], lcfg.hidden_act)
                 new_parts.append(parts)
-                new_sk.append(sk)
-                new_sv.append(sv)
+            # repack per-row staging as (k tuple, v tuple) per row
+            stag_out = tuple(
+                (
+                    tuple(new_stag[r][li][0] for li in range(len(stag[r][0]))),
+                    tuple(new_stag[r][li][1] for li in range(len(stag[r][1]))),
+                )
+                for r in range(n_act)
+            )
             h = llama._norm(h, params["llm"]["final_ln"], lcfg)
             h_d = h[0, :B][:, None]
             logits = llama.logits(params["llm"], h_d, lcfg)[:, 0].astype(jnp.float32)
             tok = _sample_slots(logits, keys, lengths, temps, top_ps, all_greedy)
             lengths = jnp.where(active_mask, lengths + 1, lengths)
             tok = jnp.where(active_mask, tok, last_token)
-            h_c = h[0, B:].reshape(R, c, -1)
+            h_c = h[0, B:].reshape(n_act, c, -1)
             lidx = jnp.clip(row_plen - 1 - off_c, 0, c - 1)
             h_sel = jnp.take_along_axis(h_c, lidx[:, None, None], axis=1)[:, 0]
             in_chunk = (
@@ -695,42 +714,40 @@ class ServingEngine:
             off = jnp.where(chunk_active, off + c, off)
             rem = jnp.maximum(rem - 1, 0)
             return (
-                new_cache, tuple(new_sk), tuple(new_sv), lengths, tok,
-                h_sel, in_chunk, off, rem,
+                new_cache, stag_out, lengths, tok, h_sel, in_chunk, off, rem,
             )
 
-        def make_fused_window(k, all_greedy=False):
+        def make_fused_window(k, n_act, all_greedy=False):
             # cache/lengths/staging donated; last_token NOT (see the
-            # decode jit invariant above); embeds/pos buffers persist
-            @functools.partial(jax.jit, donate_argnums=(1, 2, 8, 9))
+            # decode jit invariant above); embeds/pos persist per row
+            @functools.partial(jax.jit, donate_argnums=(1, 2, 8))
             def fused_window(params, cache, lengths, last_token, active_mask,
-                             temps, top_ps, keys, stag_k, stag_v,
-                             embeds_buf, pos_buf, off, rem, row_plen,
+                             temps, top_ps, keys, stag,
+                             embeds, pos, off, rem, row_plen,
                              row_slot, row_complete,
                              row_temps, row_top_ps, row_keys):
-                H = embeds_buf.shape[-1]
+                H = embeds[0].shape[-1]
                 toks0 = jnp.zeros((self.B, k), jnp.int32)
-                h_last0 = jnp.zeros((R, H), embeds_buf.dtype)
+                h_last0 = jnp.zeros((n_act, H), embeds[0].dtype)
 
                 def body(i, st):
-                    cache, stag_k, stag_v, lengths, last_token, toks, h_last, off, rem = st
-                    (cache, stag_k, stag_v, lengths, tok, h_sel, in_chunk,
+                    cache, stag, lengths, last_token, toks, h_last, off, rem = st
+                    (cache, stag, lengths, tok, h_sel, in_chunk,
                      off, rem) = _fused_once(
-                        params, cache, stag_k, stag_v, lengths, last_token,
+                        params, cache, stag, lengths, last_token,
                         active_mask, temps, top_ps, keys,
-                        embeds_buf, pos_buf, off, rem, row_plen, all_greedy,
+                        embeds, pos, off, rem, row_plen, n_act, all_greedy,
                     )
                     toks = jax.lax.dynamic_update_slice_in_dim(
                         toks, tok[:, None], i, axis=1
                     )
                     h_last = jnp.where(in_chunk[:, None], h_sel, h_last)
-                    return (cache, stag_k, stag_v, lengths, tok, toks, h_last, off, rem)
+                    return (cache, stag, lengths, tok, toks, h_last, off, rem)
 
-                (cache, stag_k, stag_v, lengths, last_tok_new, toks, h_last,
+                (cache, stag, lengths, last_tok_new, toks, h_last,
                  off, rem) = jax.lax.fori_loop(
                     0, k, body,
-                    (cache, stag_k, stag_v, lengths, last_token, toks0,
-                     h_last0, off, rem),
+                    (cache, stag, lengths, last_token, toks0, h_last0, off, rem),
                 )
                 # first token of each completing admission (garbage for
                 # rows that don't complete this window — unused)
@@ -747,37 +764,38 @@ class ServingEngine:
                 # Non-completing rows are dropped via an OOB slot index.
                 W = min(Sp, self.capacity)
 
-                def pad_row(t):  # (W, ...) -> (capacity, ...)
+                def pad_cap(t):  # (W, ...) -> (capacity, ...)
                     return jnp.pad(
                         t[:W], ((0, self.capacity - W),) + ((0, 0),) * (t.ndim - 1)
                     )
 
-                for r in range(R):
+                for r in range(n_act):
                     okslot = jnp.where(row_complete[r], row_slot[r], self.B)
+                    sk_r, sv_r = stag[r]
                     if kv_quant:
                         from spatialrgpt_tpu.ops.quant import quantize_kv
 
-                        kq = [quantize_kv(sk[r][:W]) for sk in stag_k]
-                        vq = [quantize_kv(sv[r][:W]) for sv in stag_v]
+                        kq = [quantize_kv(sk[:W]) for sk in sk_r]
+                        vq = [quantize_kv(sv[:W]) for sv in sv_r]
                         cache = QuantKVCache(
                             tuple(
                                 ck.at[okslot].set(
-                                    pad_row(a).astype(ck.dtype), mode="drop"
+                                    pad_cap(a).astype(ck.dtype), mode="drop"
                                 )
                                 for ck, (a, _) in zip(cache.k_q, kq)
                             ),
                             tuple(
-                                cs.at[okslot].set(pad_row(s), mode="drop")
+                                cs.at[okslot].set(pad_cap(s), mode="drop")
                                 for cs, (_, s) in zip(cache.k_s, kq)
                             ),
                             tuple(
                                 cv.at[okslot].set(
-                                    pad_row(a).astype(cv.dtype), mode="drop"
+                                    pad_cap(a).astype(cv.dtype), mode="drop"
                                 )
                                 for cv, (a, _) in zip(cache.v_q, vq)
                             ),
                             tuple(
-                                cs.at[okslot].set(pad_row(s), mode="drop")
+                                cs.at[okslot].set(pad_cap(s), mode="drop")
                                 for cs, (_, s) in zip(cache.v_s, vq)
                             ),
                             cache.length,
@@ -786,15 +804,15 @@ class ServingEngine:
                         cache = llama.KVCache(
                             tuple(
                                 ck.at[okslot].set(
-                                    pad_row(sk[r]).astype(ck.dtype), mode="drop"
+                                    pad_cap(sk).astype(ck.dtype), mode="drop"
                                 )
-                                for ck, sk in zip(cache.k, stag_k)
+                                for ck, sk in zip(cache.k, sk_r)
                             ),
                             tuple(
                                 cv.at[okslot].set(
-                                    pad_row(sv[r]).astype(cv.dtype), mode="drop"
+                                    pad_cap(sv).astype(cv.dtype), mode="drop"
                                 )
-                                for cv, sv in zip(cache.v, stag_v)
+                                for cv, sv in zip(cache.v, sv_r)
                             ),
                             cache.length,
                         )
@@ -802,16 +820,16 @@ class ServingEngine:
                     last_tok_new = last_tok_new.at[okslot].set(
                         chunk_tok[r], mode="drop"
                     )
-                return cache, stag_k, stag_v, lengths, last_tok_new, toks, chunk_tok
+                return cache, stag, lengths, last_tok_new, toks, chunk_tok
 
             return fused_window
 
         self._fused_window_cache = {}
 
-        def fused_window(k, all_greedy=False):
-            key = (k, all_greedy)
+        def fused_window(k, n_act, all_greedy=False):
+            key = (k, n_act, all_greedy)
             if key not in self._fused_window_cache:
-                self._fused_window_cache[key] = make_fused_window(k, all_greedy)
+                self._fused_window_cache[key] = make_fused_window(k, n_act, all_greedy)
             return self._fused_window_cache[key]
 
         self._prefill_batch = prefill_batch
@@ -822,7 +840,7 @@ class ServingEngine:
         self._decode = decode
         self._decode_multi = decode_multi
         self._chunk_embeds = chunk_embeds
-        self._write_row = write_row
+        self._pad_row = pad_row
         self._fused_window = fused_window
 
     # ------------------------------------------------------------------
@@ -1053,27 +1071,12 @@ class ServingEngine:
                     req.tokens.append(int(toks_host[i]))
                     self._activate_or_finish(int(slots[i]), req)
 
-    def _ensure_fused_bufs(self, act_dtype) -> None:
-        """Allocate the fused-prefill staging/embeds buffers on first use
-        (dtype follows the activations: fp32 params -> fp32 staging)."""
-        if self._fused_bufs is not None:
-            return
-        lcfg = self.cfg.llm
-        R, Sp = self.chunk_rows, self.Sp
-        L = lcfg.num_hidden_layers
-        kv_shape = (R, Sp, lcfg.num_key_value_heads, lcfg.head_dim)
-        self._fused_bufs = {
-            "stag_k": tuple(self._kv(jnp.zeros(kv_shape, act_dtype)) for _ in range(L)),
-            "stag_v": tuple(self._kv(jnp.zeros(kv_shape, act_dtype)) for _ in range(L)),
-            "embeds": self._put(jnp.zeros((R, Sp, lcfg.hidden_size), act_dtype)),
-            "pos": self._put(jnp.zeros((R, Sp), jnp.int32)),
-        }
-
     def _start_row(self, row: int, slot: int, req: Request) -> None:
         """Begin a fused chunked admission: vision encode + splice the
-        prompt once, stage its embeds/positions into row ``row`` of the
-        fused buffers, and reserve ``slot``.  The LLM prefill then rides
-        the decode windows chunk by chunk (no further launches)."""
+        prompt once, pad its embeds/positions to the staging length, and
+        allocate this row's per-layer staging K/V buffers.  The LLM
+        prefill then rides the decode windows chunk by chunk (no further
+        launches)."""
         inputs = req.inputs
         if self.mesh is not None:
             inputs = jax.tree_util.tree_map(
@@ -1083,18 +1086,21 @@ class ServingEngine:
                 inputs,
             )
         embeds = self._chunk_embeds(self.params, inputs)
-        self._ensure_fused_bufs(embeds.dtype)
-        bufs = self._fused_bufs
         pos = self._put(jnp.asarray(np.asarray(req.inputs.position_ids)))
-        bufs["embeds"], bufs["pos"] = self._write_row(
-            bufs["embeds"], bufs["pos"], self._put(jnp.asarray(row, jnp.int32)),
-            embeds, pos,
+        e_row, p_row = self._pad_row(embeds, pos)
+        lcfg = self.cfg.llm
+        L = lcfg.num_hidden_layers
+        kv_shape = (self.Sp, lcfg.num_key_value_heads, lcfg.head_dim)
+        stag = (
+            tuple(self._kv3(jnp.zeros(kv_shape, embeds.dtype)) for _ in range(L)),
+            tuple(self._kv3(jnp.zeros(kv_shape, embeds.dtype)) for _ in range(L)),
         )
         self._reserved[slot] = True
         n_chunks = -(-req.prompt_length // self.prefill_chunk)
         self._rows[row] = {
             "req": req, "slot": slot, "off": 0, "rem": n_chunks,
             "plen": req.prompt_length,
+            "embeds": e_row, "pos": p_row, "stag": stag,
         }
 
     def _admit_fused(self) -> None:
@@ -1246,10 +1252,10 @@ class ServingEngine:
         if rows_active:
             # fused mixed-batch window: decode + one prefill chunk per
             # in-flight admission per inner step, one jit launch
-            toks_dev, chunk_tok = self._run_fused_window(
+            toks_dev, chunk_tok, act_rows = self._run_fused_window(
                 num_steps, all_greedy, active_mask, temps, top_ps, keys
             )
-            finished_at_admit += self._complete_rows(num_steps, chunk_tok)
+            finished_at_admit += self._complete_rows(num_steps, chunk_tok, act_rows)
         elif num_steps == 1:
             self.cache, self.lengths, tok = self._decode(
                 self.params, self.cache, self.lengths, self.last_token, active_mask,
@@ -1289,81 +1295,78 @@ class ServingEngine:
 
     def _run_fused_window(self, num_steps, all_greedy, active_mask, temps,
                           top_ps, keys):
-        """Launch one fused mixed-batch window.  Returns the decode token
-        array (B, num_steps) and the per-row admission first tokens (R,)."""
-        R = self.chunk_rows
-        off = np.zeros(R, np.int32)
-        rem = np.zeros(R, np.int32)
-        plen = np.zeros(R, np.int32)
-        slot = np.zeros(R, np.int32)
-        complete = np.zeros(R, bool)
-        rtemps = np.zeros(R, np.float32)
-        rtop = np.ones(R, np.float32)
-        rkeys = np.zeros((R, 2), np.uint32)
-        for r, rs in enumerate(self._rows):
-            if rs is None:
-                continue
-            off[r] = rs["off"]
-            rem[r] = rs["rem"]
-            plen[r] = rs["plen"]
-            slot[r] = rs["slot"]
-            complete[r] = rs["rem"] <= num_steps
-            req = rs["req"]
-            rtemps[r] = req.temperature
-            rtop[r] = req.top_p
-            rkeys[r] = self._key_data(req)
-        bufs = self._fused_bufs
-        fn = self._fused_window(num_steps, all_greedy)
-        (self.cache, bufs["stag_k"], bufs["stag_v"], self.lengths,
-         self.last_token, toks, chunk_tok) = fn(
+        """Launch one fused mixed-batch window over the ACTIVE admission
+        rows (the jit is specialized per active count, so idle rows cost
+        nothing).  Returns (decode tokens (B, num_steps), per-active-row
+        first tokens, the active row indices in pass order)."""
+        act = [r for r, rs in enumerate(self._rows) if rs is not None]
+        n_act = len(act)
+        off = np.asarray([self._rows[r]["off"] for r in act], np.int32)
+        rem = np.asarray([self._rows[r]["rem"] for r in act], np.int32)
+        plen = np.asarray([self._rows[r]["plen"] for r in act], np.int32)
+        slot = np.asarray([self._rows[r]["slot"] for r in act], np.int32)
+        complete = np.asarray(
+            [self._rows[r]["rem"] <= num_steps for r in act], bool
+        )
+        reqs = [self._rows[r]["req"] for r in act]
+        rtemps = np.asarray([q.temperature for q in reqs], np.float32)
+        rtop = np.asarray([q.top_p for q in reqs], np.float32)
+        rkeys = np.stack([self._key_data(q) for q in reqs])
+        stag = tuple(self._rows[r]["stag"] for r in act)
+        embeds = tuple(self._rows[r]["embeds"] for r in act)
+        pos = tuple(self._rows[r]["pos"] for r in act)
+        fn = self._fused_window(num_steps, n_act, all_greedy)
+        (self.cache, stag_out, self.lengths, self.last_token, toks,
+         chunk_tok) = fn(
             self.params, self.cache, self.lengths, self.last_token,
-            active_mask, temps, top_ps, keys,
-            bufs["stag_k"], bufs["stag_v"], bufs["embeds"], bufs["pos"],
+            active_mask, temps, top_ps, keys, stag, embeds, pos,
             self._put(jnp.asarray(off)), self._put(jnp.asarray(rem)),
             self._put(jnp.asarray(plen)), self._put(jnp.asarray(slot)),
             self._put(jnp.asarray(complete)),
             self._put(jnp.asarray(rtemps)), self._put(jnp.asarray(rtop)),
             self._put(jnp.asarray(rkeys)),
         )
-        return toks, chunk_tok
+        for i, r in enumerate(act):
+            self._rows[r]["stag"] = stag_out[i]
+        return toks, chunk_tok, act
 
-    def _complete_rows(self, num_steps: int, chunk_tok) -> List[Request]:
+    def _complete_rows(self, num_steps: int, chunk_tok, act) -> List[Request]:
         """Advance the host view of every in-flight admission by the
         chunks the window just ran; rows whose prompt completed activate
-        their (already device-armed) slot, or finish instantly on
-        eos/max_new_tokens=1 exactly like unchunked admission."""
+        their (already device-armed) slot — and drop their staging
+        buffers — or finish instantly on eos/max_new_tokens=1 exactly
+        like unchunked admission."""
         finished: List[Request] = []
         done_rows = []
-        for r, rs in enumerate(self._rows):
-            if rs is None:
-                continue
+        for i, r in enumerate(act):
+            rs = self._rows[r]
             adv = min(rs["rem"], num_steps)
             rs["off"] += adv * self.prefill_chunk
             rs["rem"] -= adv
             if rs["rem"] == 0:
-                done_rows.append((r, rs))
+                done_rows.append((i, rs))
         if not done_rows:
             return finished
         if self.async_readback:
             # optimistic activation (the first token reads back one
             # scheduler entry later, like unchunked async admission)
             rows_meta = []
-            for r, rs in done_rows:
+            for i, rs in done_rows:
                 slot, req = rs["slot"], rs["req"]
-                self._rows[r] = None
+                self._rows[act[i]] = None
                 self._reserved[slot] = False
                 self.active[slot] = True
                 self.slot_req[slot] = req
                 self._set_slot_sampling(slot, req)
-                rows_meta.append((r, req, slot))
+                rows_meta.append((i, req, slot))
             self._pending.append(("chunk", chunk_tok, rows_meta, None))
         else:
             toks_host = np.asarray(chunk_tok)
-            for r, rs in done_rows:
+            for i, rs in done_rows:
                 slot, req = rs["slot"], rs["req"]
-                self._rows[r] = None
+                self._rows[act[i]] = None
                 self._reserved[slot] = False
-                req.tokens.append(int(toks_host[r]))
+                req.tokens.append(int(toks_host[i]))
                 self._activate_or_finish(slot, req)
             finished.extend(self._admit_finished)
             self._admit_finished = []
@@ -1414,9 +1417,14 @@ def sample_tokens(
 
     The step key is ``fold_in(request_key, lengths[b])`` — lengths
     increment every step, so each slot advances its own stream
-    independently of slot churn elsewhere in the pool.  (The top-k and
-    full paths draw from identically-distributed but differently-indexed
-    categoricals, so individual draws differ between the two.)"""
+    independently of slot churn elsewhere in the pool.  Both paths draw
+    the categorical over FULL-VOCAB masked logits (the top-k pass only
+    computes the nucleus threshold), so the draw is keyed by token id —
+    positionally stable, and bit-identical to the full-sort path
+    whenever the kept set matches (an earlier variant drew over the
+    compacted top-k array, where any f32 jitter that reorders near-equal
+    logits changes the sampled TOKEN — it broke the engine's
+    chunked-vs-unchunked exactness gates)."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if all_greedy:
         return greedy
@@ -1425,15 +1433,13 @@ def sample_tokens(
     V = logits.shape[-1]
     step_keys = jax.vmap(jax.random.fold_in)(keys, lengths)
     if topk and topk < V:
-        topv, topi = jax.lax.top_k(scaled, topk)  # sorted descending
+        topv, _ = jax.lax.top_k(scaled, topk)  # sorted descending
         z = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
         cumsum = jnp.cumsum(jnp.exp(topv - z), axis=-1)  # true cum. mass
         k = jnp.sum(cumsum < top_ps[:, None], axis=-1, keepdims=True)
         threshold = jnp.take_along_axis(topv, jnp.minimum(k, topk - 1), axis=-1)
-        nucleus = (topv >= threshold) | (top_ps[:, None] >= 1.0)
-        masked = jnp.where(nucleus, topv, -jnp.inf)
-        pick = jax.vmap(jax.random.categorical)(step_keys, masked)
-        sampled = jnp.take_along_axis(topi, pick[:, None], axis=-1)[:, 0]
+        masked = jnp.where(scaled >= threshold, scaled, -jnp.inf)
+        sampled = jax.vmap(jax.random.categorical)(step_keys, masked)
         return jnp.where(temps > 0, sampled.astype(jnp.int32), greedy)
     sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
     sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)

@@ -47,14 +47,20 @@ def test_topk_matches_full_sort_distribution():
     nucleus = _oracle_nucleus(logits, 0.9)
     assert len(nucleus) < 64  # the premise: nucleus fits in k
 
+    draws = {}
     for topk in (64, 0):
         s = _draws(logits, top_p=0.9, topk=topk, n=4000)
+        draws[topk] = s
         assert set(s.tolist()) <= set(nucleus), (
             f"topk={topk} sampled outside the oracle nucleus"
         )
         emp = {t: np.mean(s == t) for t in nucleus}
         tv = 0.5 * sum(abs(emp[t] - nucleus[t]) for t in nucleus)
         assert tv < 0.05, (topk, tv)
+    # the categorical draws over full-vocab masked logits on BOTH paths,
+    # so when the nucleus fits in k the tokens are bit-identical (the
+    # engine's cross-path exactness gates depend on this)
+    assert (draws[64] == draws[0]).all()
 
 
 def test_topk_truncates_flat_distribution():
