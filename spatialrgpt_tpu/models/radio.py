@@ -169,6 +169,7 @@ def init_radio_params(
         "cls_tokens": jax.random.normal(ks[1], (cfg.num_skip, H), dtype) * 0.02,
         "pos_embed": jax.random.normal(ks[2], (cfg.cpe_grid * cfg.cpe_grid, H), dtype)
         * 0.02,
+        "layers": layers,
         "norm": ln(),
     }
 
@@ -242,7 +243,7 @@ def radio_forward(
 ) -> Tuple[jax.Array, jax.Array]:
     """Full backbone forward: (summary (B, n_cls, H), features (B, T, H))."""
     x = _embed_tokens(params, cfg, pixels)
-    for lp in params["layers"] if "layers" in params else []:
+    for lp in params["layers"]:
         x = _radio_block(x, lp, cfg)
     if not cfg.skip_layer_norm:
         x = layer_norm(x, params["norm"], eps=cfg.layer_norm_eps)
