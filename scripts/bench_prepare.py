@@ -104,8 +104,7 @@ def main():
     if os.environ.get("SRGPT_PREP_SWEEP", "0") != "1":
         variants = []
     for bh, bq in variants:
-        os.environ["SRGPT_VIT_BLOCK_H"] = str(bh)
-        os.environ["SRGPT_VIT_BLOCK_Q"] = str(bq) if bq else ""
+        siglip.set_vit_knobs(block_h=bh, block_q=bq)
         f = jax.jit(
             lambda p, x: siglip.forward_features(p["vision"], x, cfg.vision)
         )
@@ -118,11 +117,10 @@ def main():
         except Exception as e:  # VMEM overflows etc.
             sweep.append({"block_h": bh, "block_q": bq, "error": str(e)[:120]})
             print(f"bh={bh} bq={bq}: FAIL {str(e)[:120]}", file=sys.stderr)
-    os.environ["SRGPT_VIT_BLOCK_H"] = "4"
-    os.environ["SRGPT_VIT_BLOCK_Q"] = ""
+    siglip.set_vit_knobs(block_h=4, block_q=None)
 
     # XLA-attention tower for reference
-    os.environ["SRGPT_VIT_XLA_ATTN"] = "1"
+    siglip.set_vit_knobs(xla_attn=True)
     try:
         t(
             "tower_2n_xla_attn_s",
@@ -131,7 +129,7 @@ def main():
             both,
         )
     finally:
-        del os.environ["SRGPT_VIT_XLA_ATTN"]
+        siglip.set_vit_knobs(xla_attn=False)
 
     out["vit_sweep"] = sweep
     print(json.dumps(out))

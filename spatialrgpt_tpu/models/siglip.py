@@ -27,6 +27,28 @@ from spatialrgpt_tpu.ops.layers import gelu_tanh, layer_norm, linear, qkv_proj
 
 Params = Dict
 
+# ViT kernel knobs, read ONCE at import (advisor r4: per-trace env reads
+# meant two jits compiled at different times in one process could run
+# different kernels for the same call site).  Sweeps (e.g.
+# scripts/bench_prepare.py) call set_vit_knobs() and re-jit.
+import os as _os
+
+VIT_KNOBS = {
+    "xla_attn": _os.environ.get("SRGPT_VIT_XLA_ATTN") == "1",
+    "block_h": int(_os.environ.get("SRGPT_VIT_BLOCK_H", 4)),
+    "block_q": int(_os.environ.get("SRGPT_VIT_BLOCK_Q") or 0) or None,
+    "pad_once": _os.environ.get("SRGPT_VIT_PAD_ONCE", "1") == "1",
+}
+
+
+def set_vit_knobs(**kw) -> None:
+    """Override ViT kernel knobs (callers must re-jit: knobs bind at
+    trace time)."""
+    unknown = set(kw) - set(VIT_KNOBS)
+    if unknown:
+        raise ValueError(f"unknown vit knobs: {unknown}")
+    VIT_KNOBS.update(kw)
+
 
 # ---------------------------------------------------------------------------
 # Init
@@ -104,15 +126,13 @@ def _attention(
     D = C // num_heads
     q, k, v = qkv_proj(x, p, num_heads, num_heads, D)
 
-    import os
-
     from spatialrgpt_tpu.ops.flash_attention import _on_tpu
 
     if (
         _on_tpu()
         and S >= 256
         and q.dtype == jnp.bfloat16
-        and os.environ.get("SRGPT_VIT_XLA_ATTN") != "1"
+        and not VIT_KNOBS["xla_attn"]
     ):
         # (bf16-only: the kernel's whole-row VMEM residency is sized for
         # 2-byte elements — f32 inputs exceed the scoped-vmem limit at
@@ -124,11 +144,9 @@ def _attention(
         # (scripts/bench_vit_attn.py).
         from spatialrgpt_tpu.ops.vit_attention import vit_attention
 
-        bh = int(os.environ.get("SRGPT_VIT_BLOCK_H", 4))
-        bq = os.environ.get("SRGPT_VIT_BLOCK_Q")
         out = vit_attention(
-            q, k, v, block_h=bh, block_q=int(bq) if bq else None,
-            valid_len=valid_len,
+            q, k, v, block_h=VIT_KNOBS["block_h"],
+            block_q=VIT_KNOBS["block_q"], valid_len=valid_len,
         )
     else:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -192,8 +210,6 @@ def forward_features(
     # Padded rows carry garbage through LN/MLP (per-row ops) and are
     # masked out of attention exactly as the kernel's internal padding
     # was, so the valid rows are bit-identical; sliced off at the end.
-    import os
-
     from spatialrgpt_tpu.ops.flash_attention import _on_tpu
 
     S = x.shape[1]
@@ -204,8 +220,8 @@ def forward_features(
         and s_pad != S
         and S >= 256
         and x.dtype == jnp.bfloat16
-        and os.environ.get("SRGPT_VIT_XLA_ATTN") != "1"
-        and os.environ.get("SRGPT_VIT_PAD_ONCE", "1") == "1"
+        and not VIT_KNOBS["xla_attn"]
+        and VIT_KNOBS["pad_once"]
     ):
         x = jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0)))
         valid_len = S

@@ -136,18 +136,24 @@ def encode_images(
     PCIe and the normalize fuses into the tower's first matmul.  Raw
     pixels must already be at the tower resolution (device_resize_uint8
     covers fixed-source-size resize)."""
+    # normalize-output dtype follows the tower's params (advisor r4: a
+    # hard-coded bfloat16 silently fed an fp32 model bf16 activations).
+    # The bias is read rather than the kernel: quantized towers replace
+    # "kernel" with an int8 "kernel_q" dict, but biases stay float.
+    pe = params["vision"]["patch_embed"]
+    act_dtype = pe["bias"].dtype if "bias" in pe else jnp.bfloat16
     if images.dtype == jnp.uint8:
         from spatialrgpt_tpu.data.device_preprocess import device_siglip_normalize
 
-        images = device_siglip_normalize(images, dtype=jnp.bfloat16)
+        images = device_siglip_normalize(images, dtype=act_dtype)
     if depths is not None and depths.dtype == jnp.uint8:
         # independent of the images' dtype: callers may mix a host-
         # preprocessed field with a raw one
         from spatialrgpt_tpu.data.device_preprocess import device_siglip_normalize
 
-        depths = device_siglip_normalize(depths, dtype=jnp.bfloat16)
+        depths = device_siglip_normalize(depths, dtype=act_dtype)
     if masks is not None and masks.dtype == jnp.uint8:
-        masks = masks.astype(jnp.bfloat16)  # mask processor: rescale 1.0
+        masks = masks.astype(act_dtype)  # mask processor: rescale 1.0
     mask_embeds = depth_embeds = None
     if cfg.enable_region:
         depth_feats = None

@@ -159,6 +159,11 @@ def qkv_proj(x: jax.Array, p, hq: int, hk: int, d: int):
     )
 
 
+import os as _os
+
+FUSED_LN = _os.environ.get("SRGPT_FUSED_LN", "0") == "1"
+
+
 def layer_norm(x: jax.Array, p, eps: float = 1e-6) -> jax.Array:
     """LayerNorm over the last axis with fp32 statistics.
 
@@ -167,15 +172,14 @@ def layer_norm(x: jax.Array, p, eps: float = 1e-6) -> jax.Array:
     shape (tower 0.735 -> 0.828 s, r4): the xplane profile's per-token
     reduce fusions overlap XLA's async MXU work, so replacing them with
     a serial kernel loses despite fewer HBM passes.  Opt-in via
-    SRGPT_FUSED_LN=1."""
-    import os
-
+    SRGPT_FUSED_LN=1 (read once at import — advisor r4: trace-time env
+    reads are nondeterministic across jit cache entries)."""
     if (
-        x.dtype == jnp.bfloat16
+        FUSED_LN
+        and x.dtype == jnp.bfloat16
         and x.ndim >= 2
         and x.shape[-1] % 128 == 0
         and x.size // x.shape[-1] >= 4096
-        and os.environ.get("SRGPT_FUSED_LN", "0") == "1"
     ):
         from spatialrgpt_tpu.ops.flash_attention import _on_tpu
 

@@ -153,10 +153,15 @@ def _vit_attn_nt(q, k, v, sm_scale, block_h, block_q, interpret, valid_len):
     )(q, k, v)
 
 
-def _xla_probs(q, k, sm_scale):
+def _xla_probs(q, k, sm_scale, valid_len=None):
     s = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * sm_scale
+    if valid_len and valid_len != k.shape[1]:
+        # pad-once callers: keys beyond the true length are masked with
+        # the same bias the forward kernel applies
+        cols = jnp.arange(k.shape[1])
+        s = jnp.where(cols[None, None, None, :] < valid_len, s, NEG_INF)
     return jax.nn.softmax(s, axis=-1)
 
 
@@ -168,13 +173,14 @@ def _vit_attn_fwd(q, k, v, sm_scale, block_h, block_q, interpret, valid_len):
 
 
 def _vit_attn_bwd(sm_scale, block_h, block_q, interpret, valid_len, res, do):
+    """XLA-recompute backward; supports the pad-once (valid_len) path:
+    padded keys carry zero probability, so their dk/dv come out exactly
+    zero and dq for padded rows is the gradient of a masked softmax —
+    consistent with the forward kernel's bias masking (advisor r4: the
+    earlier NotImplementedError crashed tune_vision_tower=True training
+    on TPU bf16, where pad-once is the default)."""
     q, k, v = res
-    if valid_len and valid_len != q.shape[1]:
-        raise NotImplementedError(
-            "vit_attention backward with a padded sequence (valid_len) is "
-            "not supported — unfreeze-tower training uses the unpadded path"
-        )
-    p = _xla_probs(q, k, sm_scale)  # (B, H, Sq, Sk) f32
+    p = _xla_probs(q, k, sm_scale, valid_len)  # (B, H, Sq, Sk) f32
     dof = do.astype(jnp.float32)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, dof).astype(v.dtype)
     dp = jnp.einsum("bqhd,bkhd->bhqk", dof, v.astype(jnp.float32))
@@ -226,7 +232,17 @@ def vit_attention(
         # 725 ms tower).  Numerics are bit-identical to the transposed
         # kernel (interpret-tested), but Mosaic currently REJECTS the
         # per-head slice of a (bq, 8, 72) block ("infer-vector-layout:
-        # unsupported shape cast"), so this path does not compile on
-        # real TPUs today — parked until the toolchain accepts it.
-        return _vit_attn_nt(q, k, v, sm_scale, 8, block_q, interpret, valid_len)
+        # unsupported shape cast"), so on real TPUs the gate falls back
+        # with a warning instead of dispatching into a compile error
+        # (advisor r4) — parked until the toolchain accepts it.
+        from spatialrgpt_tpu.ops.flash_attention import _on_tpu
+
+        if interpret or not _on_tpu():
+            return _vit_attn_nt(q, k, v, sm_scale, 8, block_q, interpret, valid_len)
+        import warnings
+
+        warnings.warn(
+            "SRGPT_VIT_NT=1: the layout-native ViT kernel does not compile "
+            "on current Mosaic; using the transposed kernel instead"
+        )
     return _vit_attn(q, k, v, sm_scale, block_h, block_q, interpret, valid_len)

@@ -115,3 +115,34 @@ def test_resolution_elevation_pos_embed_resize():
     # tower runs at the elevated resolution
     out = siglip.forward_features(new_params, jnp.zeros((1, 56, 56, 3)), new_cfg)
     assert out.shape == (1, 16, 32)
+
+
+def test_vit_attention_padded_backward_matches_unpadded():
+    """Pad-once differentiation (advisor r4 medium): gradients through the
+    padded kernel (valid_len < S) must match the unpadded kernel's on the
+    valid slice — tune_vision_tower training runs this path on TPU."""
+    import jax
+
+    from spatialrgpt_tpu.ops.vit_attention import vit_attention
+
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 100, 2, 16
+    Sp = 128
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+
+    def pad(t):
+        return jnp.pad(t, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+
+    def loss_unpadded(q, k, v):
+        return jnp.sum(vit_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_padded(q, k, v):
+        out = vit_attention(pad(q), pad(k), pad(v), interpret=True, valid_len=S)
+        return jnp.sum(out[:, :S] ** 2)
+
+    g0 = jax.grad(loss_unpadded, argnums=(0, 1, 2))(q, k, v)
+    g1 = jax.grad(loss_padded, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
