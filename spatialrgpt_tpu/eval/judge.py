@@ -57,22 +57,65 @@ _NUM_WORDS = {
     "eleven": "11", "twelve": "12",
 }
 _HALF = re.compile(r"\b(?:a\s+)?half\s+(?:a\s+)?(meter|metre|foot|inch)\b", re.IGNORECASE)
+# "two and a half meters" (after number-word substitution) -> "2.5 meters"
+_N_AND_HALF = re.compile(
+    r"(\d+)\s+and\s+(?:a\s+)?half\s+(meters?|metres?|feet|foot|inches|inch)",
+    re.IGNORECASE,
+)
 
 # qualitative predicate pairs: synonym/comparative sets per side
+# (vocabulary covers the r5-extended synth paraphrase banks:
+# towers/loftier for tall, dwarfs/eclipses for big, slimmer for thin)
 QUAL_PAIRS = [
-    (("tall", "taller"), ("short", "shorter"), "tall/short"),
+    (("tall", "taller", "towers", "loftier"), ("short", "shorter", "stubbier"), "tall/short"),
     (("left",), ("right",), "left/right"),
     (("below", "beneath", "under", "underneath", "lower"),
      ("above", "over", "higher"), "below/above"),
     (("behind", "back"), ("front",), "behind/front"),
-    (("big", "bigger", "large", "larger"), ("small", "smaller"), "big/small"),
+    (("big", "bigger", "large", "larger", "dwarfs", "eclipses"),
+     ("small", "smaller", "tinier"), "big/small"),
     (("wide", "wider", "broad", "broader"),
-     ("thin", "thinner", "narrow", "narrower"), "wide/thin"),
+     ("thin", "thinner", "narrow", "narrower", "slimmer", "skinnier"), "wide/thin"),
 ]
 
 # "not as tall", "isn't taller", "not wider" — the negated word counts
 # for the OPPOSITE side
 _NEGATED = re.compile(r"(?:not|n't|isn't|aren't)\s+(?:as\s+|the\s+)?(\w+)")
+
+# subject attribution: a side word whose clause subject is the SECOND
+# region ("[B] towers over [A]", "the latter is wider") asserts the
+# opposite about the first region — the paraphrase banks use both
+# subject orders (synth/prompts.py answer banks)
+_REGION_A = re.compile(
+    r"\[a\]|\[0\]|region \[?0\]?|the first (?:region|object|one)|the former"
+)
+_REGION_B = re.compile(
+    r"\[b\]|\[1\]|region \[?1\]?|the second (?:region|object|one)|the latter"
+)
+
+# polarity leaders (the synth banks' affirm/negate openers) — used when
+# side-word comparison is unavailable
+_AFFIRM_LEAD = (
+    "yes", "correct", "indeed", "affirmative", "that's right", "true",
+    "confirmed", "exactly", "quite so", "certainly", "right you are",
+    "it is —", "it is -", "sure", "absolutely",
+)
+_NEGATE_LEAD = (
+    "not quite", "not so", "no", "incorrect", "negative", "that's not",
+    "it isn't", "false", "quite the opposite", "hardly", "wrong",
+    "it's the reverse", "it is not",
+)
+
+
+def _polarity(text: str) -> Optional[int]:
+    t = text.strip().lower()
+    for w in _NEGATE_LEAD:
+        if t.startswith(w):
+            return 0
+    for w in _AFFIRM_LEAD:
+        if t.startswith(w):
+            return 1
+    return None
 
 QUANT_CATEGORY_NAMES = {
     "vertical_distance_data": "vertical_distance",
@@ -106,13 +149,16 @@ class LocalExtractor:
     qualitative matching."""
 
     def meters(self, text: str) -> Optional[float]:
-        text = _HALF.sub(lambda m: "0.5 " + m.group(1), text)
         text = re.sub(
             r"\b(" + "|".join(_NUM_WORDS) + r")\b",
             lambda m: _NUM_WORDS[m.group(1).lower()],
             text,
             flags=re.IGNORECASE,
         )
+        text = _N_AND_HALF.sub(
+            lambda m: f"{int(m.group(1)) + 0.5} {m.group(2)}", text
+        )
+        text = _HALF.sub(lambda m: "0.5 " + m.group(1), text)
         m = _NUM_UNIT.search(text)
         if not m:
             # bare number fallback: treat as meters
@@ -138,8 +184,10 @@ class LocalExtractor:
         """1 if the response agrees with the answer on the category's
         predicate pair (e.g. both say 'left'), else 0.  Synonyms and
         comparatives count for their side; a negated word ("not as
-        tall") counts for the opposite side; when the response carries
-        no side word, fall through to yes/no agreement."""
+        tall") counts for the opposite side; a side word whose clause
+        subject is the second region asserts the opposite about the
+        first; when either text carries no side word, fall through to
+        polarity-leader (yes/no-style) agreement."""
         a, r = answer.lower(), response.lower()
         cat = (category or "").lower()
         for ws1, ws2, _ in QUAL_PAIRS:
@@ -151,24 +199,39 @@ class LocalExtractor:
             if a_side is not None and r_side is not None:
                 return int(a_side == r_side)
             break
-        # yes/no fallback
-        for word in ("yes", "no"):
-            if a.strip().startswith(word):
-                return int(r.strip().startswith(word))
+        # polarity-leader fallback (yes/no + the paraphrase banks'
+        # affirm/negate openers: "Confirmed:", "It's the reverse —", ...)
+        a_pol, r_pol = _polarity(a), _polarity(r)
+        if a_pol is not None and r_pol is not None:
+            return int(a_pol == r_pol)
         return int(a.strip() == r.strip())
 
 
 def _side(text: str, ws1, ws2) -> Optional[bool]:
-    """Which predicate side does ``text`` assert?  True = ws1 side."""
-    # words under negation flip: "not as tall" asserts the short side
+    """Which predicate side does ``text`` assert about the FIRST region?
+    True = ws1 side.  Word negation ("not as tall") and second-region
+    subjects ("[B] towers over [A]") each flip the side."""
     negated = set(_NEGATED.findall(text))
+
+    def orient(w: str, start: int) -> int:
+        sign = -1 if w in negated else 1
+        prefix = text[:start]
+        la = lb = -1
+        for m in _REGION_A.finditer(prefix):
+            la = m.end()
+        for m in _REGION_B.finditer(prefix):
+            lb = m.end()
+        if lb > la:  # nearest region mention before the word is B
+            sign = -sign
+        return sign
+
     s1 = s2 = 0
     for w in ws1:
-        if re.search(rf"\b{w}\b", text):
-            s1 += -1 if w in negated else 1
+        for m in re.finditer(rf"\b{w}\b", text):
+            s1 += orient(w, m.start())
     for w in ws2:
-        if re.search(rf"\b{w}\b", text):
-            s2 += -1 if w in negated else 1
+        for m in re.finditer(rf"\b{w}\b", text):
+            s2 += orient(w, m.start())
     if s1 == s2:
         return None
     return s1 > s2

@@ -4,12 +4,20 @@ The reference scores SpatialRGPT-Bench with GPT-4 as the judge
 (llava/eval/gpt_eval*.py); our deterministic ``LocalExtractor`` stands in
 for it offline.  Two calibration surfaces:
 
-1. An authored gold set (``CALIBRATION_SET``) of phrasing variants per
-   category — comparatives, synonyms, number words, unit mixes, yes/no
-   framings — each with an unambiguous gold mark.  ``calibrate()``
-   reports per-category agreement of any extractor against gold;
-   ``tests/test_eval.py`` gates LocalExtractor at >= 0.95 overall so
-   extractor regressions are caught.
+1. An authored gold set (``CALIBRATION_SET``, 80 entries — r5 doubled it
+   with adversarial phrasings drawn from the round-4 paraphrase banks)
+   of phrasing variants per category — comparatives, synonyms, number
+   words, unit mixes, yes/no framings, subject-inverted clauses
+   ("[B] towers over [A]"), former/latter references, word negations,
+   and the banks' affirm/negate openers — each with an unambiguous gold
+   mark.  ``calibrate()`` reports per-category agreement of any
+   extractor against gold; ``tests/test_eval.py`` gates LocalExtractor
+   at >= 0.95 overall so extractor regressions are caught.  Coverage
+   note: the gate exercises every qualitative pair, all five
+   quantitative categories, and clock directions; it does NOT cover
+   free-form hedged prose with no side word or polarity opener (those
+   fall to exact-match and are the residual LocalExtractor-vs-GPT4 gap
+   that ``agreement_with_recorded`` exists to quantify online).
 2. ``agreement_with_recorded()`` diffs LocalExtractor marks against a
    jsonl of *recorded* GPT-4 judgments (producible online with
    GPT4Extractor; schema {"category", "question", "answer", "response",
@@ -73,6 +81,60 @@ CALIBRATION_SET: List[Dict] = [
     dict(category="direction", answer="3 o'clock", response="at roughly 3 o'clock", clock_gt=3, clock_gold=3),
     dict(category="direction", answer="10 o'clock", response="about 10 oclock from here", clock_gt=10, clock_gold=10),
     dict(category="direction", answer="12 o'clock", response="directly ahead, 12 o clock", clock_gt=12, clock_gold=12),
+    # ------------------------------------------------------------------
+    # r5 adversarial extension (VERDICT r4 next-#9): phrasings drawn from
+    # the round-4 paraphrase banks (synth/prompts.py) — subject-inverted
+    # clauses, affirm/negate openers, bank comparatives, number words.
+    # --- subject-inverted clauses ("[B] towers over [A]") ---
+    dict(category="tall_short", answer="[A] is taller than [B].", response="Right — [A] towers over [B] here.", gold=1),
+    dict(category="tall_short", answer="[A] is shorter than [B].", response="Wrong — [A] towers over [B] here.", gold=0),
+    dict(category="tall_short", answer="[A] is shorter than [B].", response="[B] towers over [A] here.", gold=1),
+    dict(category="tall_short", answer="[B] is taller than [A].", response="[A] is shorter than [B].", gold=1),
+    dict(category="big_small", answer="[A] is bigger than [B].", response="Indeed it is — [A] dwarfs [B] overall.", gold=1),
+    dict(category="big_small", answer="[A] is bigger than [B].", response="It's the reverse — [B] dwarfs [A] overall.", gold=0),
+    dict(category="big_small", answer="[A] is smaller than [B].", response="[B] dwarfs [A] overall.", gold=1),
+    dict(category="wide_thin", answer="Region [0] is wider than Region [1].", response="Region [1] is narrower than Region [0].", gold=1),
+    dict(category="wide_thin", answer="Region [0] is thinner than Region [1].", response="Region [1] is narrower than Region [0].", gold=0),
+    dict(category="below_above", answer="Region [0] is below Region [1].", response="Region [1] is above Region [0].", gold=1),
+    dict(category="left_right", answer="Region [0] is to the left of Region [1].", response="Region [1] is to the right of Region [0].", gold=1),
+    dict(category="left_right", answer="Region [0] is to the left of Region [1].", response="Region [1] is to the left of Region [0].", gold=0),
+    # --- "the former / the latter" ---
+    dict(category="big_small", answer="Between [A] and [B], the former is larger.", response="The first region is bigger.", gold=1),
+    dict(category="big_small", answer="Between [A] and [B], the latter is larger.", response="The first one is bigger.", gold=0),
+    dict(category="wide_thin", answer="Of the two, the latter is wider.", response="The second object is broader.", gold=1),
+    # --- negations ---
+    dict(category="tall_short", answer="[A] is taller than [B].", response="It is not as tall as [B].", gold=0),
+    dict(category="wide_thin", answer="Region [0] is wider than Region [1].", response="Region [0] isn't as wide as Region [1].", gold=0),
+    dict(category="big_small", answer="[A] is smaller than [B].", response="[A] is not as large as [B].", gold=1),
+    dict(category="below_above", answer="Region [0] is above Region [1].", response="It isn't higher than Region [1].", gold=0),
+    # --- affirm/negate bank openers, no side words in the response ---
+    dict(category="behind_front", answer="Yes, [A] is behind [B].", response="Confirmed: that is the case.", gold=1),
+    dict(category="behind_front", answer="Yes, [A] is behind [B].", response="Quite the opposite, actually.", gold=0),
+    dict(category="tall_short", answer="No, it is not.", response="Not quite — the situation is reversed.", gold=1),
+    dict(category="tall_short", answer="No, it is not.", response="Exactly so.", gold=0),
+    dict(category="big_small", answer="Yes.", response="Certainly — that's how they compare.", gold=1),
+    dict(category="big_small", answer="No.", response="It's the reverse.", gold=1),
+    dict(category="left_right", answer="Yes, on the left.", response="Affirmative — to the left.", gold=1),
+    # --- bank comparatives through new vocabulary ---
+    dict(category="wide_thin", answer="Region [0] is thinner than Region [1].", response="It looks slimmer than Region [1].", gold=1),
+    dict(category="wide_thin", answer="Region [0] is wider than Region [1].", response="The crate is skinnier than the box beside it.", gold=0),
+    dict(category="big_small", answer="Region [0] is smaller.", response="It is the tinier of the two.", gold=1),
+    dict(category="below_above", answer="Region [0] is below Region [1].", response="It hangs lower than Region [1].", gold=1),
+    dict(category="below_above", answer="Region [0] is above Region [1].", response="It sits higher up than Region [1].", gold=1),
+    # --- quantitative: number words / composite phrasings ---
+    dict(category="distance_data", answer="1.5 meters", response="one and a half meters", gt_m=1.5, gold_m=1.5),
+    dict(category="height_data", answer="2.5 m", response="two and a half meters tall", gt_m=2.5, gold_m=2.5),
+    dict(category="width_data", answer="3 feet", response="three feet across", gt_m=0.9144, gold_m=0.9144),
+    dict(category="distance_data", answer="40 cm", response="roughly 40 centimeters apart", gt_m=0.4, gold_m=0.4),
+    dict(category="distance_data", answer="6 inches", response='about 6"', gt_m=0.1524, gold_m=0.1524),
+    dict(category="height_data", answer="1.8 meters", response="just shy of 1.8 m", gt_m=1.8, gold_m=1.8),
+    dict(category="width_data", answer="75 cm", response="0.75 meters wide", gt_m=0.75, gold_m=0.75),
+    dict(category="vertical_distance_data", answer="half a meter", response="50 cm vertically", gt_m=0.5, gold_m=0.5),
+    dict(category="horizontal_distance_data", answer="2 meters", response="a couple of meters: 2 m", gt_m=2.0, gold_m=2.0),
+    # --- direction: bank phrasings ---
+    dict(category="direction", answer="9 o'clock", response="around the 9 o'clock direction", clock_gt=9, clock_gold=9),
+    dict(category="direction", answer="1 o'clock", response="near the 1 o'clock mark", clock_gt=1, clock_gold=1),
+    dict(category="direction", answer="6 o'clock", response="toward 6 o'clock", clock_gt=6, clock_gold=6),
 ]
 
 
