@@ -317,3 +317,49 @@ def test_stripe_gradients_match_global():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4, err_msg=f"d{n}"
         )
+
+
+def test_sp_serving_prefill_matches_single_device():
+    """SP serving (VERDICT r4 next-#7): generate with ring / ulysses /
+    hybrid prefill attention over an sp mesh axis must emit identical
+    greedy tokens to the plain single-device path.  SP applies to the
+    2k+-token prefill (where sequence scaling pays); decode stays on the
+    replicated cached path."""
+    import __graft_entry__ as graft
+    from spatialrgpt_tpu.models import vlm
+    from spatialrgpt_tpu.parallel import mesh as mesh_lib
+    from spatialrgpt_tpu.parallel.context import SPContext, set_sp_context
+    from spatialrgpt_tpu.parallel.mesh import make_hybrid_mesh
+    from spatialrgpt_tpu.serving.generate import generate
+
+    cfg = graft._tiny_cfg()
+    params = vlm.init_params(jax.random.PRNGKey(2), cfg)
+    batch = graft._tiny_batch(cfg, B=2, S=64)
+    plens = jnp.asarray(np.asarray(batch.segment_ids).sum(axis=1), jnp.int32)
+
+    kw = dict(max_new_tokens=4, temperature=0.0, eos_token_id=-1)
+    ref = generate(params, cfg, batch, plens, **kw)
+
+    try:
+        # ring over sp=4
+        mesh = mesh_lib.make_mesh(dp=1, fsdp=1, sp=4)
+        set_sp_context(SPContext(mesh=mesh, ring_axis="sp"))
+        with mesh:
+            got = generate(params, cfg, batch, plens, attn_impl="ring", **kw)
+        np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+        # ulysses over sp=2 (divides the 2 kv heads)
+        mesh = mesh_lib.make_mesh(dp=1, fsdp=1, sp=2)
+        set_sp_context(SPContext(mesh=mesh, ulysses_axis="sp"))
+        with mesh:
+            got = generate(params, cfg, batch, plens, attn_impl="ulysses", **kw)
+        np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+        # hybrid ulysses x ring
+        hmesh = make_hybrid_mesh(dp=1, fsdp=1, sp_ulysses=2, sp_ring=2)
+        set_sp_context(SPContext(mesh=hmesh, ulysses_axis="sp_u", ring_axis="sp_r"))
+        with hmesh:
+            got = generate(params, cfg, batch, plens, attn_impl="hybrid", **kw)
+        np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+    finally:
+        set_sp_context(None)
