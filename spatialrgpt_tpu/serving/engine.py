@@ -117,7 +117,11 @@ class ServingEngine:
             self._kv_sharding = NamedSharding(
                 mesh, PartitionSpec(None, None, "tp", None)
             )
-            self._ks_sharding = NamedSharding(mesh, PartitionSpec(None, None, "tp"))
+            # head-major int8 cache (B, Hk, C, D): kv-head axis is dim 1
+            self._kvh_sharding = NamedSharding(
+                mesh, PartitionSpec(None, "tp", None, None)
+            )
+            self._ksh_sharding = NamedSharding(mesh, PartitionSpec(None, "tp", None))
             self._kv3_sharding = NamedSharding(
                 mesh, PartitionSpec(None, "tp", None)
             )
@@ -160,17 +164,23 @@ class ServingEngine:
         self._prefix_ids = itertools.count()
 
         if kv_quant:
+            # HEAD-MAJOR layout (B, Hk, C, D): the token-major int8 cache
+            # padded its (Hk, D) minor dims to the 32-sublane int8 tile —
+            # the r5 decode profile showed ~10 ms/step of strided
+            # slice-copies at Hk=20, C=2112 (60% DMA waste).  (C, D)
+            # minor dims tile densely; this is also the layout the
+            # Pallas decode kernel (ops/decode_attention.py) expects.
             L = cfg.llm.num_hidden_layers
             Hk, D = cfg.llm.num_key_value_heads, cfg.llm.head_dim
-            shape_q = (self.B, self.capacity, Hk, D)
-            shape_s = (self.B, self.capacity, Hk)
+            shape_q = (self.B, Hk, self.capacity, D)
+            shape_s = (self.B, Hk, self.capacity)
             from spatialrgpt_tpu.serving.generate import QuantKVCache
 
             self.cache = QuantKVCache(
-                tuple(self._kv(jnp.zeros(shape_q, jnp.int8)) for _ in range(L)),
-                tuple(self._ks(jnp.ones(shape_s, jnp.float32)) for _ in range(L)),
-                tuple(self._kv(jnp.zeros(shape_q, jnp.int8)) for _ in range(L)),
-                tuple(self._ks(jnp.ones(shape_s, jnp.float32)) for _ in range(L)),
+                tuple(self._kvh(jnp.zeros(shape_q, jnp.int8)) for _ in range(L)),
+                tuple(self._ksh(jnp.ones(shape_s, jnp.float32)) for _ in range(L)),
+                tuple(self._kvh(jnp.zeros(shape_q, jnp.int8)) for _ in range(L)),
+                tuple(self._ksh(jnp.ones(shape_s, jnp.float32)) for _ in range(L)),
                 self._put(jnp.asarray(0, jnp.int32)),
             )
         else:
@@ -222,6 +232,13 @@ class ServingEngine:
     def _kv3(self, x):
         # per-row staging buffers: (Sp, Hk, D), kv-head axis tp-sharded
         return x if self.mesh is None else jax.device_put(x, self._kv3_sharding)
+
+    def _kvh(self, x):
+        # head-major quant cache (B, Hk, C, D)
+        return x if self.mesh is None else jax.device_put(x, self._kvh_sharding)
+
+    def _ksh(self, x):
+        return x if self.mesh is None else jax.device_put(x, self._ksh_sharding)
 
     def _ks(self, x):
         return x if self.mesh is None else jax.device_put(x, self._ks_sharding)
@@ -277,14 +294,23 @@ class ServingEngine:
                     row = jnp.pad(new[i : i + 1], pad_widths).astype(c.dtype)
                     return jax.lax.dynamic_update_slice_in_dim(c, row, slot, axis=0)
 
+                def put_h(c, new, i, slot):
+                    # token-major prefill slice -> head-major cache row
+                    row = jnp.swapaxes(new[i : i + 1], 1, 2)  # (1, Hk, S[, D])
+                    pad = ((0, 0), (0, 0), (0, self.capacity - row.shape[2])) + (
+                        (0, 0),
+                    ) * (row.ndim - 3)
+                    row = jnp.pad(row, pad).astype(c.dtype)
+                    return jax.lax.dynamic_update_slice_in_dim(c, row, slot, axis=0)
+
                 for i in range(n):
                     slot = slots[i]
                     if kv_quant:
                         cache = QuantKVCache(
-                            tuple(put(c, a, i, slot) for c, (a, _) in zip(cache.k_q, kv.k)),
-                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.k_s, kv.k)),
-                            tuple(put(c, a, i, slot) for c, (a, _) in zip(cache.v_q, kv.v)),
-                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.v_s, kv.v)),
+                            tuple(put_h(c, a, i, slot) for c, (a, _) in zip(cache.k_q, kv.k)),
+                            tuple(put_h(c, s, i, slot) for c, (_, s) in zip(cache.k_s, kv.k)),
+                            tuple(put_h(c, a, i, slot) for c, (a, _) in zip(cache.v_q, kv.v)),
+                            tuple(put_h(c, s, i, slot) for c, (_, s) in zip(cache.v_s, kv.v)),
                             cache.length,
                         )
                     else:
@@ -370,11 +396,14 @@ class ServingEngine:
             if kv_quant:
                 from spatialrgpt_tpu.ops.quant import quantize_kv
 
+                def qh(t, j):  # quantize + token-major -> head-major
+                    return jnp.swapaxes(quantize_kv(t)[j], 1, 2)
+
                 cache = QuantKVCache(
-                    tuple(put(c, quantize_kv(kk)[0]) for c, kk in zip(cache.k_q, ks)),
-                    tuple(put(c, quantize_kv(kk)[1]) for c, kk in zip(cache.k_s, ks)),
-                    tuple(put(c, quantize_kv(vv)[0]) for c, vv in zip(cache.v_q, vs)),
-                    tuple(put(c, quantize_kv(vv)[1]) for c, vv in zip(cache.v_s, vs)),
+                    tuple(put(c, qh(kk, 0)) for c, kk in zip(cache.k_q, ks)),
+                    tuple(put(c, qh(kk, 1)) for c, kk in zip(cache.k_s, ks)),
+                    tuple(put(c, qh(vv, 0)) for c, vv in zip(cache.v_q, vs)),
+                    tuple(put(c, qh(vv, 1)) for c, vv in zip(cache.v_s, vs)),
                     cache.length,
                 )
             else:
@@ -384,35 +413,6 @@ class ServingEngine:
                     cache.length,
                 )
             lengths = lengths.at[slot].set(total_len)
-            last_token = last_token.at[slot].set(tok)
-            return cache, lengths, last_token
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def insert(cache, kv, lengths, last_token, slot, prompt_len, tok):
-            def put(c, new):
-                pad_widths = ((0, 0), (0, self.capacity - self.S)) + ((0, 0),) * (
-                    new.ndim - 2
-                )
-                return jax.lax.dynamic_update_slice_in_dim(
-                    c, jnp.pad(new, pad_widths).astype(c.dtype), slot, axis=0
-                )
-
-            if kv_quant:
-                # collected kv entries are (int8 payload, f32 scale) pairs
-                cache = QuantKVCache(
-                    tuple(put(c, a) for c, (a, _) in zip(cache.k_q, kv.k)),
-                    tuple(put(c, s) for c, (_, s) in zip(cache.k_s, kv.k)),
-                    tuple(put(c, a) for c, (a, _) in zip(cache.v_q, kv.v)),
-                    tuple(put(c, s) for c, (_, s) in zip(cache.v_s, kv.v)),
-                    cache.length,
-                )
-            else:
-                cache = llama.KVCache(
-                    tuple(put(c, k) for c, k in zip(cache.k, kv.k)),
-                    tuple(put(c, v) for c, v in zip(cache.v, kv.v)),
-                    cache.length,
-                )
-            lengths = lengths.at[slot].set(prompt_len)
             last_token = last_token.at[slot].set(tok)
             return cache, lengths, last_token
 
@@ -612,16 +612,16 @@ class ServingEngine:
 
                     nk_q, nk_s = quantize_kv(k_d)
                     nv_q, nv_s = quantize_kv(v_d)
-                    ck_q = cache.k_q[li].at[bidx, dpos_w].set(
+                    ck_q = cache.k_q[li].at[bidx, :, dpos_w].set(
                         nk_q[:, 0], mode="drop", unique_indices=True
                     )
-                    ck_s = cache.k_s[li].at[bidx, dpos_w].set(
+                    ck_s = cache.k_s[li].at[bidx, :, dpos_w].set(
                         nk_s[:, 0], mode="drop", unique_indices=True
                     )
-                    cv_q = cache.v_q[li].at[bidx, dpos_w].set(
+                    cv_q = cache.v_q[li].at[bidx, :, dpos_w].set(
                         nv_q[:, 0], mode="drop", unique_indices=True
                     )
-                    cv_s = cache.v_s[li].at[bidx, dpos_w].set(
+                    cv_s = cache.v_s[li].at[bidx, :, dpos_w].set(
                         nv_s[:, 0], mode="drop", unique_indices=True
                     )
                     attn_d = _slot_attend_quant(q_d, ck_q, ck_s, cv_q, cv_s, valid, D)
@@ -775,27 +775,36 @@ class ServingEngine:
                     if kv_quant:
                         from spatialrgpt_tpu.ops.quant import quantize_kv
 
+                        def pad_cap_h(t):
+                            # staged (W, Hk[, D]) -> head-major (Hk, capacity[, D])
+                            t = jnp.swapaxes(t, 0, 1)
+                            return jnp.pad(
+                                t,
+                                ((0, 0), (0, self.capacity - W))
+                                + ((0, 0),) * (t.ndim - 2),
+                            )
+
                         kq = [quantize_kv(sk[:W]) for sk in sk_r]
                         vq = [quantize_kv(sv[:W]) for sv in sv_r]
                         cache = QuantKVCache(
                             tuple(
                                 ck.at[okslot].set(
-                                    pad_cap(a).astype(ck.dtype), mode="drop"
+                                    pad_cap_h(a).astype(ck.dtype), mode="drop"
                                 )
                                 for ck, (a, _) in zip(cache.k_q, kq)
                             ),
                             tuple(
-                                cs.at[okslot].set(pad_cap(s), mode="drop")
+                                cs.at[okslot].set(pad_cap_h(s), mode="drop")
                                 for cs, (_, s) in zip(cache.k_s, kq)
                             ),
                             tuple(
                                 cv.at[okslot].set(
-                                    pad_cap(a).astype(cv.dtype), mode="drop"
+                                    pad_cap_h(a).astype(cv.dtype), mode="drop"
                                 )
                                 for cv, (a, _) in zip(cache.v_q, vq)
                             ),
                             tuple(
-                                cs.at[okslot].set(pad_cap(s), mode="drop")
+                                cs.at[okslot].set(pad_cap_h(s), mode="drop")
                                 for cs, (_, s) in zip(cache.v_s, vq)
                             ),
                             cache.length,
@@ -835,7 +844,6 @@ class ServingEngine:
         self._prefill_batch = prefill_batch
         self._prefill_prefix = prefill_prefix
         self._prefill_with_prefix = prefill_with_prefix
-        self._insert = insert
         self._insert_full = insert_full
         self._decode = decode
         self._decode_multi = decode_multi
@@ -1505,35 +1513,38 @@ def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
 def _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D):
     """Attend one post-RoPE query token per slot against an int8 cache
     row; scales fold into the score/prob tensors so the cache is only
-    ever read as int8."""
+    ever read as int8.  Cache layout is HEAD-MAJOR (B, Hk, C, D) /
+    (B, Hk, C): dense (C, D) int8 tiles — the token-major layout padded
+    its (Hk, D) minor dims to the 32-sublane tile and cost ~10 ms/step
+    of strided slice-copies at the long-prompt shape (r5 profile)."""
     from spatialrgpt_tpu.ops.attention import NEG_INF
 
     B, S, Hq = q.shape[0], q.shape[1], q.shape[2]
-    Hk = ck_q.shape[2]
+    Hk = ck_q.shape[1]
     if Hq == Hk:
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, ck_q.astype(q.dtype), preferred_element_type=jnp.float32
+            "bqhd,bhkd->bhqk", q, ck_q.astype(q.dtype), preferred_element_type=jnp.float32
         )
-        scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, :] * (D**-0.5)
+        scores = scores * ck_s[:, :, None, :] * (D**-0.5)
         scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, :]).astype(q.dtype)
+        probs = (probs * cv_s[:, :, None, :]).astype(q.dtype)
         out = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, cv_q.astype(q.dtype)
+            "bhqk,bhkd->bqhd", probs, cv_q.astype(q.dtype)
         ).reshape(B, S, Hq * D)
     else:
         G = Hq // Hk
         qg = q.reshape(B, S, Hk, G, D)
         scores = jnp.einsum(
-            "bqhgd,bkhd->bhgqk", qg, ck_q.astype(q.dtype),
+            "bqhgd,bhkd->bhgqk", qg, ck_q.astype(q.dtype),
             preferred_element_type=jnp.float32,
         )
-        scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, None, :] * (D**-0.5)
+        scores = scores * ck_s[:, :, None, None, :] * (D**-0.5)
         scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, None, :]).astype(q.dtype)
+        probs = (probs * cv_s[:, :, None, None, :]).astype(q.dtype)
         out = jnp.einsum(
-            "bhgqk,bkhd->bqhgd", probs, cv_q.astype(q.dtype)
+            "bhgqk,bhkd->bqhgd", probs, cv_q.astype(q.dtype)
         ).reshape(B, S, Hq * D)
     return out
 
@@ -1554,12 +1565,14 @@ def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid):
     nk_q, nk_s = quantize_kv(k)
     nv_q, nv_s = quantize_kv(v)
     # one-row-per-slot scatter (see _per_slot_attention): rewriting the
-    # whole cache via jnp.where cost 3x the decode's HBM stream
+    # whole cache via jnp.where cost 3x the decode's HBM stream.
+    # Head-major layout: write (b, :, lengths[b]) — numpy advanced-index
+    # semantics place the batch dim first, so updates are (B, Hk[, D])
     bidx = jnp.arange(B)
-    ck_q = k_q.at[bidx, lengths].set(nk_q[:, 0], unique_indices=True)
-    ck_s = k_s.at[bidx, lengths].set(nk_s[:, 0], unique_indices=True)
-    cv_q = v_q.at[bidx, lengths].set(nv_q[:, 0], unique_indices=True)
-    cv_s = v_s.at[bidx, lengths].set(nv_s[:, 0], unique_indices=True)
+    ck_q = k_q.at[bidx, :, lengths].set(nk_q[:, 0], unique_indices=True)
+    ck_s = k_s.at[bidx, :, lengths].set(nk_s[:, 0], unique_indices=True)
+    cv_q = v_q.at[bidx, :, lengths].set(nv_q[:, 0], unique_indices=True)
+    cv_s = v_s.at[bidx, :, lengths].set(nv_s[:, 0], unique_indices=True)
 
     out = _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D)
     return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)
