@@ -28,6 +28,13 @@ import numpy as np
 
 from spatialrgpt_tpu.config import SpatialRGPTConfig
 from spatialrgpt_tpu.models import llama, vlm
+from spatialrgpt_tpu.ops.flash_attention import _on_tpu
+
+# capacity threshold for the fused int8 decode kernel (0 disables; read
+# once at import — see sample_tokens/siglip knob convention)
+import os as _os
+
+DECODE_KERNEL_MIN_C = int(_os.environ.get("SRGPT_DECODE_KERNEL_MIN_C", "1024"))
 
 
 @dataclass
@@ -1514,13 +1521,27 @@ def _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D):
     """Attend one post-RoPE query token per slot against an int8 cache
     row; scales fold into the score/prob tensors so the cache is only
     ever read as int8.  Cache layout is HEAD-MAJOR (B, Hk, C, D) /
-    (B, Hk, C): dense (C, D) int8 tiles — the token-major layout padded
-    its (Hk, D) minor dims to the 32-sublane tile and cost ~10 ms/step
-    of strided slice-copies at the long-prompt shape (r5 profile)."""
+    (B, Hk, C) — what the Pallas flash-decode kernel consumes.
+
+    On TPU at capacity >= SRGPT_DECODE_KERNEL_MIN_C (default 1024) the
+    attention runs the fused int8 kernel (ops/decode_attention.py): the
+    r5 long-prompt profile showed the XLA convert+dot path staging the
+    whole cache through scratch DMA slices (~10 ms/step at 12 slots x
+    2112 capacity against a ~5 ms read floor); the kernel streams int8
+    into VMEM once and dequantizes in registers.  Short capacities keep
+    the XLA path (measured better there — it overlaps the weight
+    streams; BASELINE.md r3)."""
     from spatialrgpt_tpu.ops.attention import NEG_INF
 
     B, S, Hq = q.shape[0], q.shape[1], q.shape[2]
     Hk = ck_q.shape[1]
+    C = ck_q.shape[2]
+    if S == 1 and DECODE_KERNEL_MIN_C and C >= DECODE_KERNEL_MIN_C and _on_tpu():
+        from spatialrgpt_tpu.ops.decode_attention import decode_attention_int8
+
+        bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+        out = decode_attention_int8(q[:, 0], ck_q, ck_s, cv_q, cv_s, bias)
+        return out.reshape(B, 1, Hq * D)
     if Hq == Hk:
         scores = jnp.einsum(
             "bqhd,bhkd->bhqk", q, ck_q.astype(q.dtype), preferred_element_type=jnp.float32

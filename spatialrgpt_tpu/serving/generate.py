@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from spatialrgpt_tpu.config import SpatialRGPTConfig
 from spatialrgpt_tpu.models import llama, vlm
+from spatialrgpt_tpu.ops.flash_attention import _on_tpu
 
 
 class GenerateResult(NamedTuple):
@@ -137,12 +138,21 @@ def generate(
         return jnp.pad(t, ((0, 0), (0, pad_tail)) + ((0, 0),) * (t.ndim - 2))
 
     if kv_quant:
-        # kv entries are (int8, f32 scale) pairs (quantized at collection)
+        # kv entries are (int8, f32 scale) pairs (quantized at collection).
+        # HEAD-MAJOR cache layout (B, Hk, C, D) / (B, Hk, C): dense (C, D)
+        # int8 tiles — token-major padded (Hk, D) minors to the 32-sublane
+        # int8 tile and decoded through strided slice-copies (r5 profile)
+        def _pad_h(t):
+            t = jnp.swapaxes(t, 1, 2)
+            return jnp.pad(
+                t, ((0, 0), (0, 0), (0, pad_tail)) + ((0, 0),) * (t.ndim - 3)
+            )
+
         cache = QuantKVCache(
-            tuple(_pad(a) for a, _ in kv.k),
-            tuple(_pad(s) for _, s in kv.k),
-            tuple(_pad(a) for a, _ in kv.v),
-            tuple(_pad(s) for _, s in kv.v),
+            tuple(_pad_h(a) for a, _ in kv.k),
+            tuple(_pad_h(s) for _, s in kv.k),
+            tuple(_pad_h(a) for a, _ in kv.v),
+            tuple(_pad_h(s) for _, s in kv.v),
             jnp.asarray(S, jnp.int32),
         )
     else:
@@ -223,7 +233,8 @@ def _decode_step(params, cfg, x, pos, cache, prompt_lengths, prompt_pad_len, ste
     B = x.shape[0]
     h = x
     quant = isinstance(cache, QuantKVCache)
-    capacity = (cache.k_q if quant else cache.k)[0].shape[1]
+    # quant cache is head-major (B, Hk, C, D); bf16 is token-major (B, C, Hk, D)
+    capacity = cache.k_q[0].shape[2] if quant else cache.k[0].shape[1]
     slot = prompt_pad_len + step_idx
     slot_ids = jnp.arange(capacity)
     # (B, C) validity: prompt region limited per row; generated region by step
@@ -315,7 +326,7 @@ def _cached_attention(x, p, cfg, pos, cache, layer_idx, slot, valid):
 
 def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl="xla"):
     """Decode attention against an int8 KV cache (QuantKVCache, one layer,
-    token-major (B, C, Hk, D)).
+    HEAD-MAJOR (B, Hk, C, D) — dense (C, D) int8 tiles, r5 layout fix).
 
     The per-position scales are folded into the score/prob tensors (small,
     (B,H,1,C)) rather than dequantizing the cache into bf16 — the cache is
@@ -340,22 +351,39 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
     unq = unpack_kv4 if packed4 else (lambda t: t)
     nk_q, nk_s = qfn(k)
     nv_q, nv_s = qfn(v)
-    ck_q = jax.lax.dynamic_update_slice_in_dim(k_q, nk_q, slot, axis=1)
-    ck_s = jax.lax.dynamic_update_slice_in_dim(k_s, nk_s, slot, axis=1)
-    cv_q = jax.lax.dynamic_update_slice_in_dim(v_q, nv_q, slot, axis=1)
-    cv_s = jax.lax.dynamic_update_slice_in_dim(v_s, nv_s, slot, axis=1)
+    # head-major write: new token's (B, 1, Hk[, D]) -> (B, Hk, 1[, D])
+    ck_q = jax.lax.dynamic_update_slice_in_dim(k_q, jnp.swapaxes(nk_q, 1, 2), slot, axis=2)
+    ck_s = jax.lax.dynamic_update_slice_in_dim(k_s, jnp.swapaxes(nk_s, 1, 2), slot, axis=2)
+    cv_q = jax.lax.dynamic_update_slice_in_dim(v_q, jnp.swapaxes(nv_q, 1, 2), slot, axis=2)
+    cv_s = jax.lax.dynamic_update_slice_in_dim(v_s, jnp.swapaxes(nv_s, 1, 2), slot, axis=2)
+
+    # long-capacity TPU decode: the fused int8 kernel (see
+    # serving/engine.py::_slot_attend_quant for the r5 profile rationale)
+    from spatialrgpt_tpu.serving.engine import DECODE_KERNEL_MIN_C
+
+    C = ck_q.shape[2]
+    if (
+        S == 1 and not packed4 and DECODE_KERNEL_MIN_C
+        and C >= DECODE_KERNEL_MIN_C and _on_tpu()
+    ):
+        from spatialrgpt_tpu.ops.decode_attention import decode_attention_int8
+
+        bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+        out = decode_attention_int8(q[:, 0], ck_q, ck_s, cv_q, cv_s, bias)
+        out = out.reshape(B, S, Hq * D)
+        return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)
 
     if Hq == Hk:
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, unq(ck_q).astype(q.dtype), preferred_element_type=jnp.float32
+            "bqhd,bhkd->bhqk", q, unq(ck_q).astype(q.dtype), preferred_element_type=jnp.float32
         )
-        scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, :] * (D**-0.5)
+        scores = scores * ck_s[:, :, None, :] * (D**-0.5)
         scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
         # fold V scales into the (small) probs tensor, keep the cache read int8
-        probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, :]).astype(q.dtype)
+        probs = (probs * cv_s[:, :, None, :]).astype(q.dtype)
         out = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, unq(cv_q).astype(q.dtype)
+            "bhqk,bhkd->bqhd", probs, unq(cv_q).astype(q.dtype)
         ).reshape(B, S, Hq * D)
     else:
         # GQA: grouped einsums — the quantized cache streams at Hk heads
@@ -363,14 +391,14 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
         G = Hq // Hk
         qg = q.reshape(B, S, Hk, G, D)
         scores = jnp.einsum(
-            "bqhgd,bkhd->bhgqk", qg, unq(ck_q).astype(q.dtype),
+            "bqhgd,bhkd->bhgqk", qg, unq(ck_q).astype(q.dtype),
             preferred_element_type=jnp.float32,
         )
-        scores = scores * ck_s.transpose(0, 2, 1)[:, :, None, None, :] * (D**-0.5)
+        scores = scores * ck_s[:, :, None, None, :] * (D**-0.5)
         scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = (probs * cv_s.transpose(0, 2, 1)[:, :, None, None, :]).astype(q.dtype)
+        probs = (probs * cv_s[:, :, None, None, :]).astype(q.dtype)
         out = jnp.einsum(
-            "bhgqk,bkhd->bqhgd", probs, unq(cv_q).astype(q.dtype)
+            "bhgqk,bhkd->bqhgd", probs, unq(cv_q).astype(q.dtype)
         ).reshape(B, S, Hq * D)
     return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)
