@@ -163,6 +163,20 @@ class ServingEngine:
         self.S = prompt_bucket
         self.P = prefix_bucket
         self.capacity = prefix_bucket + prompt_bucket + max_new_tokens
+        if (
+            kv_quant and DECODE_KERNEL_MIN_C
+            and self.capacity >= DECODE_KERNEL_MIN_C and _on_tpu()
+        ):
+            # long-capacity decode runs the fused int8 kernel; round the
+            # cache capacity up (64-step) to a size with an aligned,
+            # well-sized C block (e.g. 2112 -> 2304, block 768) — a few %
+            # more cache beats falling back to the XLA convert+dot path,
+            # which the r5 profile measured at ~4x the read floor
+            from spatialrgpt_tpu.ops.decode_attention import round_capacity
+
+            self.capacity = round_capacity(
+                self.capacity, cfg.llm.num_key_value_heads, cfg.llm.head_dim
+            )
         self.max_new = max_new_tokens
         self.attn_impl = attn_impl
         self.dtype = dtype
@@ -1533,11 +1547,17 @@ def _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D):
     streams; BASELINE.md r3)."""
     from spatialrgpt_tpu.ops.attention import NEG_INF
 
+    from spatialrgpt_tpu.ops.decode_attention import (
+        decode_attention_int8, kernel_supported,
+    )
+
     B, S, Hq = q.shape[0], q.shape[1], q.shape[2]
     Hk = ck_q.shape[1]
     C = ck_q.shape[2]
-    if S == 1 and DECODE_KERNEL_MIN_C and C >= DECODE_KERNEL_MIN_C and _on_tpu():
-        from spatialrgpt_tpu.ops.decode_attention import decode_attention_int8
+    if (
+        S == 1 and DECODE_KERNEL_MIN_C and C >= DECODE_KERNEL_MIN_C
+        and _on_tpu() and kernel_supported(C, Hk, D)
+    ):
 
         bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
         out = decode_attention_int8(q[:, 0], ck_q, ck_s, cv_q, cv_s, bias)

@@ -361,12 +361,16 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
     # serving/engine.py::_slot_attend_quant for the r5 profile rationale)
     from spatialrgpt_tpu.serving.engine import DECODE_KERNEL_MIN_C
 
+    from spatialrgpt_tpu.ops.decode_attention import (
+        decode_attention_int8, kernel_supported,
+    )
+
     C = ck_q.shape[2]
     if (
         S == 1 and not packed4 and DECODE_KERNEL_MIN_C
         and C >= DECODE_KERNEL_MIN_C and _on_tpu()
+        and kernel_supported(C, Hk, D)
     ):
-        from spatialrgpt_tpu.ops.decode_attention import decode_attention_int8
 
         bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
         out = decode_attention_int8(q[:, 0], ck_q, ck_s, cv_q, cv_s, bias)

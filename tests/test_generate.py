@@ -167,6 +167,16 @@ def test_pallas_decode_kernel_matches_xla():
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
+    # cache-length grid blocking with online-softmax carry (the
+    # VMEM-budget path at long capacity: the whole-cache block OOM'd
+    # scoped VMEM at Hk=20 x C=2112) must agree with the single-block
+    # kernel to rounding.
+    for bc in (8, C // 2):
+        blk = decode_attention_int8(q, kq, ks, vq, vs, bias, interpret=True, block_c=bc)
+        np.testing.assert_allclose(
+            np.asarray(blk), np.asarray(got), atol=2e-6, rtol=1e-5
+        )
+
 
 def test_kv_quant_attention_numerics():
     """Quantized cached attention ~= exact attention on random K/V."""
