@@ -63,6 +63,29 @@ def _block_sizes(s_q: int, s_k: int, bq: Optional[int], bk: Optional[int]):
     return bq, bk
 
 
+def _interior_predicate(qi, ki, qseg_ref, kseg_ref, *, causal, block_q, block_k, window):
+    """True when the (qi, ki) tile's mask is all-true, so the body can
+    skip mask construction entirely (the "split diagonal vs interior"
+    causal-flash trick, VERDICT r4 #8).  Returns the literal ``True``
+    when no mask ever applies (statically maskless)."""
+    interior = True
+    if causal:
+        # every row >= every col: min(rows) - max(cols) >= 0
+        interior = (qi * block_q) >= (ki * block_k + block_k - 1)
+        if window:
+            # every (row - col) < window: max is at (last row, first col)
+            interior = interior & (
+                (qi * block_q + block_q - 1) - (ki * block_k) < window
+            )
+    if qseg_ref is not None:
+        qs_blk = qseg_ref[0]
+        ks_blk = kseg_ref[0]
+        q_lo, q_hi = jnp.min(qs_blk), jnp.max(qs_blk)
+        uniform = (q_lo == q_hi) & (q_lo == jnp.min(ks_blk)) & (q_lo == jnp.max(ks_blk))
+        interior = uniform & (q_lo > 0) if interior is True else interior & uniform & (q_lo > 0)
+    return interior
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -121,10 +144,9 @@ def _fwd_kernel(
             & (jnp.max(qs_blk) > 0)
         )
 
-    @pl.when(run)
-    def _body():
+    def _body(masked: bool):
         mask = None
-        if causal:
+        if masked and causal:
             rows = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
@@ -134,7 +156,7 @@ def _fwd_kernel(
             mask = rows >= cols
             if window:
                 mask = mask & ((rows - cols) < window)
-        if qseg_ref is not None:
+        if masked and qseg_ref is not None:
             # keep ids 2D and 32-bit: Mosaic only supports minor-dim
             # insertion reshapes for 32-bit types
             qs = qseg_ref[0].reshape(block_q, 1)  # (bq, 1) int32
@@ -175,6 +197,21 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
             )
             m_ref[h] = m_new
+
+    # interior blocks (strictly below the causal diagonal, one segment,
+    # inside any window band) have an all-true mask: run them through an
+    # unmasked body with no iota/compare/select VPU work.  At S=4096 with
+    # 1024-blocks that is 6 of every 10 causally-live blocks; with packed
+    # segments most surviving blocks are segment-uniform.
+    interior = _interior_predicate(
+        qi, ki, qseg_ref, kseg_ref, causal=causal,
+        block_q=block_q, block_k=block_k, window=window,
+    )
+    if interior is True:  # statically maskless (causal=False, no segments)
+        pl.when(run)(lambda: _body(False))
+    else:
+        pl.when(run & interior)(lambda: _body(False))
+        pl.when(run & jnp.logical_not(interior))(lambda: _body(True))
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
@@ -452,8 +489,7 @@ def _bwd_dkv_kernel(
             & (jnp.max(qs_blk) > 0)
         )
 
-    @pl.when(run)
-    def _body():
+    def _body(masked: bool):
         # bf16 MXU inputs, f32 accumulation (flash-attention-2 scheme:
         # P and dS are cast back to the input dtype for their matmuls)
         q = q_ref[0, 0]
@@ -468,13 +504,13 @@ def _bwd_dkv_kernel(
         ) * sm_scale  # (bq, bk)
 
         mask = None
-        if causal:
+        if masked and causal:
             rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = rows >= cols
             if window:
                 mask = mask & ((rows - cols) < window)
-        if qseg_ref is not None:
+        if masked and qseg_ref is not None:
             qs = qseg_ref[0].reshape(block_q, 1)
             ks = kseg_ref[0].reshape(1, block_k)
             seg = (qs == ks) & (qs != 0)
@@ -499,6 +535,16 @@ def _bwd_dkv_kernel(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    interior = _interior_predicate(
+        qi, ki, qseg_ref, kseg_ref, causal=causal,
+        block_q=block_q, block_k=block_k, window=window,
+    )
+    if interior is True:
+        pl.when(run)(lambda: _body(False))
+    else:
+        pl.when(run & interior)(lambda: _body(False))
+        pl.when(run & jnp.logical_not(interior))(lambda: _body(True))
 
     @pl.when(qi == num_q_blocks - 1)
     def _finalize():
@@ -530,8 +576,7 @@ def _bwd_dq_kernel(
             & (jnp.max(qs_blk) > 0)
         )
 
-    @pl.when(run)
-    def _body():
+    def _body(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -544,13 +589,13 @@ def _bwd_dq_kernel(
         ) * sm_scale
 
         mask = None
-        if causal:
+        if masked and causal:
             rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = rows >= cols
             if window:
                 mask = mask & ((rows - cols) < window)
-        if qseg_ref is not None:
+        if masked and qseg_ref is not None:
             qs = qseg_ref[0].reshape(block_q, 1)
             ks = kseg_ref[0].reshape(1, block_k)
             seg = (qs == ks) & (qs != 0)
@@ -567,6 +612,16 @@ def _bwd_dq_kernel(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    interior = _interior_predicate(
+        qi, ki, qseg_ref, kseg_ref, causal=causal,
+        block_q=block_q, block_k=block_k, window=window,
+    )
+    if interior is True:
+        pl.when(run)(lambda: _body(False))
+    else:
+        pl.when(run & interior)(lambda: _body(False))
+        pl.when(run & jnp.logical_not(interior))(lambda: _body(True))
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
