@@ -1,36 +1,42 @@
-"""Fused int8-KV flash-decode kernel (Pallas).
+"""Fused int8-KV flash-decode kernel (Pallas), flat token-major cache.
 
 Decode attention is pure HBM bandwidth: per step each layer streams the
 whole KV cache once against a single query token.  The XLA path
-(serving/generate.py ``_cached_attention_quant``) measured ~60% of the
-chip's practical stream rate (BASELINE.md); this kernel reads the cache
-as int8 directly into VMEM, dequantizes in registers, and fuses
-scores -> masked softmax -> PV into one pass so no intermediate ever
-touches HBM.
+(serving/generate.py ``_cached_attention_quant``) measured ~4x over the
+int8 read floor at long capacity (the convert+dot stages the cache
+through scratch DMA slices); this kernel reads the cache as int8
+directly into VMEM, dequantizes in registers, and fuses
+scores -> masked softmax -> PV into one pass.
 
-Cache layout is head-major ``(B, Hk, C, D)`` int8 with per-position
-scales ``(B, Hk, C)`` f32 — (C, D) tiles are exactly (sublane, lane)
-shaped, so DMA is dense (the token-major layout would pad Hk=20 up to
-the 32-sublane int8 tile).
+**Layout is the whole game here** (r5 profile history, BASELINE.md):
 
-Grid is ``(B, C // block_c)``: the cache-length axis is blocked with an
-online-softmax carry (m/l/acc scratch) so VMEM per program is bounded
-regardless of capacity — the whole-cache variant OOM'd scoped VMEM at
-Hk=20 x C=2112 (21 MB > 16 MB).  Block-shape constraints force the
-blocking to be along C and in multiples of 128:
+- A head-major logical cache ``(B, Hk, C, D)`` gives the kernel dense
+  (C, D) tiles, but XLA *normalizes the decode-loop carry* to
+  token-major physical (the scatter's preference) whose int8 tiling
+  pads Hk=20 -> 32 sublanes, then re-lays the WHOLE cache into the
+  kernel's constrained layout every call — ~90k slice-start DMA chunks
+  per 3 windows, 23.3 ms/step against the kernel's 3.4 ms in-context
+  cost.  ``with_layout_constraint`` on the carry made it *worse*
+  (50 ms/step): XLA kept the normalized carry and added converts.
+- The fix is a layout with **no competing preferences**: flat
+  token-major ``(B, C, F=Hk*D)`` int8 with scales ``(B, C, Hk)`` f32.
+  Row-major is simultaneously (a) XLA's normalized choice, (b) dense —
+  (C, F) tiles with F = 20*128 exactly lane-aligned, no head padding —
+  (c) contiguous for the per-step scatter (one F-byte row per slot),
+  and (d) the kernel's block shape.  Nothing ever converts.
 
-  - the *head* axis cannot block (a 10-of-20-head q/scale block is not
-    sublane-aligned under Mosaic's (8, 128) rule);
-  - scale blocks must keep the full head dim (block dim == array dim is
-    the only way a 20-sublane block is legal) and a lane dim that is a
-    multiple of 128 (a trailing singleton instead lane-pads each scale
-    block x128 -> 34 MB of VMEM, the second OOM).
+Per-head structure is recovered *inside* the kernel without slicing the
+flat F axis: scores for all heads come from one
+``(block_c, F) x (F, Hq)`` matmul against a block-diagonal Q (built
+once per batch row in scratch), and the PV product accumulates into an
+``(Hq, F)`` accumulator whose per-head diagonal blocks are extracted at
+finalization.  The expanded matmuls cost Hk x the minimal FLOPs but
+stay far under the DMA floor (MXU overlaps the stream).
 
-Callers that control the cache shape should size C via
-``round_capacity`` so a well-sized block exists; ``kernel_supported``
-reports whether a given (C, Hk, D) has one.  Heads loop statically
-inside the kernel, GQA handled by an ``n_rep x block_c`` score tile per
-KV head.
+Grid is ``(B, C // block_c)`` with an online-softmax m/l carry in
+scratch; the validity mask is computed in-kernel from a prefetched
+lengths vector (positions <= lengths[b]), so no bias tensor is
+streamed.
 """
 
 from __future__ import annotations
@@ -44,85 +50,107 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 # per-program int8 k+v block budget; Pallas double-buffers input blocks,
-# so the resident footprint is ~2x this plus small q/out/scratch — kept
-# well under the 16 MB scoped-VMEM limit
+# so the resident footprint is ~2x this plus scratch — kept well under
+# the 16 MB scoped-VMEM limit
 _VMEM_BUDGET = 5 * 1024 * 1024
-# smallest worthwhile C block: at 128-position blocks a program streams
-# <1 us of HBM and per-program overhead dominates the bandwidth win
-_MIN_BLOCK_C = 512
 
 
 def _decode_kernel(
-    q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
-    m_ref, l_ref, acc_ref, s_ref, *, n_rep, scale, n_c,
+    len_ref,  # SMEM (B,) int32 — scalar-prefetched valid lengths
+    q_ref,  # (1, D, Hq) bf16 (pre-transposed q)
+    k_ref,  # (1, block_c, F) int8
+    ks_ref,  # (1, block_c, Hk) f32
+    v_ref,  # (1, block_c, F) int8
+    vs_ref,  # (1, block_c, Hk) f32
+    out_ref,  # (1, D, Hq) — transposed back to (Hq, D) by the wrapper
+    qf_ref,  # VMEM (F, Hq) scratch — block-diagonal Q, built at c == 0
+    m_ref,  # VMEM (1, Hq) f32 — running max (per query head, lane form)
+    l_ref,  # VMEM (1, Hq) f32 — running denom
+    acc_ref,  # VMEM (F, Hq) f32 — unnormalized PV accumulator
+    *,
+    n_rep, Hk, D, scale, block_c, n_c,
 ):
-    """Per-head MXU dots, but *batched* softmax/online-update VPU work:
-    per-head (1, block_c) max/exp/sum rows use 1/8 of each vreg's
-    sublanes, and at 20 heads that overhead measured ~2x the HBM read
-    floor (430 GB/s effective).  Scores are staged into an (Hq, block_c)
-    scratch so the online-softmax update runs once over all heads."""
+    b = pl.program_id(0)
     c = pl.program_id(1)
+    Hq = out_ref.shape[2]
 
     @pl.when(c == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, _NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        # block-diagonal Q: qf[h*D + d, hq] = q[d, hq] iff h == hq // n_rep
+        # (per-head masked sublane writes at D-aligned offsets — no
+        # major->sublane reshape, which Mosaic restricts)
+        qt = q_ref[0]  # (D, Hq)
+        hcol = jax.lax.broadcasted_iota(jnp.int32, (D, Hq), 1) // n_rep
+        for h in range(Hk):
+            qf_ref[h * D : (h + 1) * D, :] = jnp.where(hcol == h, qt, 0.0)
 
-    q = q_ref[0]  # (Hq, D) bf16, resident across the c sweep
-    bias = bias_ref[0, 0].astype(jnp.float32)  # (block_c,)
-    Hk = kq_ref.shape[1]
-    for h in range(Hk):
-        k = kq_ref[0, h].astype(q.dtype)  # (block_c, D) int8 -> bf16 in VMEM
-        qg = q[h * n_rep : (h + 1) * n_rep]  # (n_rep, D)
-        s = jax.lax.dot_general(
-            qg, k, dimension_numbers=(((1,), (1,)), ((), ())),
+    k = k_ref[0].astype(qf_ref.dtype)  # (block_c, F) int8 -> bf16 in VMEM
+    s = jax.lax.dot_general(
+        k, qf_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_c, Hq) — s[c, hq] = q_hq . k[c, head(hq)]
+    ks = ks_ref[0].astype(jnp.float32)  # (block_c, Hk)
+    if n_rep > 1:  # lane-repeat Hk -> Hq via a tiny selector matmul
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (Hk, Hq), 1) // n_rep
+            == jax.lax.broadcasted_iota(jnp.int32, (Hk, Hq), 0)
+        ).astype(jnp.float32)
+        ks = jax.lax.dot_general(
+            ks, sel, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (n_rep, block_c)
-        if n_rep > 1:  # fold the K scale per head (no sublane repeat op)
-            s = s * (ks_ref[0, h].astype(jnp.float32) * scale)[None, :]
-        s_ref[h * n_rep : (h + 1) * n_rep] = s
+        )  # (block_c, Hq)
+    s = s * (ks * scale)
+    # validity from the prefetched lengths: position <= lengths[b] is
+    # live (the current token's kv is scattered at position lengths[b]
+    # just before this attention runs)
+    pos = c * block_c + jax.lax.broadcasted_iota(jnp.int32, (block_c, 1), 0)
+    s = jnp.where(pos <= len_ref[b], s, _NEG)
 
-    s = s_ref[...]  # (Hq, block_c)
-    if n_rep == 1:
-        s = s * (ks_ref[0].astype(jnp.float32) * scale)
-    s = s + bias[None, :]
-    m_prev = m_ref[...]  # (Hq, 1)
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # (Hq, block_c)
-    if n_rep == 1:  # fold V scales into probs, batched across heads
-        p_s = (p * vs_ref[0].astype(jnp.float32)).astype(q.dtype)
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_prev = m_ref[...]  # (1, Hq)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)  # (1, Hq)
+    p = jnp.exp(s - m_new)  # (block_c, Hq)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
     m_ref[...] = m_new
-    acc_ref[...] = acc_ref[...] * alpha
-    for h in range(Hk):
-        rows = slice(h * n_rep, (h + 1) * n_rep)
-        if n_rep > 1:
-            pv = (p[rows] * vs_ref[0, h].astype(jnp.float32)[None, :]).astype(q.dtype)
-        else:
-            pv = p_s[rows]
-        v = vq_ref[0, h].astype(q.dtype)  # (block_c, D)
-        o = jax.lax.dot_general(
-            pv, v, dimension_numbers=(((1,), (0,)), ((), ())),
+    vs = vs_ref[0].astype(jnp.float32)  # (block_c, Hk)
+    if n_rep > 1:
+        vs = jax.lax.dot_general(
+            vs, sel, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (n_rep, D)
-        acc_ref[rows] += o
+        )
+    pv = (p * vs).astype(qf_ref.dtype)  # fold V scales into probs
+    v = v_ref[0].astype(qf_ref.dtype)  # (block_c, F)
+    o = jax.lax.dot_general(
+        v, pv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (F, Hq)
+    acc_ref[...] = acc_ref[...] * alpha + o
 
     @pl.when(c == n_c - 1)
     def _fin():
-        out_ref[0] = (acc_ref[...] / l_ref[...]).astype(out_ref.dtype)
+        acc = acc_ref[...] / l_ref[...]  # (F, Hq)
+        # acc[f, hq] holds sum_c v[c, f] * p[c, hq] for EVERY (f, hq);
+        # query head hq only wants its own head's D-block of F
+        # (h == hq // n_rep), so mask-fold the D-strided blocks
+        out = jnp.zeros((D, Hq), jnp.float32)
+        hcol = jax.lax.broadcasted_iota(jnp.int32, (D, Hq), 1) // n_rep
+        for h in range(Hk):
+            out = out + jnp.where(hcol == h, acc[h * D : (h + 1) * D, :], 0.0)
+        out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _pick_block_c(C: int, Hk: int, D: int) -> int:
-    """C block for the grid: the whole cache row if it fits the budget
-    (block == array needs no alignment), else the largest
-    multiple-of-128 divisor of C that fits; 0 if none exists."""
-    if 2 * Hk * C * D <= _VMEM_BUDGET:
-        return C
+    """Largest multiple-of-8 divisor of C whose int8 k+v block fits the
+    VMEM budget; 0 if none.  (block_c, F) blocks only need sublane
+    alignment — F is lane-aligned by construction.)"""
+    per_col = 2 * Hk * D + 8 * Hk
+    max_bc = _VMEM_BUDGET // per_col
     best = 0
-    for bc in range(128, C, 128):
-        if C % bc == 0 and 2 * Hk * bc * D <= _VMEM_BUDGET and bc >= _MIN_BLOCK_C:
+    for bc in range(8, min(C, max_bc) + 1, 8):
+        if C % bc == 0:
             best = bc
     return best
 
@@ -132,78 +160,78 @@ def kernel_supported(C: int, Hk: int, D: int) -> bool:
 
 
 def round_capacity(C: int, Hk: int, D: int) -> int:
-    """Smallest C' >= C (64-step) the kernel supports with a well-sized
-    block.  E.g. Hk=20, D=128: 2112 -> 2304 (block 768); Hk=8 caches fit
-    whole rows up to C~2500 and round to themselves."""
+    """Smallest C' >= C (8-step) with a usable block — in practice any
+    multiple of 64 already qualifies, so this is usually the identity."""
     cap = C
     while not kernel_supported(cap, Hk, D):
-        cap += 64
-        if cap > 2 * C + 4096:  # give up; caller falls back to XLA
+        cap += 8
+        if cap > C + 4096:  # pragma: no cover — give up, caller gates
             return C
     return cap
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_c"))
-def decode_attention_int8(
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret", "block_c"))
+def decode_attention_int8_flat(
     q: jax.Array,  # (B, Hq, D) bf16 (single new token per row)
-    k_q: jax.Array,  # (B, Hk, C, D) int8
-    k_s: jax.Array,  # (B, Hk, C) f32
-    v_q: jax.Array,  # (B, Hk, C, D) int8
-    v_s: jax.Array,  # (B, Hk, C) f32
-    bias: jax.Array,  # (B, C) f32 additive mask (0 valid / -inf-ish invalid)
+    k_q: jax.Array,  # (B, C, F = Hk * D) int8, flat token-major
+    k_s: jax.Array,  # (B, C, Hk) f32
+    v_q: jax.Array,  # (B, C, F) int8
+    v_s: jax.Array,  # (B, C, Hk) f32
+    lengths: jax.Array,  # (B,) int32 — positions <= lengths[b] attend
+    n_heads: int,  # Hk (static; F = Hk * D)
     interpret: bool = False,
     block_c: int = 0,  # cache positions per program; 0 = auto
 ) -> jax.Array:  # (B, Hq, D)
     B, Hq, D = q.shape
-    Hk, C = k_q.shape[1], k_q.shape[2]
+    Hk = n_heads
+    C = k_q.shape[1]
     n_rep = Hq // Hk
     if not block_c:
         block_c = _pick_block_c(C, Hk, D)
         if not block_c:
             raise ValueError(
-                f"no aligned C block for C={C}, Hk={Hk}, D={D}; size the "
-                "cache via decode_attention.round_capacity or gate on "
-                "kernel_supported"
+                f"no aligned C block for C={C}, Hk={Hk}, D={D}; gate on "
+                "decode_attention.kernel_supported"
             )
     n_c = pl.cdiv(C, block_c)
     kernel = functools.partial(
-        _decode_kernel, n_rep=n_rep, scale=D**-0.5, n_c=n_c
+        _decode_kernel, n_rep=n_rep, Hk=Hk, D=D, scale=D**-0.5,
+        block_c=block_c, n_c=n_c,
     )
-    kv_spec = pl.BlockSpec(
-        (1, Hk, block_c, D), lambda b, c: (b, 0, c, 0), memory_space=pltpu.VMEM
-    )
-    s_spec = pl.BlockSpec(
-        (1, Hk, block_c), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM
-    )
-    qo_spec = pl.BlockSpec(
-        (1, Hq, D), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
-    )
-    return pl.pallas_call(
-        kernel,
+    F = Hk * D
+    kv_spec = pl.BlockSpec((1, block_c, F), lambda b, c, *_: (b, c, 0))
+    s_spec = pl.BlockSpec((1, block_c, Hk), lambda b, c, *_: (b, c, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, n_c),
         in_specs=[
-            qo_spec,
+            pl.BlockSpec((1, D, Hq), lambda b, c, *_: (b, 0, 0)),
             kv_spec,
             s_spec,
             kv_spec,
             s_spec,
-            pl.BlockSpec((1, 1, block_c), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
         ],
-        out_specs=qo_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        out_specs=pl.BlockSpec((1, D, Hq), lambda b, c, *_: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Hq, 1), jnp.float32),  # running max
-            pltpu.VMEM((Hq, 1), jnp.float32),  # running denom
-            pltpu.VMEM((Hq, D), jnp.float32),  # unnormalized PV accum
-            pltpu.VMEM((Hq, block_c), jnp.float32),  # stacked scores
+            pltpu.VMEM((F, Hq), q.dtype),  # block-diagonal Q
+            pltpu.VMEM((1, Hq), jnp.float32),  # running max
+            pltpu.VMEM((1, Hq), jnp.float32),  # running denom
+            pltpu.VMEM((F, Hq), jnp.float32),  # unnormalized PV accum
         ],
+    )
+    qt = jnp.swapaxes(q, 1, 2)  # (B, D, Hq) — tiny XLA transpose
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, D, Hq), q.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * Hq * C * D,
-            bytes_accessed=2 * B * Hk * C * D + 2 * 4 * B * Hk * C + 2 * B * Hq * D,
+            flops=2 * 2 * B * Hq * C * F,
+            bytes_accessed=2 * B * C * F + 2 * 4 * B * C * Hk + 2 * B * Hq * D,
             transcendentals=B * Hq * C,
         ),
-    )(q, k_q, k_s, v_q, v_s, bias[:, None, :])
+    )(lengths.astype(jnp.int32), qt, k_q, k_s, v_q, v_s)
+    return jnp.swapaxes(out, 1, 2)  # (B, Hq, D)

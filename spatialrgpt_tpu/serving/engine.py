@@ -177,6 +177,29 @@ class ServingEngine:
             self.capacity = round_capacity(
                 self.capacity, cfg.llm.num_key_value_heads, cfg.llm.head_dim
             )
+        # the fused decode kernel engages only single-mesh (the Pallas
+        # call is not SPMD-partitioned; tp decode keeps the XLA path)
+        from spatialrgpt_tpu.ops.decode_attention import kernel_supported
+
+        self._use_decode_kernel = bool(
+            kv_quant and DECODE_KERNEL_MIN_C and mesh is None
+            and self.capacity >= DECODE_KERNEL_MIN_C and _on_tpu()
+            and kernel_supported(
+                self.capacity, cfg.llm.num_key_value_heads, cfg.llm.head_dim
+            )
+        )
+        # FLAT token-major storage (B, C, Hk*D)/(B, C, Hk) whenever the
+        # kernel engages: the one layout whose row-major form is
+        # simultaneously XLA's normalized choice, dense (F = Hk*D is
+        # lane-aligned, no head padding), scatter-contiguous, and the
+        # kernel's block shape — so the decode loop never converts
+        # layouts (see ops/decode_attention.py docstring for the r5
+        # profile history).  SRGPT_KV_FLAT=1 forces flat storage with
+        # the XLA attend fallback so CPU tests exercise the flat
+        # scatter/insert logic.
+        self._kv_flat = self._use_decode_kernel or bool(
+            kv_quant and mesh is None and _os.environ.get("SRGPT_KV_FLAT") == "1"
+        )
         self.max_new = max_new_tokens
         self.attn_impl = attn_impl
         self.dtype = dtype
@@ -193,8 +216,12 @@ class ServingEngine:
             # Pallas decode kernel (ops/decode_attention.py) expects.
             L = cfg.llm.num_hidden_layers
             Hk, D = cfg.llm.num_key_value_heads, cfg.llm.head_dim
-            shape_q = (self.B, Hk, self.capacity, D)
-            shape_s = (self.B, Hk, self.capacity)
+            if self._kv_flat:  # flat token-major (see _kv_flat above)
+                shape_q = (self.B, self.capacity, Hk * D)
+                shape_s = (self.B, self.capacity, Hk)
+            else:  # head-major (B, Hk, C, D): dense tiles for XLA attend
+                shape_q = (self.B, Hk, self.capacity, D)
+                shape_s = (self.B, Hk, self.capacity)
             from spatialrgpt_tpu.serving.generate import QuantKVCache
 
             self.cache = QuantKVCache(
@@ -324,9 +351,22 @@ class ServingEngine:
                     row = jnp.pad(row, pad).astype(c.dtype)
                     return jax.lax.dynamic_update_slice_in_dim(c, row, slot, axis=0)
 
+                def flat(a):  # token-major (n, S, Hk, D) -> (n, S, Hk*D)
+                    return a.reshape(a.shape[0], a.shape[1], -1)
+
                 for i in range(n):
                     slot = slots[i]
-                    if kv_quant:
+                    if kv_quant and self._kv_flat:
+                        # flat rows reuse the token-major `put` (pad along
+                        # the position axis, DUS at the slot)
+                        cache = QuantKVCache(
+                            tuple(put(c, flat(a), i, slot) for c, (a, _) in zip(cache.k_q, kv.k)),
+                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.k_s, kv.k)),
+                            tuple(put(c, flat(a), i, slot) for c, (a, _) in zip(cache.v_q, kv.v)),
+                            tuple(put(c, s, i, slot) for c, (_, s) in zip(cache.v_s, kv.v)),
+                            cache.length,
+                        )
+                    elif kv_quant:
                         cache = QuantKVCache(
                             tuple(put_h(c, a, i, slot) for c, (a, _) in zip(cache.k_q, kv.k)),
                             tuple(put_h(c, s, i, slot) for c, (_, s) in zip(cache.k_s, kv.k)),
@@ -417,8 +457,13 @@ class ServingEngine:
             if kv_quant:
                 from spatialrgpt_tpu.ops.quant import quantize_kv
 
-                def qh(t, j):  # quantize + token-major -> head-major
-                    return jnp.swapaxes(quantize_kv(t)[j], 1, 2)
+                if self._kv_flat:
+                    def qh(t, j):  # quantize, keep token-major, flatten heads
+                        r = quantize_kv(t)[j]
+                        return r.reshape(r.shape[0], r.shape[1], -1) if j == 0 else r
+                else:
+                    def qh(t, j):  # quantize + token-major -> head-major
+                        return jnp.swapaxes(quantize_kv(t)[j], 1, 2)
 
                 cache = QuantKVCache(
                     tuple(put(c, qh(kk, 0)) for c, kk in zip(cache.k_q, ks)),
@@ -458,7 +503,8 @@ class ServingEngine:
                         cache.k_q[li], cache.k_s[li], cache.v_q[li], cache.v_s[li]
                     )
                     attn_out, parts = _per_slot_attention_quant(
-                        hn, lp["attn"], cfg.llm, pos, layer_cache, lengths, valid
+                        hn, lp["attn"], cfg.llm, pos, layer_cache, lengths, valid,
+                        use_kernel=self._use_decode_kernel,
                     )
                 else:
                     attn_out, parts = _per_slot_attention(
@@ -633,19 +679,36 @@ class ServingEngine:
 
                     nk_q, nk_s = quantize_kv(k_d)
                     nv_q, nv_s = quantize_kv(v_d)
-                    ck_q = cache.k_q[li].at[bidx, :, dpos_w].set(
-                        nk_q[:, 0], mode="drop", unique_indices=True
+                    if self._kv_flat:  # (B, C, Hk*D): contiguous F-rows
+                        ck_q = cache.k_q[li].at[bidx, dpos_w].set(
+                            nk_q.reshape(B, -1), mode="drop", unique_indices=True
+                        )
+                        ck_s = cache.k_s[li].at[bidx, dpos_w].set(
+                            nk_s[:, 0], mode="drop", unique_indices=True
+                        )
+                        cv_q = cache.v_q[li].at[bidx, dpos_w].set(
+                            nv_q.reshape(B, -1), mode="drop", unique_indices=True
+                        )
+                        cv_s = cache.v_s[li].at[bidx, dpos_w].set(
+                            nv_s[:, 0], mode="drop", unique_indices=True
+                        )
+                    else:
+                        ck_q = cache.k_q[li].at[bidx, :, dpos_w].set(
+                            nk_q[:, 0], mode="drop", unique_indices=True
+                        )
+                        ck_s = cache.k_s[li].at[bidx, :, dpos_w].set(
+                            nk_s[:, 0], mode="drop", unique_indices=True
+                        )
+                        cv_q = cache.v_q[li].at[bidx, :, dpos_w].set(
+                            nv_q[:, 0], mode="drop", unique_indices=True
+                        )
+                        cv_s = cache.v_s[li].at[bidx, :, dpos_w].set(
+                            nv_s[:, 0], mode="drop", unique_indices=True
+                        )
+                    attn_d = _slot_attend_quant(
+                        q_d, ck_q, ck_s, cv_q, cv_s, valid, D,
+                        use_kernel=self._use_decode_kernel, lengths=lengths,
                     )
-                    ck_s = cache.k_s[li].at[bidx, :, dpos_w].set(
-                        nk_s[:, 0], mode="drop", unique_indices=True
-                    )
-                    cv_q = cache.v_q[li].at[bidx, :, dpos_w].set(
-                        nv_q[:, 0], mode="drop", unique_indices=True
-                    )
-                    cv_s = cache.v_s[li].at[bidx, :, dpos_w].set(
-                        nv_s[:, 0], mode="drop", unique_indices=True
-                    )
-                    attn_d = _slot_attend_quant(q_d, ck_q, ck_s, cv_q, cv_s, valid, D)
                     parts = (ck_q, ck_s, cv_q, cv_s)
                 else:
                     ck = cache.k[li].at[bidx, dpos_w].set(
@@ -807,25 +870,34 @@ class ServingEngine:
 
                         kq = [quantize_kv(sk[:W]) for sk in sk_r]
                         vq = [quantize_kv(sv[:W]) for sv in sv_r]
+                        if self._kv_flat:
+                            # flat rows: (W, Hk, D) -> (capacity, Hk*D),
+                            # scales stay token-major (capacity, Hk)
+                            def row_q(a):
+                                return pad_cap(a.reshape(W, -1))
+
+                            row_s = pad_cap
+                        else:
+                            row_q = row_s = pad_cap_h
                         cache = QuantKVCache(
                             tuple(
                                 ck.at[okslot].set(
-                                    pad_cap_h(a).astype(ck.dtype), mode="drop"
+                                    row_q(a).astype(ck.dtype), mode="drop"
                                 )
                                 for ck, (a, _) in zip(cache.k_q, kq)
                             ),
                             tuple(
-                                cs.at[okslot].set(pad_cap_h(s), mode="drop")
+                                cs.at[okslot].set(row_s(s), mode="drop")
                                 for cs, (_, s) in zip(cache.k_s, kq)
                             ),
                             tuple(
                                 cv.at[okslot].set(
-                                    pad_cap_h(a).astype(cv.dtype), mode="drop"
+                                    row_q(a).astype(cv.dtype), mode="drop"
                                 )
                                 for cv, (a, _) in zip(cache.v_q, vq)
                             ),
                             tuple(
-                                cs.at[okslot].set(pad_cap_h(s), mode="drop")
+                                cs.at[okslot].set(row_s(s), mode="drop")
                                 for cs, (_, s) in zip(cache.v_s, vq)
                             ),
                             cache.length,
@@ -1531,37 +1603,50 @@ def _per_slot_attention(x, p, cfg, pos, cache, layer_idx, lengths, valid):
     return linear(out, p["wo"]), (ck, cv)
 
 
-def _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D):
+def _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D, use_kernel=None,
+                       lengths=None):
     """Attend one post-RoPE query token per slot against an int8 cache
     row; scales fold into the score/prob tensors so the cache is only
-    ever read as int8.  Cache layout is HEAD-MAJOR (B, Hk, C, D) /
-    (B, Hk, C) — what the Pallas flash-decode kernel consumes.
+    ever read as int8.
 
-    On TPU at capacity >= SRGPT_DECODE_KERNEL_MIN_C (default 1024) the
-    attention runs the fused int8 kernel (ops/decode_attention.py): the
-    r5 long-prompt profile showed the XLA convert+dot path staging the
-    whole cache through scratch DMA slices (~10 ms/step at 12 slots x
-    2112 capacity against a ~5 ms read floor); the kernel streams int8
-    into VMEM once and dequantizes in registers.  Short capacities keep
-    the XLA path (measured better there — it overlaps the weight
-    streams; BASELINE.md r3)."""
+    Two storage layouts (ServingEngine._kv_flat):
+      - FLAT token-major (B, C, Hk*D) / (B, C, Hk) — used whenever the
+        fused decode kernel engages (long capacity on TPU).  Row-major
+        flat is the one layout XLA's normalization, the per-step
+        scatter, and the kernel all agree on, so the decode loop never
+        re-lays the cache (ops/decode_attention.py docstring).
+      - HEAD-MAJOR (B, Hk, C, D) / (B, Hk, C) — the XLA fold-scale path
+        for short capacities (where XLA's overlap of cache reads with
+        weight streams wins; BASELINE.md r3)."""
     from spatialrgpt_tpu.ops.attention import NEG_INF
 
-    from spatialrgpt_tpu.ops.decode_attention import (
-        decode_attention_int8, kernel_supported,
-    )
-
     B, S, Hq = q.shape[0], q.shape[1], q.shape[2]
-    Hk = ck_q.shape[1]
-    C = ck_q.shape[2]
-    if (
-        S == 1 and DECODE_KERNEL_MIN_C and C >= DECODE_KERNEL_MIN_C
-        and _on_tpu() and kernel_supported(C, Hk, D)
-    ):
+    flat = ck_q.ndim == 3  # (B, C, Hk*D) flat vs (B, Hk, C, D) head-major
+    if flat:
+        Hk = ck_s.shape[-1]
+        C = ck_q.shape[1]
+    else:
+        Hk = ck_q.shape[1]
+        C = ck_q.shape[2]
+    if use_kernel is None:  # callers outside the engine: gate locally
+        from spatialrgpt_tpu.ops.decode_attention import kernel_supported
 
-        bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
-        out = decode_attention_int8(q[:, 0], ck_q, ck_s, cv_q, cv_s, bias)
+        use_kernel = (
+            flat and bool(DECODE_KERNEL_MIN_C) and C >= DECODE_KERNEL_MIN_C
+            and _on_tpu() and kernel_supported(C, Hk, D)
+        )
+    if S == 1 and use_kernel and flat and lengths is not None:
+        from spatialrgpt_tpu.ops.decode_attention import decode_attention_int8_flat
+
+        out = decode_attention_int8_flat(
+            q[:, 0], ck_q, ck_s, cv_q, cv_s, lengths, n_heads=Hk
+        )
         return out.reshape(B, 1, Hq * D)
+    if flat:  # XLA fallback on flat storage (CPU tests / S > 1)
+        ck_q = jnp.swapaxes(ck_q.reshape(B, C, Hk, D), 1, 2)
+        cv_q = jnp.swapaxes(cv_q.reshape(B, C, Hk, D), 1, 2)
+        ck_s = jnp.swapaxes(ck_s, 1, 2)
+        cv_s = jnp.swapaxes(cv_s, 1, 2)
     if Hq == Hk:
         scores = jnp.einsum(
             "bqhd,bhkd->bhqk", q, ck_q.astype(q.dtype), preferred_element_type=jnp.float32
@@ -1590,7 +1675,7 @@ def _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D):
     return out
 
 
-def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid):
+def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid, use_kernel=None):
     """Per-slot decode attention against an int8 KV cache (same scheme as
     serving/generate.py::_cached_attention_quant, with the engine's
     per-slot scatter write)."""
@@ -1603,17 +1688,26 @@ def _per_slot_attention_quant(x, p, cfg, pos, layer_cache, lengths, valid):
     q, k, v = qkv_proj(x, p, Hq, Hk, D)
     q, k = llama.apply_rope(q, k, pos, cfg)
 
-    nk_q, nk_s = quantize_kv(k)
+    nk_q, nk_s = quantize_kv(k)  # (B, 1, Hk, D) int8, (B, 1, Hk) f32
     nv_q, nv_s = quantize_kv(v)
     # one-row-per-slot scatter (see _per_slot_attention): rewriting the
     # whole cache via jnp.where cost 3x the decode's HBM stream.
-    # Head-major layout: write (b, :, lengths[b]) — numpy advanced-index
-    # semantics place the batch dim first, so updates are (B, Hk[, D])
     bidx = jnp.arange(B)
-    ck_q = k_q.at[bidx, :, lengths].set(nk_q[:, 0], unique_indices=True)
-    ck_s = k_s.at[bidx, :, lengths].set(nk_s[:, 0], unique_indices=True)
-    cv_q = v_q.at[bidx, :, lengths].set(nv_q[:, 0], unique_indices=True)
-    cv_s = v_s.at[bidx, :, lengths].set(nv_s[:, 0], unique_indices=True)
+    if k_q.ndim == 3:  # FLAT (B, C, Hk*D): one contiguous F-row per slot
+        ck_q = k_q.at[bidx, lengths].set(nk_q.reshape(B, -1), unique_indices=True)
+        ck_s = k_s.at[bidx, lengths].set(nk_s[:, 0], unique_indices=True)
+        cv_q = v_q.at[bidx, lengths].set(nv_q.reshape(B, -1), unique_indices=True)
+        cv_s = v_s.at[bidx, lengths].set(nv_s[:, 0], unique_indices=True)
+    else:
+        # Head-major layout: write (b, :, lengths[b]) — numpy
+        # advanced-index semantics place the batch dim first, so
+        # updates are (B, Hk[, D])
+        ck_q = k_q.at[bidx, :, lengths].set(nk_q[:, 0], unique_indices=True)
+        ck_s = k_s.at[bidx, :, lengths].set(nk_s[:, 0], unique_indices=True)
+        cv_q = v_q.at[bidx, :, lengths].set(nv_q[:, 0], unique_indices=True)
+        cv_s = v_s.at[bidx, :, lengths].set(nv_s[:, 0], unique_indices=True)
 
-    out = _slot_attend_quant(q, ck_q, ck_s, cv_q, cv_s, valid, D)
+    out = _slot_attend_quant(
+        q, ck_q, ck_s, cv_q, cv_s, valid, D, use_kernel, lengths=lengths
+    )
     return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)

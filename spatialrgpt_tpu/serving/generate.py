@@ -357,26 +357,12 @@ def _cached_attention_quant(x, p, cfg, pos, layer_cache, slot, valid, attn_impl=
     cv_q = jax.lax.dynamic_update_slice_in_dim(v_q, jnp.swapaxes(nv_q, 1, 2), slot, axis=2)
     cv_s = jax.lax.dynamic_update_slice_in_dim(v_s, jnp.swapaxes(nv_s, 1, 2), slot, axis=2)
 
-    # long-capacity TPU decode: the fused int8 kernel (see
-    # serving/engine.py::_slot_attend_quant for the r5 profile rationale)
-    from spatialrgpt_tpu.serving.engine import DECODE_KERNEL_MIN_C
-
-    from spatialrgpt_tpu.ops.decode_attention import (
-        decode_attention_int8, kernel_supported,
-    )
-
-    C = ck_q.shape[2]
-    if (
-        S == 1 and not packed4 and DECODE_KERNEL_MIN_C
-        and C >= DECODE_KERNEL_MIN_C and _on_tpu()
-        and kernel_supported(C, Hk, D)
-    ):
-
-        bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
-        out = decode_attention_int8(q[:, 0], ck_q, ck_s, cv_q, cv_s, bias)
-        out = out.reshape(B, S, Hq * D)
-        return linear(out, p["wo"]), (ck_q, ck_s, cv_q, cv_s)
-
+    # NOTE: the fused flat-cache decode kernel (ops/decode_attention.py)
+    # is wired into the serving ENGINE, whose long-capacity cache is
+    # stored flat token-major; this lockstep path keeps the head-major
+    # XLA fold-scale attention (porting it to the flat layout is
+    # worthwhile only if long-context lockstep becomes a hot path — the
+    # engine is the production entry point for that regime).
     if Hq == Hk:
         scores = jnp.einsum(
             "bqhd,bhkd->bhqk", q, unq(ck_q).astype(q.dtype), preferred_element_type=jnp.float32

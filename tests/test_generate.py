@@ -137,8 +137,10 @@ def test_kv_quant_generate_matches_bf16():
 
 def test_pallas_decode_kernel_matches_xla():
     """Fused int8 flash-decode kernel (interpret mode on CPU) == the XLA
-    fold-scale reference, including GQA head grouping and masked rows."""
-    from spatialrgpt_tpu.ops.decode_attention import decode_attention_int8
+    fold-scale reference, including GQA head grouping and masked rows.
+    The kernel consumes the FLAT token-major cache (B, C, Hk*D) — the
+    layout with no XLA normalization conflicts (see decode_attention.py)."""
+    from spatialrgpt_tpu.ops.decode_attention import decode_attention_int8_flat
     from spatialrgpt_tpu.ops.quant import quantize_kv
 
     rng = np.random.default_rng(5)
@@ -149,13 +151,19 @@ def test_pallas_decode_kernel_matches_xla():
     v = jnp.asarray(rng.standard_normal((B, Hk, C, D)), jnp.float32)
     kq, ks = quantize_kv(k)
     vq, vs = quantize_kv(v)
-    valid = jnp.asarray(rng.random((B, C)) > 0.3)
-    valid = valid.at[:, 0].set(True)  # every row attends to something
-    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+    # flat token-major: (B, C, Hk*D) / (B, C, Hk)
+    kq_f = jnp.swapaxes(kq, 1, 2).reshape(B, C, Hk * D)
+    vq_f = jnp.swapaxes(vq, 1, 2).reshape(B, C, Hk * D)
+    ks_f = jnp.swapaxes(ks, 1, 2)
+    vs_f = jnp.swapaxes(vs, 1, 2)
+    lengths = jnp.asarray(rng.integers(0, C, B), jnp.int32)  # pos <= len live
 
-    got = decode_attention_int8(q, kq, ks, vq, vs, bias, interpret=True)
+    got = decode_attention_int8_flat(
+        q, kq_f, ks_f, vq_f, vs_f, lengths, n_heads=Hk, interpret=True
+    )
 
     # reference: dequantize fully, exact softmax per query head
+    valid = jnp.arange(C)[None, :] <= lengths[:, None]
     kf = kq.astype(jnp.float32) * ks[..., None]
     vf = vq.astype(jnp.float32) * vs[..., None]
     kf = jnp.repeat(kf, n_rep, axis=1)
@@ -167,12 +175,13 @@ def test_pallas_decode_kernel_matches_xla():
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
-    # cache-length grid blocking with online-softmax carry (the
-    # VMEM-budget path at long capacity: the whole-cache block OOM'd
-    # scoped VMEM at Hk=20 x C=2112) must agree with the single-block
-    # kernel to rounding.
+    # cache-length grid blocking with online-softmax carry must agree
+    # with the single-block kernel to rounding
     for bc in (8, C // 2):
-        blk = decode_attention_int8(q, kq, ks, vq, vs, bias, interpret=True, block_c=bc)
+        blk = decode_attention_int8_flat(
+            q, kq_f, ks_f, vq_f, vs_f, lengths, n_heads=Hk,
+            interpret=True, block_c=bc,
+        )
         np.testing.assert_allclose(
             np.asarray(blk), np.asarray(got), atol=2e-6, rtol=1e-5
         )

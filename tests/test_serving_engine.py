@@ -675,6 +675,44 @@ def test_chunked_prefill_matches_unchunked():
     assert run(8, kv_quant=True) == run(0, kv_quant=True)
 
 
+def test_flat_kv_storage_matches_head_major(monkeypatch):
+    """FLAT token-major int8 cache storage (B, C, Hk*D) — the layout the
+    fused decode kernel consumes on TPU — must produce exactly the
+    head-major engine's tokens through admission, chunked prefill, slot
+    churn, and decode (the XLA attend fallback reshapes per layer; on
+    TPU the kernel path replaces it at long capacity)."""
+    params = vlm.init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [
+        [5, IMAGE_TOKEN_INDEX, CFG.mask_token_id, 8],
+        [9, IMAGE_TOKEN_INDEX, 11, 12, 13],
+        [IMAGE_TOKEN_INDEX, 21, 22],
+        [7, IMAGE_TOKEN_INDEX, 23, 24],
+    ]
+    reqs = [_make_request(p, seed=i) for i, p in enumerate(prompts)]
+
+    def run(flat, chunk=0):
+        if flat:
+            monkeypatch.setenv("SRGPT_KV_FLAT", "1")
+        else:
+            monkeypatch.delenv("SRGPT_KV_FLAT", raising=False)
+        eng = ServingEngine(
+            params, CFG, num_slots=2, prompt_bucket=32, max_new_tokens=6,
+            admit_width=2, kv_quant=True, prefill_chunk=chunk,
+        )
+        assert eng._kv_flat == flat
+        ids = [
+            eng.submit(inputs, plen, max_new_tokens=3 + (i % 3))
+            for i, (inputs, plen) in enumerate(reqs)
+        ]
+        done = eng.run_until_drained(max_steps=120, num_steps=2)
+        by_id = {r.request_id: r.tokens for r in done}
+        return [by_id[i] for i in ids]
+
+    base = run(False)
+    assert run(True) == base
+    assert run(True, chunk=8) == base
+
+
 def test_chunked_prefill_async_readback():
     """Chunked admission under the async scheduler: the completion token
     readback lags one entry, slots activate optimistically."""
