@@ -135,72 +135,10 @@ PROMPT_TEXT_TOKENS = int(os.environ.get("SRGPT_BENCH_PROMPT_TOKENS", 96))
 PAD_BUCKET = int(os.environ.get("SRGPT_BENCH_PAD", 320))
 
 
-def fast_init_quantized(cfg, w8a8: bool, seed: int = 0, vision_quant: bool = None):
-    """On-device init directly into the quantized layout.
-
-    The bench serves random weights (throughput doesn't depend on values).
-    The original path — init bf16 on host, quantize on host, device_put —
-    spent ~30 min for llama3-8b, dominated by shipping ~10 GB through the
-    tunneled device transport (BASELINE.md).  Instead, build the
-    ops/quant.py int8 layout directly on the TPU inside one jit: 2D
-    kernels in llm/vision become {"q": randint int8, "scale": (1, out)
-    f32} (+ "a8" marker per quantize_llm's in<=out rule when w8a8),
-    everything else bf16 normals.  bf16 never occupies HBM for quantized
-    kernels, and nothing crosses the host link.
-    """
-    shapes = jax.eval_shape(
-        lambda: vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    )
-    counter = [0]
-
-    def build(base):
-        def nextkey():
-            counter[0] += 1
-            return jax.random.fold_in(base, counter[0])
-
-        def dense_leaf(sd):
-            scale = sd.shape[0] ** -0.5 if len(sd.shape) == 2 else 0.02
-            return (jax.random.normal(nextkey(), sd.shape, jnp.float32) * scale).astype(
-                sd.dtype
-            )
-
-        def visit(node, quantize):
-            if isinstance(node, dict):
-                if (
-                    quantize
-                    and "kernel" in node
-                    and getattr(node["kernel"], "ndim", 0) == 2
-                ):
-                    din, dout = node["kernel"].shape
-                    kq = {
-                        "q": jax.random.randint(
-                            nextkey(), (din, dout), -127, 128, jnp.int8
-                        ),
-                        "scale": jnp.full(
-                            (1, dout), din**-0.5 * 3.0 / 127.0, jnp.float32
-                        ),
-                    }
-                    if w8a8:
-                        # linear() gates the int8-activation path by shape
-                        # (expanding kernels always, contracting at large M)
-                        kq["a8"] = np.zeros((), np.bool_)
-                    out = {
-                        k: visit(v, quantize) for k, v in node.items() if k != "kernel"
-                    }
-                    out["kernel_q"] = kq
-                    return out
-                return {k: visit(v, quantize) for k, v in node.items()}
-            if isinstance(node, list):
-                return [visit(v, quantize) for v in node]
-            return dense_leaf(node)
-
-        vq = (w8a8 if vision_quant is None else vision_quant)
-        return {
-            k: visit(v, quantize=(k == "llm" or (vq and k == "vision")))
-            for k, v in shapes.items()
-        }
-
-    return jax.jit(build)(jax.random.PRNGKey(seed))
+# fast_init_quantized moved to spatialrgpt_tpu/utils/fast_init.py so the
+# training bench's 8B QLoRA path can share it (the bf16 8B tree alone
+# exceeds the chip; both benches must init straight into int8).
+from spatialrgpt_tpu.utils.fast_init import fast_init_quantized  # noqa: E402
 
 
 def build_batch(cfg, rng, batch=None):

@@ -108,9 +108,24 @@ def main():
     )
     rng = np.random.default_rng(0)
 
+    # 8B QLoRA: the bf16 tree alone is 16 GB on a 16 GB chip — it OOMs
+    # before quantize_llm can run.  Init straight into the weight-only
+    # int8 layout on device (same tree shape quantize_llm(bits=8)
+    # produces; bf16 never occupies HBM for quantized kernels).
+    big_quant_init = STAGE == "qlora" and (
+        "8b" in MODEL or "7b" in MODEL
+        or os.environ.get("SRGPT_TRAIN_BENCH_FAST_INIT") == "1"
+    )
     t0 = time.time()
-    params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    device_sync(params["llm"]["final_ln"])
+    if big_quant_init:
+        from spatialrgpt_tpu.utils.fast_init import fast_init_quantized
+
+        params = None
+        qbase = fast_init_quantized(cfg, w8a8=False, vision_quant=False)
+        device_sync(qbase["llm"]["final_ln"])
+    else:
+        params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        device_sync(params["llm"]["final_ln"])
     init_s = time.time() - t0
 
     # Pallas flash attention (fwd+bwd): the XLA path materializes the
@@ -129,9 +144,20 @@ def main():
         from spatialrgpt_tpu.train.step import make_lora_train_step
 
         lcfg = LoraConfig(r=64, alpha=16.0)
-        base = dict(params)
-        base["llm"] = quantize_llm(base["llm"], bits=8)
-        adapters = init_lora(jax.random.PRNGKey(1), base["llm"], lcfg, dtype=jnp.float32)
+        if big_quant_init:
+            base = qbase
+        else:
+            base = dict(params)
+            base["llm"] = quantize_llm(base["llm"], bits=8)
+        # Adapter dtype: f32 default; the 8B single-chip row uses bf16
+        # (the adapters' compute dtype either way — linear() casts them
+        # to x.dtype in the side branch) so the 4x {param, grad, mu, nu}
+        # footprint (~2.7 GB f32 at r=64 on 8B) halves.  Real SFT runs
+        # shard f32 state over an fsdp axis (train/train.py).
+        adtype = jnp.bfloat16 if os.environ.get(
+            "SRGPT_TRAIN_BENCH_ADAPTER_DTYPE", "f32" if not big_quant_init else "bf16"
+        ) == "bf16" else jnp.float32
+        adapters = init_lora(jax.random.PRNGKey(1), base["llm"], lcfg, dtype=adtype)
         trainable = {
             "adapters": adapters,
             "projector": base.pop("projector"),

@@ -129,6 +129,18 @@ def linear(x: jax.Array, p) -> jax.Array:
             )
     else:
         y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "lora" in p:
+        # unmerged LoRA side branch (train/lora.py apply_lora(merge=False)):
+        # rank-r factors in the compute dtype, f32 accumulation into y —
+        # the base kernel stays on its (possibly int8) read path in both
+        # fwd and bwd; only a/b carry gradients.
+        lo = p["lora"]
+        ylo = jnp.dot(
+            jnp.dot(x, lo["a"].astype(x.dtype)),
+            lo["b"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + ylo * lo["scale"]
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)

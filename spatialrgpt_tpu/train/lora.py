@@ -101,14 +101,26 @@ def init_lora(rng: jax.Array, llm_params: Dict, lcfg: LoraConfig, dtype=jnp.floa
     return adapters
 
 
-def apply_lora(llm_params: Dict, adapters: Dict, lcfg: LoraConfig, dtype=None) -> Dict:
+def apply_lora(
+    llm_params: Dict, adapters: Dict, lcfg: LoraConfig, dtype=None, merge: bool = True
+) -> Dict:
     """Base params with adapters merged: W' = W + a @ b * scale (LoRA) or
     the DoRA magnitude-renormalized variant.
 
-    Quantized (kernel_q) target nodes are dequantized at the merge — each
-    merged kernel is a transient per-layer temp under jit, so the bf16
-    tree never materializes whole (the QLoRA memory contract: int8 base
-    at rest, bf16 per-kernel in flight)."""
+    ``merge=False`` attaches the adapters to the weight node instead
+    (``node["lora"] = {a, b, scale}``) and ``ops/layers.linear`` computes
+    the side branch ``y += (x @ a) @ b * scale`` — mathematically the
+    same product, but the base kernel is never rewritten.  This is the
+    QLoRA memory contract that merging cannot honor at 8B: merged
+    kernels are consumed again by the backward (dx needs W'^T), so under
+    autodiff the "transient per-layer temp" becomes a stashed or
+    recomputed full bf16 tree — measured 17.3 GB total on the 16 GB chip
+    (BASELINE.md round 5).  The side branch keeps the base on the int8
+    read path in both directions; only rank-r factors carry gradients.
+    DoRA still requires the merged form (its column norms are of W').
+    """
+    if not merge:
+        assert not lcfg.use_dora, "DoRA requires merged application"
 
     def visit(node, path=""):
         if isinstance(node, dict):
@@ -120,6 +132,14 @@ def apply_lora(llm_params: Dict, adapters: Dict, lcfg: LoraConfig, dtype=None) -
                 ad = adapters.get(kpath)
                 if ad is None:
                     return node
+                # MoE expert kernels are stacked and consumed by einsum
+                # (models/llama.py), not ops/layers.linear — the side
+                # branch would be silently dropped there, so experts
+                # always take the merged form (they are per-expert small).
+                if not merge and "experts" not in path.split("/"):
+                    out = dict(node)
+                    out["lora"] = {"a": ad["a"], "b": ad["b"], "scale": lcfg.scale}
+                    return out
                 w = _node_weight(node)
                 out_dtype = dtype or (
                     node["kernel"].dtype if "kernel" in node else jnp.bfloat16

@@ -149,7 +149,13 @@ def make_lora_train_step(
         frozen = jax.lax.stop_gradient(frozen)
         params = {k: v for k, v in frozen.items() if k != "llm"}
         params.update({k: v for k, v in trainable.items() if k != "adapters"})
-        params["llm"] = apply_lora(frozen["llm"], trainable["adapters"], lcfg)
+        # side-branch application (merge=False): merged kernels would be
+        # re-needed by the backward (dx = dy @ W'^T), which at 8B stashes
+        # or recomputes a full bf16 decoder beside the int8 base — the
+        # measured 17.3 GB OOM (BASELINE.md r5).  DoRA needs the merge.
+        params["llm"] = apply_lora(
+            frozen["llm"], trainable["adapters"], lcfg, merge=lcfg.use_dora
+        )
         return vlm.loss_fn(
             params, cfg, batch, attn_impl=attn_impl, remat=remat, ce_chunk=ce_chunk
         )

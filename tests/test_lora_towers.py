@@ -144,6 +144,45 @@ def test_qlora_apply_on_quantized_base_matches_dequantized():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_qlora_side_branch_matches_merged_forward():
+    """apply_lora(merge=False) attaches the adapters and ops/layers.linear
+    computes y += (x @ a) @ b * scale — same product as merging, but the
+    int8 base kernel is never rewritten (the 8B QLoRA memory contract,
+    BASELINE.md r5).  Forward logits must agree with the merged form
+    within the merged path's own bf16 kernel-rounding noise."""
+    from spatialrgpt_tpu.ops.quant import quantize_llm
+
+    params = llama.init_params(jax.random.PRNGKey(0), SMALL_LLM)
+    lcfg = LoraConfig(r=4, alpha=8.0)
+    qbase = quantize_llm(params, bits=8)
+    adapters = init_lora(jax.random.PRNGKey(1), qbase, lcfg)
+    adapters = jax.tree_util.tree_map(
+        lambda x: x + 0.02 * jnp.ones_like(x), adapters
+    )
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 12)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(12), (2, 12))
+
+    attached = apply_lora(qbase, adapters, lcfg, merge=False)
+    # the base kernels are untouched (still quantized, no bf16 rewrite)
+    def kq_leaves(t):
+        return [l for p, l in jax.tree_util.tree_leaves_with_path(t)
+                if any(getattr(k, "key", None) == "q" for k in p)]
+    for a, b in zip(kq_leaves(attached), kq_leaves(qbase)):
+        assert a is b
+    out_side = llama.forward_logits(attached, SMALL_LLM, input_ids=ids, position_ids=pos)
+    merged = apply_lora(qbase, adapters, lcfg, merge=True)
+    out_merged = llama.forward_logits(merged, SMALL_LLM, input_ids=ids, position_ids=pos)
+    np.testing.assert_allclose(
+        np.asarray(out_side, np.float32),
+        np.asarray(out_merged, np.float32),
+        atol=0.08, rtol=0,
+    )
+    # and the side branch actually contributes (adapters are nonzero)
+    out_base = llama.forward_logits(qbase, SMALL_LLM, input_ids=ids, position_ids=pos)
+    assert float(jnp.abs(out_side - out_base).max()) > 0.01
+
+
 def test_qlora_train_step_trains_adapters_only():
     """make_lora_train_step on an int8 base: loss decreases, adapters and
     projector move, the quantized base is untouched (it is never part of
